@@ -1,0 +1,17 @@
+from .scalar import (
+    decimal_str,
+    money_sum,
+    nan_to_null,
+    pg_dayofweek,
+    poly_hash_expr,
+    total_amount,
+)
+
+__all__ = [
+    "decimal_str",
+    "money_sum",
+    "nan_to_null",
+    "pg_dayofweek",
+    "poly_hash_expr",
+    "total_amount",
+]

@@ -1,0 +1,67 @@
+"""Central query registry.
+
+Every operator the engine claims is registered here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus, where the
+semantics are SQL-expressible, an equivalent ANSI-SQL string a DuckDB
+oracle can run over the same parquet files. ``__spark_entry__`` exposes
+this registry to the correctness driver.
+
+Hash-parity conventions (the driver compares sorted-by-column-name,
+order-insensitive value hashes):
+
+- counts → BIGINT on both sides (DuckDB SUM(int) is HUGEINT — cast it).
+- money / double SUMs → per-row cast to DECIMAL then sum (exact,
+  order-independent), rendered as a fixed-scale string.
+- per-row double arithmetic (x*y, x/y) is bit-deterministic IEEE and safe.
+- every computed column aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query-defining module, then return the registry."""
+    from . import (  # noqa: F401
+        parity_queries,
+    )
+
+    for mod in ("dedup_queries", "similarity_queries", "text_queries", "event_queries"):
+        try:
+            __import__(f"{__package__}.{mod}")
+        except ImportError:
+            pass
+    return QUERIES

@@ -1,0 +1,49 @@
+"""Readers for the driver-generated TPC-H-ish parquet testdata.
+
+Each table is a single parquet file under an ``sf*`` directory (see
+TESTDATA.md). These are plain columnar scans: filters and projections
+declared downstream reach the parquet reader via Catalyst pushdown, so no
+options beyond the path are needed here. At cluster scale the same code
+reads a directory of many files; nothing below assumes a single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables that should always be broadcast when joined against
+# the big fact-sized tables. At any realistic scale factor these stay orders
+# of magnitude below spark.sql.autoBroadcastJoinThreshold relative to the
+# fact tables; we still mark broadcasts explicitly at the join sites.
+SMALL_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
