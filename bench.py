@@ -1,0 +1,69 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is executed with a `noop`-format write so the full distributed
+plan runs (scan → shuffle → agg) without materializing results on the
+driver — the honest measure of engine throughput, and the same action shape
+a 100 TB job would have (write to a sink, never collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+
+def main() -> None:
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+    from retail_sales_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-call class loading.
+    next(iter(registry.values())).spark_fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Best-of-2 per query: the first run of any distinct plan pays one-off
+    # whole-stage-codegen (janino) compilation, ~3-4s of JVM warmup noise
+    # that has nothing to do with engine throughput at scale.
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
