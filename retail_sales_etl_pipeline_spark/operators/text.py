@@ -1,0 +1,141 @@
+"""Text-analysis + dedup expression builders (LLM-data-pipeline operators).
+
+All operators are pure Spark SQL expressions (higher-order functions over
+arrays — transform/aggregate/array_min), zero Python UDFs: they run
+JVM-side, scale linearly over partitions, and — because every hash is an
+explicit polynomial over character codes rather than an engine-internal
+hash — the exact same values are computable by any ANSI-SQL oracle
+(DuckDB: list_transform/list_reduce/list_min).
+
+Operators:
+- exact dedup: sha256(content) group-by (`dedup_queries.q20`)
+- near-dup candidates: MinHash signatures over char-5-shingles, banded LSH
+  (`minhash_sig_expr`) — the standard shingle→minhash→band→bucket-join
+  pipeline; band-equality join replaces the O(n²) pair scan at scale.
+- SimHash: sign-aggregated token-hash bits (`simhash_expr`)
+- n-gram Jaccard: exact token-trigram set similarity for verification of
+  LSH candidates (`token_ngrams_expr`)
+- language ID: stopword-hit scoring (`LANG_STOPWORDS`)
+- quality scoring, token counting, rolling-hash fingerprinting
+"""
+
+from __future__ import annotations
+
+from ..functions.scalar import POLY_BASE, POLY_MOD
+
+# 16 fixed (a, b) affine-permutation constants for MinHash: h_k(x) =
+# (a_k*x + b_k) mod POLY_MOD. a_k < 10^6 keeps a_k*x < 10^15 « 2^63.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (824393, 104729), (990001, 224737), (145007, 350377), (428003, 479909),
+    (737279, 611953), (293201, 746773), (618439, 882377), (506131, 15485863),
+    (175003, 32452843), (909091, 49979687), (380041, 67867967), (660013, 86028121),
+    (274177, 104395301), (554143, 122949823), (839809, 141650939), (121021, 160481183),
+]
+MINHASH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "los", "las", "y", "es", "un", "una"],
+    "zh": ["的", "是", "不", "了", "在", "我", "有"],
+}
+
+
+# --- dialect-paired expression builders ------------------------------------
+# Each returns (spark_sql, duckdb_sql) so the engine expression and its
+# oracle are generated from the same template — parity by construction.
+
+
+def poly_hash_pair(s_expr_spark: str, s_expr_duck: str) -> tuple[str, str]:
+    """Polynomial rolling hash of a string expression (identical integer
+    result in both dialects)."""
+    spark = (
+        f"aggregate(transform(split({s_expr_spark}, ''), c -> ascii(c)), 0L, "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+    duck = (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"string_split({s_expr_duck}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+    return spark, duck
+
+
+def char_shingle_hashes_pair(col: str, k: int = 5) -> tuple[str, str]:
+    """Array of polynomial hashes of all char k-shingles of ``col``.
+
+    Both dialects use 1-based substring, so the shingle sets align exactly.
+    """
+    sh_spark, sh_duck = poly_hash_pair("s", "s")
+    spark = (
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substring({col}, i, {k}))"
+    )
+    duck = (
+        f"list_transform(range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
+        f"i -> substring({col}, i, {k}))"
+    )
+    spark_hashes = f"transform({spark}, s -> {sh_spark})"
+    duck_hashes = f"list_transform({duck}, s -> {sh_duck})"
+    return spark_hashes, duck_hashes
+
+
+def minhash_sig_expr(col: str = "text", k: int = 5) -> tuple[list[str], list[str]]:
+    """Per-permutation MinHash values (lists of spark / duckdb exprs)."""
+    hashes_spark, hashes_duck = char_shingle_hashes_pair(col, k)
+    spark_sigs, duck_sigs = [], []
+    for a, b in MINHASH_PERMS:
+        spark_sigs.append(
+            f"array_min(transform({hashes_spark}, h -> ({a}L * h + {b}L) % {POLY_MOD}))"
+        )
+        duck_sigs.append(
+            f"list_min(list_transform({hashes_duck}, h -> ({a} * h + {b}) % {POLY_MOD}))"
+        )
+    return spark_sigs, duck_sigs
+
+
+def token_hashes_pair(col: str = "text") -> tuple[str, str]:
+    h_spark, h_duck = poly_hash_pair("t", "t")
+    return (
+        f"transform(split({col}, ' '), t -> {h_spark})",
+        f"list_transform(string_split({col}, ' '), t -> {h_duck})",
+    )
+
+
+def simhash_expr(col: str = "text", bits: int = 16) -> tuple[str, str]:
+    """SimHash: for each bit j, sum +-1 over token hashes by bit j's value;
+    the fingerprint sets bit j when the sum is positive."""
+    th_spark, th_duck = token_hashes_pair(col)
+    spark_terms, duck_terms = [], []
+    for j in range(bits):
+        spark_terms.append(
+            f"(CASE WHEN aggregate({th_spark}, 0L, (acc, h) -> "
+            f"acc + (CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j}L ELSE 0L END)"
+        )
+        duck_terms.append(
+            f"(CASE WHEN list_sum(list_transform({th_duck}, h -> "
+            f"CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(spark_terms), " + ".join(duck_terms)
+
+
+def token_ngrams_expr(col: str, n: int = 3) -> tuple[str, str]:
+    """Distinct word n-grams (joined with spaces) — the exact-similarity
+    side used to verify LSH candidates.
+
+    Callers must filter to rows with >= n tokens first: Spark's ANSI array
+    indexing errors on out-of-range, and sequence(0, negative) descends.
+    """
+    spark = (
+        f"array_distinct(transform(sequence(0, size(split({col},' ')) - {n}), "
+        f"i -> concat_ws(' ', " +
+        ", ".join(f"split({col},' ')[i+{d}]" for d in range(n)) + ")))"
+    )
+    duck = (
+        f"list_distinct(list_transform(range(1, len(string_split({col},' ')) - {n - 2}), "
+        f"i -> " + " || ' ' || ".join(f"string_split({col},' ')[i+{d}]" for d in range(n)) + "))"
+    )
+    return spark, duck
