@@ -1,0 +1,233 @@
+"""Similarity-search queries over the `embeddings` table (64-dim float
+vectors). Brute-force exact top-k as the baseline; IVF cluster probing and
+random-projection LSH as the scale paths. All three are oracle-checked
+exactly: dot products are index-ordered double sums, bit-identical between
+Spark's aggregate(zip_with(...)) and DuckDB's list_dot_product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    RP_TABLES,
+    dot_pair,
+    norm_pair,
+    rp_bucket_pair,
+)
+from ..sources import load_table
+from .registry import register
+
+N_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 10
+CENTROID_MOD = 100  # centroids = vec_id % 100 == 0
+NEARDUP_COS = 0.4
+
+_DOT_S, _DOT_D = dot_pair("a.emb", "b.emb")
+_NORM_S, _NORM_D = norm_pair("embedding")
+
+
+def _vec_view_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
+    )
+
+
+_DUCK_VEC_CTE = f"""
+    SELECT vec_id, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm
+    FROM embeddings
+"""
+
+
+@register(
+    "q30_ann_bruteforce",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE})
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+             ) AS rnk
+      FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Exact cosine top-k (brute force): the ANN baseline. O(N*Q) dots "
+    "computed map-side; the only shuffle is the per-query top-k window "
+    "over Q*N scored rows, which AQE keeps partition-local per query. "
+    "For large Q use operators.similarity.brute_force_topk_pandas (Arrow "
+    "matmul + partial top-k merge, verified equal in tests).",
+    tags=("similarity",),
+)
+def q30_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _vec_view_spark(spark, sf_dir)
+    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        a.join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+@register(
+    "q31_ann_ivf",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    cents AS (SELECT * FROM v WHERE vec_id % {CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, b.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN cents b ON true
+      ) WHERE rnk = 1
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+             ) AS rnk
+      FROM v a
+      JOIN assign qa ON qa.vec_id = a.vec_id
+      JOIN assign ba ON ba.centroid_id = qa.centroid_id AND ba.vec_id <> a.vec_id
+      JOIN v b ON b.vec_id = ba.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="IVF-style approximate top-k: K centroids (a deterministic sample) "
+    "are broadcast to assign every vector to its nearest centroid once "
+    "(O(N*K) map-side), then each query probes only its own cluster via a "
+    "(centroid_id) equi-join — candidates shrink ~K-fold vs brute force. "
+    "Same approximation computed by both engines, so exact hash parity.",
+    tags=("similarity",),
+)
+def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _vec_view_spark(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    a, b = v.alias("a"), F.broadcast(cents).alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    assign = (
+        a.join(b)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("centroid_id"),
+            cos.alias("cos_c"),
+        )
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+    qa = assign.alias("qa")
+    ba = assign.alias("ba")
+    cand = (
+        v.alias("a")
+        .filter(F.col("a.vec_id") < N_QUERIES)
+        .join(qa, F.col("qa.vec_id") == F.col("a.vec_id"))
+        .join(
+            ba,
+            (F.col("ba.centroid_id") == F.col("qa.centroid_id"))
+            & (F.col("ba.vec_id") != F.col("a.vec_id")),
+        )
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("ba.vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+_RP_SPARK = [rp_bucket_pair("emb", t)[0] for t in range(RP_TABLES)]
+_RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
+
+
+@register(
+    "q32_rp_lsh_neardup",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, emb, nrm, {t} AS tbl, ({e}) AS bucket FROM v"
+          for t, e in enumerate(_RP_DUCK)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_DOT_D} / (a.nrm * b.nrm) AS cosine
+    FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
+    WHERE {_DOT_D} / (a.nrm * b.nrm) >= {NEARDUP_COS}
+    """,
+    doc=f"Embedding near-dup pairs via random-projection LSH: {RP_TABLES} "
+    f"tables of sign-bit buckets from fixed integer hyperplanes; candidate "
+    f"pairs come from (table, bucket) equality — never an all-pairs scan — "
+    f"then exact cosine >= {NEARDUP_COS} verification. Recall/cost tunes "
+    f"with tables x bits; hyperplanes are deterministic integer formulas, "
+    f"so DuckDB reproduces the buckets exactly.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q32_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vec_view_spark(spark, sf_dir)
+    buckets = v.selectExpr(
+        "vec_id",
+        "emb",
+        "nrm",
+        f"stack({RP_TABLES}, "
+        + ", ".join(f"{t}, ({e})" for t, e in enumerate(_RP_SPARK))
+        + ") AS (tbl, bucket)",
+    ).select("vec_id", "tbl", "bucket")
+    a, b = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.tbl") == F.col("bb.tbl"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    av, bv = v.alias("a"), v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        cand.join(av, F.col("a.vec_id") == F.col("vec_a"))
+        .join(bv, F.col("b.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
