@@ -1,0 +1,170 @@
+"""Event-stream queries (batch form, oracle-checked).
+
+These are the batch equivalents of the Structured Streaming operators in
+``streaming/`` — same windowing semantics, same results — which is exactly
+how Spark treats them: one logical operator, two execution modes. The
+streaming module is tested against these batch results.
+
+Hash-parity notes: double SUMs over groups go through micro-unit integers
+(floor(value*1e6)) — floor is deterministic in both engines regardless of
+sign, unlike banker's-vs-half-up rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q33_event_hourly_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1-hour window aggregate over the event stream (batch "
+    "form; the streaming twin in streaming/events.py uses F.window + "
+    "watermark and is tested equal). Partial aggregation happens map-side; "
+    "the shuffle key is (hour, type) — bounded cardinality at any scale.",
+    tags=("events", "window"),
+)
+def q33_event_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("long").alias("value_micros"),
+        )
+    )
+
+
+@register(
+    "q34_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag(ts) flags "
+    "session starts, a running sum numbers sessions, then one aggregate "
+    "per (user, session). Two windows + one agg over the same (user_id) "
+    "partitioning — Spark reuses a single shuffle for all three.",
+    tags=("events", "window"),
+)
+def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    ts_ms = (F.unix_micros("ts") / 1000).cast("long")
+    prev_ms = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q35_session_window",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Spark's native session_window operator (the streaming-capable "
+    "form of q34): gap-merged windows per user. The oracle reconstructs "
+    "identical sessions via lag+cumsum — session contents must match; "
+    "output omits window end because session_window pads it by the gap.",
+    tags=("events", "window"),
+)
+def q35_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q36_event_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS k_total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured projection: JSON property extraction from the "
+    "props column + rollup. get_json_object stays in codegen; at scale "
+    "prefer from_json with an explicit schema once the shape is fixed.",
+    tags=("events", "scalar"),
+)
+def q36_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("k_total"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -59,7 +59,13 @@ def load_all() -> dict[str, Query]:
         parity_queries,
     )
 
-    for mod in ("dedup_queries", "similarity_queries", "text_queries", "event_queries"):
+    for mod in (
+        "dedup_queries",
+        "similarity_queries",
+        "text_queries",
+        "event_queries",
+        "multimodal_queries",
+    ):
         try:
             __import__(f"{__package__}.{mod}")
         except ImportError:

@@ -34,7 +34,29 @@ SMALL_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
+    (legacy conf, runtime-settable) and convert to microsecond timestamps —
+    lossless for this data (every value has zero sub-microsecond part) and
+    the documented precision contract of the engine (Spark timestamps are
+    µs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer division: epoch-nanos (~1.7e18) exceeds double precision
+        # (2^53), so `/ 1000` would round some values off by 1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
