@@ -64,9 +64,22 @@ def build_fact_sales(
     )
 
 
-def write_fact_sales(fact: DataFrame, path: str) -> None:
-    """P1: monthly-partitioned parquet, full-refresh overwrite (S5/M5)."""
-    fact.write.mode("overwrite").partitionBy("sale_month").parquet(path)
+def write_fact_sales(fact: DataFrame, path: str, files_per_partition: int = 1) -> None:
+    """P1: monthly-partitioned parquet, full-refresh overwrite (S5/M5).
+
+    Without the repartition, every upstream task writes its own file into
+    every month directory (tasks x months small files). Clustering by the
+    partition column first gives exactly ``files_per_partition`` files per
+    month; raise it at scale so each file stays near the 128 MB-1 GB sweet
+    spot and the write parallelism matches the cluster.
+    """
+    salt = F.pmod(F.abs(F.hash("invoice_no")), F.lit(files_per_partition))
+    (
+        fact.repartition(F.col("sale_month"), salt)
+        .write.mode("overwrite")
+        .partitionBy("sale_month")
+        .parquet(path)
+    )
 
 
 def ri_violations(fact: DataFrame, dim: DataFrame, key: str) -> int:

@@ -122,6 +122,140 @@ def simhash_expr(col: str = "text", bits: int = 16) -> tuple[str, str]:
     return " + ".join(spark_terms), " + ".join(duck_terms)
 
 
+# --- vectorized Arrow path ---------------------------------------------
+# The SQL higher-order-function forms above are exact and oracle-mirrored,
+# but Spark does not codegen lambda chains — char-level hashing runs
+# interpreted (~microseconds per element), which at millions of shingles
+# dominates wall clock. These Arrow-batched numpy implementations compute
+# THE SAME integers (explicit int64 polynomial/affine arithmetic), so they
+# drop in for the Spark side while the DuckDB oracle keeps the SQL form —
+# parity verified per-row by the correctness gate itself.
+
+
+def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, band0..bandN) MinHash band signatures, numpy-vectorized.
+
+    Matches minhash_sig_expr exactly: char-5-shingle polynomial hashes,
+    16 affine permutations, 4 bands of 4 joined with '-'.
+    """
+    perms = list(MINHASH_PERMS)
+    bands, mod, base = MINHASH_BANDS, POLY_MOD, POLY_BASE
+    rows_per_band = len(perms) // bands
+    schema = f"{id_col} long, " + ", ".join(f"band{b} string" for b in range(bands))
+
+    def per_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = 5
+
+        def shingle_hashes(text: str) -> "np.ndarray":
+            codes = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+            n = len(codes)
+            m = max(n - (k - 1), 1)
+            width = min(k, n)
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(width):
+                h = (h * base + codes[j : j + m]) % mod
+            return h
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = shingle_hashes(text)
+                sigs = [int(((a * sh + b) % mod).min()) for a, b in perms]
+                row = {id_col: did}
+                for b in range(bands):
+                    chunk = sigs[b * rows_per_band : (b + 1) * rows_per_band]
+                    row[f"band{b}"] = "-".join(str(v) for v in chunk)
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows)
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
+def fingerprint_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, content_fp, min_shingle_fp) — numpy-vectorized twin of the
+    poly_hash_pair / char_shingle_hashes_pair(k=8) SQL forms."""
+    mod, base = POLY_MOD, POLY_BASE
+    schema = f"{id_col} long, content_fp long, min_shingle_fp long"
+
+    def per_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = 8
+
+        def full_hash(codes: "np.ndarray") -> int:
+            h = 0
+            for c in codes.tolist():
+                h = (h * base + c) % mod
+            return h
+
+        def min_shingle(codes: "np.ndarray") -> int:
+            n = len(codes)
+            m = max(n - (k - 1), 1)
+            width = min(k, n)
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(width):
+                h = (h * base + codes[j : j + m]) % mod
+            return int(h.min())
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                codes = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+                rows.append(
+                    {
+                        id_col: did,
+                        "content_fp": full_hash(codes),
+                        "min_shingle_fp": min_shingle(codes),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
+def simhash_pandas(df, text_col: str = "text", id_col: str = "doc_id", bits: int = 16):
+    """(id, simhash) — numpy twin of simhash_expr: same token polynomial
+    hashes, same sign-aggregation per bit."""
+    mod, base = POLY_MOD, POLY_BASE
+    schema = f"{id_col} long, simhash long"
+
+    def per_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        def token_hash(tok: str) -> int:
+            h = 0
+            for c in tok:
+                h = (h * base + ord(c)) % mod
+            return h
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                th = np.fromiter(
+                    (token_hash(t) for t in text.split(" ")), dtype=np.int64
+                )
+                sim = 0
+                for j in range(bits):
+                    votes = ((th >> j) & 1) * 2 - 1
+                    if votes.sum() > 0:
+                        sim |= 1 << j
+                rows.append({id_col: did, "simhash": sim})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
 def token_ngrams_expr(col: str, n: int = 3) -> tuple[str, str]:
     """Distinct word n-grams (joined with spaces) — the exact-similarity
     side used to verify LSH candidates.

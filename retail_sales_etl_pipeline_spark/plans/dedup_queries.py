@@ -7,15 +7,19 @@ first:
 2. near-dup candidates — MinHash+LSH (q22): shingle → minhash → band →
    bucket-join. The band equi-join is the scale path: candidates come from
    hash-partition-local equality, never an all-pairs comparison.
-3. exact verification — token-trigram Jaccard (q21): quadratic, so it runs
-   only within blocking groups (language) here, and in production only on
-   LSH candidate pairs.
+3. exact verification — token-trigram Jaccard (q21) *over the LSH
+   candidates*: the quadratic similarity runs only on pairs that already
+   share a band, which is the full production pipeline
+   (candidate-generation → exact verify).
 4. SimHash fingerprints (q23): constant-size per-doc signature; hamming
    distance on a 16-bit int.
 
-Every hash is an explicit polynomial over character codes, so DuckDB
-computes identical integers — these queries are fully oracle-checked, not
-rows-only.
+Every hash is explicit integer arithmetic, so DuckDB computes identical
+values — all four queries are fully oracle-checked, not rows-only. The
+Spark side computes MinHash signatures with the Arrow/numpy operator
+(Spark doesn't codegen higher-order-lambda chains, so the SQL-expression
+form runs interpreted, ~30x slower); the oracle runs the SQL form — the
+hash match is itself the proof the two paths agree.
 """
 
 from __future__ import annotations
@@ -26,12 +30,15 @@ from pyspark.sql import functions as F
 from ..operators.text import (
     MINHASH_BANDS,
     MINHASH_PERMS,
+    minhash_bands_pandas,
     minhash_sig_expr,
     simhash_expr,
     token_ngrams_expr,
 )
 from ..sources import load_table
 from .registry import register
+
+NEARDUP_JACCARD = 0.3
 
 
 @register(
@@ -59,106 +66,46 @@ def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_sql() -> tuple[str, str]:
-    tg_spark, tg_duck = token_ngrams_expr("text", 3)
-    return tg_spark, tg_duck
+# ---------------------------------------------------------------------------
+# MinHash LSH machinery shared by q21/q22
+# ---------------------------------------------------------------------------
 
 
-@register(
-    "q21_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, lang, {_ngram_jaccard_sql()[1]} AS tg
-      FROM documents
-      WHERE len(string_split(text, ' ')) >= 3
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
-             / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE) AS jaccard
-    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
-             / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE) >= 0.3
-    """,
-    doc="Exact token-trigram Jaccard near-dup pairs within language blocks. "
-    "The block equi-join (lang) bounds the pair explosion; production runs "
-    "this only on LSH candidates (q22). Jaccard = |intersect|/|union| of "
-    "distinct trigram sets — int sizes, so the double division is "
-    "bit-deterministic across engines.",
-    tags=("dedup", "join"),
-)
-def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tg_spark, _ = _ngram_jaccard_sql()
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", "lang", F.expr(tg_spark).alias("tg"))
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    jac = (
-        F.size(F.array_intersect(F.col("a.tg"), F.col("b.tg"))).cast("double")
-        / F.size(F.array_union(F.col("a.tg"), F.col("b.tg"))).cast("double")
-    )
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.3)
-    )
-
-
-def _minhash_band_cols() -> tuple[list[str], list[str]]:
-    """Band-signature strings: concat of rows-per-band minhash values."""
-    spark_sigs, duck_sigs = minhash_sig_expr("text", 5)
+def _duck_band_exprs() -> list[str]:
+    duck_sigs = minhash_sig_expr("text", 5)[1]
     rows = len(MINHASH_PERMS) // MINHASH_BANDS
-    spark_bands, duck_bands = [], []
-    for b in range(MINHASH_BANDS):
-        chunk_s = spark_sigs[b * rows : (b + 1) * rows]
-        chunk_d = duck_sigs[b * rows : (b + 1) * rows]
-        spark_bands.append("concat_ws('-', " + ", ".join(chunk_s) + ")")
-        duck_bands.append(" || '-' || ".join(f"({e})" for e in chunk_d))
-    return spark_bands, duck_bands
+    return [
+        " || '-' || ".join(f"({e})" for e in duck_sigs[b * rows : (b + 1) * rows])
+        for b in range(MINHASH_BANDS)
+    ]
 
 
-_SPARK_BANDS, _DUCK_BANDS = _minhash_band_cols()
+_DUCK_BANDS = _duck_band_exprs()
 
-_DUCK_MINHASH_ORACLE = f"""
-    WITH sigs AS (
+_DUCK_CAND_CTE = f"""
+    sigs AS (
       SELECT doc_id,
              {", ".join(f"{e} AS band{i}" for i, e in enumerate(_DUCK_BANDS))}
       FROM documents
     ),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band{i} AS sig FROM sigs" for i in range(MINHASH_BANDS))}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
 """
 
 
-@register(
-    "q22_minhash_lsh_candidates",
-    oracle=_DUCK_MINHASH_ORACLE,
-    doc="MinHash-LSH near-dup candidates: 16 affine permutations over "
-    "char-5-shingle polynomial hashes, banded 4x4; docs sharing any band "
-    "signature become candidates. The unpivot+equi-join shape shuffles "
-    "(band_idx, sig) keys only — no all-pairs scan, which is what makes "
-    "near-dedup feasible at 100 TB. Oracle-checked exactly because the "
-    "permutation hashes are explicit integer arithmetic.",
-    tags=("dedup", "lsh"),
-)
-def q22_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id",
-        *[F.expr(e).alias(f"band{i}") for i, e in enumerate(_SPARK_BANDS)],
-    )
-    # unpivot to (doc_id, band_idx, sig)
+    # Arrow/numpy signature computation — identical integers to the SQL
+    # form the oracle runs.
+    sigs = minhash_bands_pandas(docs)
     bands = sigs.selectExpr(
         "doc_id",
         f"stack({MINHASH_BANDS}, "
@@ -178,6 +125,93 @@ def q22_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q22_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE}
+    SELECT * FROM cand
+    """,
+    doc="MinHash-LSH near-dup candidates: 16 affine permutations over "
+    "char-5-shingle polynomial hashes, banded 4x4; docs sharing any band "
+    "signature become candidates. The unpivot+equi-join shape shuffles "
+    "(band_idx, sig) keys only — no all-pairs scan, which is what makes "
+    "near-dedup feasible at 100 TB. Signatures computed via the Arrow/"
+    "numpy operator; the oracle recomputes them in pure SQL arithmetic.",
+    tags=("dedup", "lsh", "pandas-udf"),
+)
+def q22_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_candidates(spark, sf_dir)
+
+
+_TG_SPARK, _TG_DUCK = token_ngrams_expr("text", 3)
+
+
+@register(
+    "q21_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {_TG_DUCK} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+             / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE) AS jaccard
+    FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+             / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+             >= {NEARDUP_JACCARD}
+    """,
+    doc="Exact token-trigram Jaccard verification of the LSH candidate "
+    "pairs (the second half of the candidate->verify near-dedup pipeline): "
+    "the quadratic similarity computation touches only pairs that already "
+    "share a MinHash band, never N^2. Jaccard = |intersect|/|union| of "
+    "distinct trigram sets — int sizes, so the double division is "
+    "bit-deterministic across engines.",
+    tags=("dedup", "join"),
+)
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "text")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+
+    # Arrow-batched Jaccard: trigram sets + |∩|/|∪| computed per candidate
+    # pair in Python sets — identical integers to list_intersect/
+    # list_distinct sizes, identical IEEE division, ~10x faster than the
+    # interpreted transform/concat lambda chain over every document.
+    def per_batch(batches):
+        import pandas as pd
+
+        def trigrams(text: str) -> set:
+            toks = text.split(" ")
+            return {
+                toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                for i in range(len(toks) - 2)
+            }
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                sa, sb = trigrams(ta), trigrams(tb)
+                j = len(sa & sb) / len(sa | sb)
+                rows.append({"doc_a": da, "doc_b": db, "jaccard": j})
+            yield pd.DataFrame(rows)
+
+    scored = pairs.mapInPandas(per_batch, "doc_a long, doc_b long, jaccard double")
+    return scored.filter(F.col("jaccard") >= NEARDUP_JACCARD)
+
+
 _SIMHASH_SPARK, _SIMHASH_DUCK = simhash_expr("text", 16)
 
 
@@ -194,5 +228,8 @@ _SIMHASH_SPARK, _SIMHASH_DUCK = simhash_expr("text", 16)
     tags=("dedup",),
 )
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import simhash_pandas
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.expr(_SIMHASH_SPARK).cast("long").alias("simhash"))
+    # Arrow/numpy path (same integers as _SIMHASH_DUCK in the oracle).
+    return simhash_pandas(docs)
