@@ -1,0 +1,224 @@
+"""Analytic operators beyond the reference surface: as-of join, pivot,
+rollup/grouping sets, outer-join aggregation, percentiles.
+
+The as-of join is the canonical "Spark lacks a native one" operator
+(DuckDB/Pandas/kdb all ship it): implemented here as the scalable
+union-and-last_value window pattern — one shuffle on the partition key,
+no range explosion — and oracle-checked against DuckDB's native
+ASOF LEFT JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import decimal_str, money_sum
+from ..sources import load_table
+from .registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q40_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id AS purchase_event_id, value
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    e AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           p.purchase_event_id,
+           p.value AS purchase_value,
+           CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+    FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join: each error event matched to the most recent "
+    "prior-or-simultaneous purchase by the same user. Spark has no native "
+    "as-of join; the scalable form is union-both-sides + last_value(ignore "
+    "nulls) over one (user_id, ts) window — a single shuffle, no range-"
+    "explosion, same plan shape at any scale. Ties inside the build side "
+    "are pre-deduped (max event_id per (user, ts)) so both engines pick "
+    "the same match. Oracle: DuckDB's native ASOF LEFT JOIN.",
+    tags=("analytic", "join", "asof"),
+)
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    # side=0 sorts purchases before errors at identical ts, matching the
+    # oracle's >= (inclusive) as-of semantics.
+    unioned = purchases.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("purchase_event_id", ignorenulls=True).over(w).alias("purchase_event_id"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("p_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_value",
+        (F.unix_micros("ts") - F.unix_micros("p_ts")).cast("long").alias("gap_us"),
+    )
+
+
+@register(
+    "q41_pivot_event_counts",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY hour(ts)
+    """,
+    doc="Pivot: event counts per hour-of-day, one column per event type "
+    "(explicit value list — a pivot without one needs an extra distinct "
+    "pass and yields nondeterministic column order). Planned as a single "
+    "hash aggregate with N conditional counters, same as the oracle's "
+    "CASE form.",
+    tags=("analytic", "pivot"),
+)
+def q41_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@register(
+    "q42_rollup_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_yr,
+           CAST(GROUPING(month(o_orderdate)) AS INTEGER) AS g_mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+               AS revenue
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    """,
+    doc="ROLLUP hierarchy (year -> month -> grand total) with GROUPING "
+    "flags disambiguating subtotal rows from genuine NULL keys. One "
+    "shuffle; Spark expands the grouping sets map-side.",
+    tags=("analytic", "rollup"),
+)
+def q42_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    ).withColumn("mo", F.month("o_orderdate"))
+    return (
+        orders.rollup("yr", "mo")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("mo").cast("int").alias("g_mo"),
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_str(money_sum("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mo").cast("int").alias("mo"),
+            "g_yr",
+            "g_mo",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "q43_outer_join_customer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)),
+                         CAST(0 AS DECIMAL(38,2))) AS VARCHAR) AS lifetime_value
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    doc="LEFT OUTER join + aggregate: every customer appears, zero-order "
+    "customers show n_orders=0 and 0.00 lifetime value (COUNT(col) skips "
+    "the null-extended rows; SUM of none is NULL -> coalesced). The "
+    "customer side broadcasts when dimension-sized.",
+    tags=("analytic", "join"),
+)
+def q43_outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(38,2)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(money_sum("o_totalprice").cast("decimal(38,2)"), zero)
+            .cast("string")
+            .alias("lifetime_value"),
+        )
+    )
+
+
+@register(
+    "q44_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (ANSI percentile_cont "
+    "semantics in both engines; rounded to 4 decimals to absorb last-ulp "
+    "interpolation differences). At 100 TB the exact form requires a "
+    "per-group sort — approx_percentile (t-digest sketch, one pass, "
+    "mergeable) is the scale path when error tolerance allows.",
+    tags=("analytic", "aggregate"),
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )

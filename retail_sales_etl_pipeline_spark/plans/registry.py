@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         "text_queries",
         "event_queries",
         "multimodal_queries",
+        "analytic_queries",
     ):
         try:
             __import__(f"{__package__}.{mod}")
