@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         "event_queries",
         "multimodal_queries",
         "analytic_queries",
+        "window_queries",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -1,0 +1,131 @@
+"""General window-function, string-function, and set-operation coverage.
+
+The reference's only window is ROW_NUMBER (SURVEY §2.5) and it has no
+string functions or set ops beyond UNION ALL — but an analytics engine's
+users reach for these daily, so they're covered and oracle-checked here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import decimal_str
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "q45_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS VARCHAR)
+               AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window-function suite per customer order history: rank/dense_rank/"
+    "ntile/lag/lead plus a running decimal sum with an explicit ROWS frame. "
+    "All six functions share one (o_custkey) partitioning, so Spark plans a "
+    "single shuffle + sort for the whole set. Deterministic via the "
+    "(o_orderdate, o_orderkey) total order.",
+    tags=("window",),
+)
+def q45_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        decimal_str(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wsum)
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "q46_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 10) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_slug,
+           CAST(contains(p_type, 'BRUSHED') AS INTEGER) AS is_brushed,
+           trim(p_name) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    """,
+    doc="Scalar string-function coverage (upper/substring/length/concat/"
+    "replace/contains/trim/lpad/split-head) — pure projection, stays in "
+    "whole-stage codegen, pushdown-transparent.",
+    tags=("scalar", "string"),
+)
+def q46_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.contains(F.col("p_type"), F.lit("BRUSHED")).cast("int").alias("is_brushed"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+    )
+
+
+@register(
+    "q47_set_ops",
+    oracle="""
+    SELECT 'with_orders_no_lineitems' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    UNION ALL
+    SELECT 'custkeys_in_both_small_large', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice >= 50000
+    )
+    """,
+    doc="Set operations beyond the reference's UNION ALL: EXCEPT and "
+    "INTERSECT (distinct semantics both engines). Spark plans these as "
+    "aggregate + anti/semi joins — same shuffle shape as the joins they "
+    "desugar to.",
+    tags=("setop",),
+)
+def q47_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    with_li = orders.join(li, orders.o_orderkey == li.l_orderkey).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct semantics)
+    no_li = orders.select("o_custkey").distinct().subtract(with_li.distinct())
+    small = orders.filter(F.col("o_totalprice") < 50000).select("o_custkey")
+    large = orders.filter(F.col("o_totalprice") >= 50000).select("o_custkey")
+    both = small.intersect(large)
+    a = no_li.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders_no_lineitems").alias("cohort"), "n"
+    )
+    b = both.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("custkeys_in_both_small_large").alias("cohort"), "n"
+    )
+    return a.unionByName(b)

@@ -3,7 +3,6 @@ tables must join without an exchange on the bucket key."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from retail_sales_etl_pipeline_spark.operators.skew import (

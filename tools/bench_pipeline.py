@@ -76,9 +76,13 @@ def main() -> None:
 
     spark = get_spark("pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Reference gate: 400,000 of 541,909 raw rows (~74%). Scale it with the
+    # requested size so smaller smoke runs exercise the same proportional
+    # gate instead of tripping the absolute one.
+    min_rows = int(N_ROWS * 400_000 / 541_909)
     t1 = time.time()
     res = retail_pipeline.run(
-        spark, csv_path, os.path.join(tmp, "warehouse"), min_rows=400_000
+        spark, csv_path, os.path.join(tmp, "warehouse"), min_rows=min_rows
     )
     t_pipe = time.time() - t1
 
