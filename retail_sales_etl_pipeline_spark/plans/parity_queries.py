@@ -134,7 +134,7 @@ def q04_dim_customer_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sentinel = spark.createDataFrame(
         [(-1, "UNKNOWN")], schema="customer_nat_key BIGINT, top_priority STRING"
-    )
+    ).coalesce(1)
     return dim.unionByName(sentinel)
 
 
