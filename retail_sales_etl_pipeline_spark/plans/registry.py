@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         "multimodal_queries",
         "analytic_queries",
         "window_queries",
+        "composite_queries",
     ):
         try:
             __import__(f"{__package__}.{mod}")
