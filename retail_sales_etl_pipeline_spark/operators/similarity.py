@@ -81,6 +81,56 @@ def rp_bucket_pair(col: str, table: int, bits: int = RP_BITS) -> tuple[str, str]
 # --- Arrow/numpy path ------------------------------------------------------
 
 
+def rp_buckets_pandas(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = RP_TABLES,
+    bits: int = RP_BITS,
+    dims: int = _DIMS,
+) -> DataFrame:
+    """Arrow/numpy twin of the SQL ``rp_bucket_pair`` expressions: emits
+    (vec_id, tbl, bucket) for every LSH table in one mapInPandas pass.
+
+    Bit-identical to the SQL fold: products are rounded individually and the
+    accumulation runs sequentially over dims (index order, starting at 0.0),
+    matching ``aggregate(zip_with(...), 0.0D, (acc, v) -> acc + v)`` exactly —
+    so sign decisions near zero cannot diverge from the oracle. ~16 fused
+    hyperplane projections per batch instead of 16 interpreted lambda chains.
+    """
+    import numpy as np
+
+    n_planes = tables * bits
+    hyp = np.array(
+        [_hyperplane(k, dims) for k in range(n_planes)], dtype=np.float64
+    )  # (planes, dims)
+    powers = np.array([1 << r for r in range(bits)], dtype=np.int64)
+    out_schema = "vec_id long, tbl int, bucket int"
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n = mat.shape[0]
+            # sequential accumulation over dims == the SQL fold's order
+            acc = np.zeros((n, n_planes), dtype=np.float64)
+            for j in range(dims):
+                acc += mat[:, j : j + 1] * hyp[:, j][None, :]
+            signs = (acc > 0).reshape(n, tables, bits)
+            buckets = (signs * powers[None, None, :]).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, tables),
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(bucketize, out_schema)
+
+
 def brute_force_topk_pandas(
     emb: DataFrame,
     query_ids: list[int],

@@ -15,13 +15,14 @@ from ..operators.similarity import (
     dot_pair,
     norm_pair,
     rp_bucket_pair,
+    rp_buckets_pandas,
 )
 from ..sources import load_table
 from .registry import register
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 10
-CENTROID_MOD = 100  # centroids = vec_id % 100 == 0
+N_CENTROIDS = 16  # fixed K: centroids = vec_id < 16, independent of corpus size
 NEARDUP_COS = 0.4
 
 _DOT_S, _DOT_D = dot_pair("a.emb", "b.emb")
@@ -89,7 +90,7 @@ def q30_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_ann_ivf",
     oracle=f"""
     WITH v AS ({_DUCK_VEC_CTE}),
-    cents AS (SELECT * FROM v WHERE vec_id % {CENTROID_MOD} = 0),
+    cents AS (SELECT * FROM v WHERE vec_id < {N_CENTROIDS}),
     assign AS (
       SELECT vec_id, centroid_id FROM (
         SELECT a.vec_id, b.vec_id AS centroid_id,
@@ -114,23 +115,28 @@ def q30_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.vec_id < {N_QUERIES}
     ) WHERE rnk <= {TOP_K}
     """,
-    doc="IVF-style approximate top-k: K centroids (a deterministic sample) "
-    "are broadcast to assign every vector to its nearest centroid once "
-    "(O(N*K) map-side), then each query probes only its own cluster via a "
-    "(centroid_id) equi-join — candidates shrink ~K-fold vs brute force. "
-    "Same approximation computed by both engines, so exact hash parity.",
+    doc=f"IVF-style approximate top-k: a FIXED set of K={N_CENTROIDS} "
+    "centroids (deterministic sample: vec_id < K) is broadcast to assign "
+    "every vector to its nearest centroid. Assignment is a broadcast join "
+    "followed by a max_by group-by whose partial (map-side) aggregation "
+    "collapses the N*K scored rows to N before any shuffle — no window "
+    "sort over N*K rows, and K never grows with the corpus, so the "
+    "broadcast and the O(N*K) map stage both survive a 100 TB scale-up. "
+    "Each query then probes only its own cluster via a (centroid_id) "
+    "equi-join — candidates shrink ~K-fold vs brute force. Same "
+    "approximation computed by both engines, so exact hash parity.",
     tags=("similarity",),
 )
 def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _vec_view_spark(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
     a, b = v.alias("a"), F.broadcast(cents).alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("centroid_id")
-    )
+    # argmax via max_by(struct(cos, -centroid_id)): same survivor as the
+    # oracle's ORDER BY cos DESC, centroid_id ASC window, but with map-side
+    # partial aggregation instead of a full N*K window shuffle.
     assign = (
         a.join(b)
         .select(
@@ -138,9 +144,16 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("centroid_id"),
             cos.alias("cos_c"),
         )
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("cos_c").alias("c"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                ),
+            ).alias("centroid_id")
+        )
     )
 
     qa = assign.alias("qa")
@@ -195,21 +208,16 @@ _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
     doc=f"Embedding near-dup pairs via random-projection LSH: {RP_TABLES} "
     f"tables of sign-bit buckets from fixed integer hyperplanes; candidate "
     f"pairs come from (table, bucket) equality — never an all-pairs scan — "
-    f"then exact cosine >= {NEARDUP_COS} verification. Recall/cost tunes "
-    f"with tables x bits; hyperplanes are deterministic integer formulas, "
-    f"so DuckDB reproduces the buckets exactly.",
+    f"then exact cosine >= {NEARDUP_COS} verification. Buckets are computed "
+    f"by the Arrow/numpy twin (operators.similarity.rp_buckets_pandas) with "
+    f"fold-order-exact accumulation, so DuckDB reproduces them bit-for-bit; "
+    f"the pure-SQL expression path (rp_bucket_pair) is kept and "
+    f"equality-tested against the Arrow path in tests.",
     tags=("similarity", "dedup", "lsh"),
 )
 def q32_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vec_view_spark(spark, sf_dir)
-    buckets = v.selectExpr(
-        "vec_id",
-        "emb",
-        "nrm",
-        f"stack({RP_TABLES}, "
-        + ", ".join(f"{t}, ({e})" for t, e in enumerate(_RP_SPARK))
-        + ") AS (tbl, bucket)",
-    ).select("vec_id", "tbl", "bucket")
+    buckets = rp_buckets_pandas(load_table(spark, sf_dir, "embeddings"))
     a, b = buckets.alias("ba"), buckets.alias("bb")
     cand = (
         a.join(

@@ -98,6 +98,40 @@ def test_rp_lsh_recall_on_planted_neardups(spark):
     assert hits >= len(dup_pairs) * 0.9, (hits, len(dup_pairs))
 
 
+def test_rp_buckets_pandas_equals_sql_expression_path(spark):
+    """The Arrow/numpy bucket twin (used by q32) must reproduce the pure-SQL
+    rp_bucket_pair expressions exactly — same (vec_id, tbl, bucket) set —
+    on the real embeddings table, so swapping paths can never shift the
+    oracle-checked candidate set."""
+    from retail_sales_etl_pipeline_spark.operators.similarity import (
+        RP_TABLES,
+        rp_bucket_pair,
+        rp_buckets_pandas,
+    )
+
+    emb = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    sql_buckets = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .selectExpr(
+            "vec_id",
+            f"stack({RP_TABLES}, "
+            + ", ".join(
+                f"{t}, ({rp_bucket_pair('emb', t)[0]})" for t in range(RP_TABLES)
+            )
+            + ") AS (tbl, bucket)",
+        )
+        .collect()
+    )
+    arrow_buckets = rp_buckets_pandas(emb).collect()
+    sql_set = {(r["vec_id"], r["tbl"], r["bucket"]) for r in sql_buckets}
+    arrow_set = {(r["vec_id"], r["tbl"], r["bucket"]) for r in arrow_buckets}
+    assert len(arrow_buckets) == len(arrow_set)  # no dup emissions
+    assert sql_set == arrow_set
+
+
 def test_ivf_results_subset_of_bruteforce_universe(spark):
     """IVF returns valid (query, neighbor, cosine) triples whose cosines
     match the brute-force scores for the same pairs (approximation affects
