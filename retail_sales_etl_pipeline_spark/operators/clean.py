@@ -91,6 +91,14 @@ class CleanResult:
     def rows_after(self) -> int:
         return self.metrics[-1].rows_after
 
+    def unpersist(self) -> None:
+        """Release the cached final stage. With collect_metrics=True the
+        returned ``df`` stays cached (each intermediate was already
+        unpersisted); callers must release it after their downstream
+        writes, or repeated runs on one session accumulate cached
+        partitions."""
+        self.df.unpersist()
+
 
 def clean_staging(df: DataFrame, collect_metrics: bool = True) -> CleanResult:
     """Full cleaning chain in reference order, with per-stage metrics.

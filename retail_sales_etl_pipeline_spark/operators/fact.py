@@ -73,7 +73,10 @@ def write_fact_sales(fact: DataFrame, path: str, files_per_partition: int = 1) -
     month; raise it at scale so each file stays near the 128 MB-1 GB sweet
     spot and the write parallelism matches the cluster.
     """
-    salt = F.pmod(F.abs(F.hash("invoice_no")), F.lit(files_per_partition))
+    # pmod is already non-negative for a positive divisor; abs(hash(..))
+    # would ARITHMETIC_OVERFLOW under ANSI mode when hash() returns
+    # Int.MinValue — a ~2^-32-per-row landmine at billions of rows.
+    salt = F.pmod(F.hash("invoice_no"), F.lit(files_per_partition))
     (
         fact.repartition(F.col("sale_month"), salt)
         .write.mode("overwrite")
@@ -97,9 +100,8 @@ def write_fact_sales_incremental(fact_delta: DataFrame, path: str) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        salt = F.pmod(F.abs(F.hash("invoice_no")), F.lit(1))
         (
-            fact_delta.repartition(F.col("sale_month"), salt)
+            fact_delta.repartition(F.col("sale_month"))
             .write.mode("overwrite")
             .partitionBy("sale_month")
             .parquet(path)

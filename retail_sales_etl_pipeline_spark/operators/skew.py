@@ -56,7 +56,19 @@ def salted_join(
     a hot key's rows land on B different reducers instead of one. Use when
     the small side is too big to broadcast but B-fold replication is
     affordable (the classic middle ground).
+
+    Only join types that never emit unmatched SMALL-side rows are allowed:
+    under right/full outer, each unmatched small row would surface once per
+    salt replica (B null-extended duplicates). Flip the sides and use
+    'left' if you need to keep the small side's unmatched rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows {salt_buckets}x; allowed: inner/left/left_semi/left_anti"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

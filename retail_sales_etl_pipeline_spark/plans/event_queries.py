@@ -109,7 +109,7 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, ts, event_id,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
-                       > {SESSION_GAP_MIN} * 60 * 1000
+                       >= {SESSION_GAP_MIN} * 60 * 1000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -53,24 +53,34 @@ def register(
     return deco
 
 
-def load_all() -> dict[str, Query]:
-    """Import every query-defining module, then return the registry."""
-    from . import (  # noqa: F401
-        parity_queries,
-    )
+QUERY_MODULES = (
+    "parity_queries",
+    "dedup_queries",
+    "similarity_queries",
+    "text_queries",
+    "event_queries",
+    "multimodal_queries",
+    "analytic_queries",
+    "window_queries",
+    "composite_queries",
+)
 
-    for mod in (
-        "dedup_queries",
-        "similarity_queries",
-        "text_queries",
-        "event_queries",
-        "multimodal_queries",
-        "analytic_queries",
-        "window_queries",
-        "composite_queries",
-    ):
+
+def load_all() -> dict[str, Query]:
+    """Import every query-defining module, then return the registry.
+
+    A broken module must FAIL LOUDLY: silently skipping it would shrink the
+    registry and let the correctness gate 'pass' on reduced coverage with no
+    signal. All failures are collected so one broken module doesn't mask
+    another, then raised together.
+    """
+    failures: list[tuple[str, Exception]] = []
+    for mod in QUERY_MODULES:
         try:
             __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass
+        except Exception as exc:  # noqa: BLE001 — any import-time error counts
+            failures.append((mod, exc))
+    if failures:
+        detail = "; ".join(f"{m}: {type(e).__name__}: {e}" for m, e in failures)
+        raise ImportError(f"query module(s) failed to import — {detail}")
     return QUERIES

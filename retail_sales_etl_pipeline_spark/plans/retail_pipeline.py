@@ -110,6 +110,9 @@ def run(
     write_fact_sales(fact, p["fact_sales"])
     fact = spark.read.parquet(p["fact_sales"])
     fact_rows = fact.count()
+    # every consumer of the cleaned DF has executed — release its cache so
+    # repeated runs on one session don't accumulate cached partitions
+    cleaned_res.unpersist()
 
     # -- validate + report (dag2 logging + master-DAG summary) --------------
     from pyspark.sql import functions as F

@@ -49,6 +49,20 @@ def test_salted_join_equals_plain(spark):
     assert _rows(plain) == _rows(salted)
 
 
+def test_salted_join_rejects_outer_small_side(spark):
+    """right/full outer would emit one null-extended row per salt replica
+    for each unmatched small-side row — must be rejected up front."""
+    import pytest
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SMOKE_SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, orders, "l_orderkey", how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """bucketBy + saveAsTable co-locates both sides: the join plan must
     contain a SortMergeJoin with NO Exchange (the 100 TB repeated-join
