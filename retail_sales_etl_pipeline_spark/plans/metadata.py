@@ -8,7 +8,6 @@ ORDER BY ... DESC LIMIT 10 → Spark plans TakeOrderedAndProject.
 
 from __future__ import annotations
 
-import os
 import time
 from decimal import Decimal
 
@@ -16,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import PIPELINE_RUNS_SCHEMA, STAGE_METRICS_SCHEMA
+from ..sources import fs
 
 
 def log_pipeline_run(
@@ -85,7 +85,7 @@ def recent_pipeline_runs(spark: SparkSession, path: str, n: int = 10) -> DataFra
     """The recent_pipeline_runs view (reference metadata_schema.sql:23-34):
     O1 ORDER BY run_date DESC, run_timestamp DESC LIMIT n — planned as
     TakeOrderedAndProject (per-partition top-k, no full sort)."""
-    if not os.path.exists(path):
+    if not fs.exists(spark, path):
         return spark.createDataFrame([], schema=PIPELINE_RUNS_SCHEMA)
     return (
         spark.read.parquet(path)

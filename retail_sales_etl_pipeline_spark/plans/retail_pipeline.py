@@ -15,7 +15,6 @@ reference dag3_transform_warehouse.py:117).
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -24,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.clean import StageMetric, clean_staging
 from ..operators.dims import load_dim_customer, load_dim_date, load_dim_product
 from ..operators.fact import build_fact_sales, write_fact_sales
+from ..sources import fs
 from ..sources.retail_csv import check_csv_exists, read_retail_csv
 from . import metadata, quality
 from .quality import DEFAULT_MIN_ROWS
@@ -43,7 +43,7 @@ class PipelineResult:
 
 
 def _read_dim(spark: SparkSession, path: str) -> DataFrame | None:
-    return spark.read.parquet(path) if os.path.exists(path) else None
+    return spark.read.parquet(path) if fs.exists(spark, path) else None
 
 
 def run(
@@ -54,9 +54,9 @@ def run(
     timestamp_format: str | None = None,
 ) -> PipelineResult:
     t_start = time.time()
-    os.makedirs(warehouse_dir, exist_ok=True)
+    fs.mkdirs(spark, warehouse_dir)
     p = {
-        name: os.path.join(warehouse_dir, name)
+        name: fs.join(warehouse_dir, name)
         for name in (
             "staging_online_retail",
             "dim_product",
@@ -94,13 +94,10 @@ def run(
 
     # swap: writing X_new then renaming avoids reading+overwriting the same
     # path in one job (Spark reads lazily; an in-place overwrite of an input
-    # is undefined behavior).
-    import shutil
-
+    # is undefined behavior). Routed through the Hadoop FS API so the same
+    # swap works on hdfs:/s3a: warehouses, not just driver-local disk.
     for name in ("dim_product", "dim_customer", "dim_date"):
-        if os.path.exists(p[name]):
-            shutil.rmtree(p[name])
-        os.rename(p[name] + "_new", p[name])
+        fs.replace(spark, p[name] + "_new", p[name])
 
     dim_product = spark.read.parquet(p["dim_product"])
     dim_customer = spark.read.parquet(p["dim_customer"])

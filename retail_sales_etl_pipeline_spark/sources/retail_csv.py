@@ -74,10 +74,11 @@ def read_retail_csv(
 
 def check_csv_exists(spark: SparkSession, path: str) -> None:
     """Pre-flight guard (reference dag1_ingest_csv.py:26-39 S3): fail fast
-    if the input is missing/empty rather than staging an empty table."""
-    import os
+    if the input is missing/empty rather than staging an empty table.
+    Hadoop-FS-routed, so the guard works on hdfs:/s3a: inputs too."""
+    from . import fs
 
-    if not os.path.exists(path):
+    if not fs.exists(spark, path):
         raise FileNotFoundError(f"input CSV not found: {path}")
-    if os.path.isfile(path) and os.path.getsize(path) == 0:
+    if fs.is_file(spark, path) and fs.file_size(spark, path) == 0:
         raise ValueError(f"input CSV is empty: {path}")
