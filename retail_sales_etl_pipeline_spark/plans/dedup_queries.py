@@ -212,6 +212,59 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jaccard") >= NEARDUP_JACCARD)
 
 
+from ..operators.bloom import BLOOM_M, bloom_positions_pair, bloom_prefilter_new
+from ..operators.text import fingerprint_pandas, poly_hash_pair
+
+_KEY_DUCK = poly_hash_pair("text", "text")[1]
+_POS_DUCK = bloom_positions_pair("key_hash", "key_hash", BLOOM_M)[1]
+
+
+@register(
+    "q28_bloom_prefilter_dedup",
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id, {_KEY_DUCK} AS key_hash FROM documents
+    ),
+    corpus AS (SELECT * FROM keys WHERE doc_id % 3 = 0),
+    batch  AS (SELECT * FROM keys WHERE doc_id % 3 <> 0),
+    bits AS (SELECT DISTINCT unnest({_POS_DUCK}) AS pos FROM corpus),
+    bp AS (SELECT doc_id, key_hash, unnest({_POS_DUCK}) AS pos FROM batch),
+    definite AS (
+      SELECT DISTINCT doc_id, key_hash FROM bp
+      WHERE pos NOT IN (SELECT pos FROM bits)
+    ),
+    cands AS (
+      SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM definite)
+    ),
+    verified AS (
+      SELECT * FROM cands WHERE key_hash NOT IN (SELECT key_hash FROM corpus)
+    )
+    SELECT doc_id, key_hash, FALSE AS bloom_candidate FROM definite
+    UNION ALL
+    SELECT doc_id, key_hash, TRUE AS bloom_candidate FROM verified
+    """,
+    doc="Bloom pre-filter ahead of exact dedup (incremental batch vs "
+    "corpus): rows missing any of the K=4 bloom positions are DEFINITELY "
+    "new (no false negatives) and skip exact verification entirely; only "
+    "all-positions-hit candidates reach the exact anti-join, where "
+    "bloom false positives are eliminated. The filter is the distinct "
+    "corpus position set — a broadcast equi-join here; the equivalent "
+    "broadcast-bitmap form (operators.bloom.bloom_bitmap_*) probes an "
+    "m-bit numpy bitmap map-side with zero shuffle and is "
+    "equality-tested against this plan. Survivor set == plain exact "
+    "anti-join by construction.",
+    tags=("dedup", "bloom"),
+)
+def q28_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keys = fingerprint_pandas(docs).select(
+        "doc_id", F.col("content_fp").alias("key_hash")
+    )
+    corpus = keys.filter(F.col("doc_id") % 3 == 0)
+    batch = keys.filter(F.col("doc_id") % 3 != 0)
+    return bloom_prefilter_new(batch, corpus)
+
+
 _SIMHASH_SPARK, _SIMHASH_DUCK = simhash_expr("text", 16)
 
 
