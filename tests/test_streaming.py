@@ -75,6 +75,89 @@ def test_session_stream_equals_batch_session_window(spark, events_dir):
     assert _canon(got) == _canon(batch)
 
 
+def test_watermark_dropped_row_set_deterministic(spark, tmp_path):
+    """Out-of-order arrival fixture proving EXACTLY which rows the
+    watermark drops. Three micro-batch runs over one checkpoint:
+
+    run 1: ids 1-4 in-order -> watermark advances to 11:50 (max 12:50 - 1h)
+    run 2: id 6 @10:30 falls in window [10:00,11:00) whose END (11:00) is
+           below the 11:50 watermark -> DROPPED (the window is finalized);
+           id 7 @11:40 is ALSO below the watermark timestamp-wise, but its
+           window [11:00,12:00) is still open (end 12:00 > 11:50) -> KEPT
+           (drop is by window end, not by raw timestamp); id 5 @11:55 and
+           id 8 @14:10 are ordinary arrivals.
+    run 3: flush row 99 @18:00 closes every earlier window
+
+    Tracking event_ids with collect_set per window, the union of emitted
+    ids must be exactly {1,2,3,4,5,7,8}: only 6 dropped, 99 still open."""
+    src = str(tmp_path / "ooo_events")
+    sink = str(tmp_path / "ooo_sink")
+    ckpt = str(tmp_path / "ooo_ckpt")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        stream = read_events_stream(spark, src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.collect_set("event_id").alias("ids"))
+            .select(F.col("window.start").alias("window_start"), "ids")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def add_rows(rows):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows], schema
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    add_rows(
+        [
+            (1, "2024-01-01 10:05:00"),
+            (2, "2024-01-01 10:20:00"),
+            (3, "2024-01-01 11:10:00"),
+            (4, "2024-01-01 12:50:00"),
+        ]
+    )
+    run_once()
+    add_rows(
+        [
+            (5, "2024-01-01 11:55:00"),  # ordinary arrival
+            (6, "2024-01-01 10:30:00"),  # window finalized -> dropped
+            (7, "2024-01-01 11:40:00"),  # late, but window still open -> kept
+            (8, "2024-01-01 14:10:00"),  # fresh
+        ]
+    )
+    run_once()
+    add_rows([(99, "2024-01-01 18:00:00")])  # flush: closes all windows <= 17:00
+    run_once()
+
+    emitted = {
+        str(r["window_start"]): sorted(r["ids"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert emitted == {
+        "2024-01-01 10:00:00": [1, 2],
+        "2024-01-01 11:00:00": [3, 5, 7],
+        "2024-01-01 12:00:00": [4],
+        "2024-01-01 14:00:00": [8],
+    }
+    kept = {i for ids in emitted.values() for i in ids}
+    assert kept == {1, 2, 3, 4, 5, 7, 8}  # dropped set is exactly {6}
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode + watermark across a restart: a row older than the
     persisted watermark horizon arriving later must be dropped — the
