@@ -1,0 +1,131 @@
+"""Physical-plan regression tests: the plans the engine is designed to
+produce at 100 TB must actually be the plans Catalyst produces. Each test
+pins one scale-critical property so a future edit can't silently regress
+it (e.g. a broadcast decaying to a shuffle join, or a filter no longer
+reaching the parquet scan)."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from retail_sales_etl_pipeline_spark.plans.registry import load_all
+from retail_sales_etl_pipeline_spark.sources import load_table
+
+from .conftest import SMOKE_SF_DIR
+
+REGISTRY = load_all()
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _op_count(plan: str, op: str) -> int:
+    """Number of distinct physical nodes of ``op`` (counted in the detail
+    section '(n) Op' lines — the tree section repeats every node)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.MULTILINE))
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning: a filtered 2-column projection
+    must scan only those columns and carry the predicates as
+    PushedFilters — reading all 16 lineitem columns for this would be
+    wrong at any scale."""
+    df = (
+        load_table(spark, SMOKE_SF_DIR, "lineitem")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # pruned read schema: the scan's struct must not mention unused columns
+    assert "l_extendedprice" not in plan
+    assert "l_comment" not in plan
+
+
+def test_clean_filter_chain_collapses_to_one_scan_filter(spark):
+    """q01's three clean stages (dropna + two predicates) must compose into
+    ONE pushed-down scan, not three passes."""
+    plan = _formatted_plan(REGISTRY["q01_clean_filters"].spark_fn(spark, SMOKE_SF_DIR))
+    assert _op_count(plan, "Scan parquet") == 1
+    for needle in (
+        "IsNotNull(l_quantity)",
+        "IsNotNull(l_extendedprice)",
+        "Not(EqualTo(l_quantity,0.0))",
+        "GreaterThan(l_extendedprice,0.0)",
+    ):
+        assert needle in plan, needle
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """q06: the 3-way star join must be three BroadcastHashJoins — the
+    fact side streams map-side with zero shuffle."""
+    plan = _formatted_plan(REGISTRY["q06_fact_star_join"].spark_fn(spark, SMOKE_SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """q12/q50: ORDER BY ... LIMIT k must plan as TakeOrderedAndProject
+    (per-partition top-k), never a full global Sort."""
+    for name in ("q12_topk_orders", "q50_top_unshipped_orders"):
+        plan = _formatted_plan(REGISTRY[name].spark_fn(spark, SMOKE_SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ivf_assignment_has_no_window_shuffle(spark):
+    """q31 (round-1 verdict fix): nearest-centroid assignment must be a
+    max_by aggregate with a map-side partial — NO row_number window over
+    the N*K scored rows. The only Window allowed is the final per-query
+    top-k over the probed candidates."""
+    plan = _formatted_plan(REGISTRY["q31_ann_ivf"].spark_fn(spark, SMOKE_SF_DIR))
+    # partial aggregation before the shuffle: both partial_ and final forms
+    assert "partial_max_by" in plan
+    assert "max_by" in plan
+    assert _op_count(plan, "Window") <= 1  # only the final per-query top-k
+    # and that top-k gets the rank-limit pushdown, never a full sort+filter
+    assert _op_count(plan, "WindowGroupLimit") >= 1
+
+
+def test_aggregates_are_partial_then_final(spark):
+    """q33's groupBy must show map-side partial aggregation (partial_count/
+    partial_sum) ahead of the exchange — the property that keeps shuffle
+    volume proportional to groups, not rows."""
+    plan = _formatted_plan(REGISTRY["q33_event_hourly_agg"].spark_fn(spark, SMOKE_SF_DIR))
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
+
+
+def test_ri_antijoin_is_broadcast(spark):
+    """q15: the referential-integrity anti-join must broadcast the dim
+    side (BroadcastHashJoin ... LeftAnti), not shuffle the fact."""
+    plan = _formatted_plan(REGISTRY["q15_ri_antijoin"].spark_fn(spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_month_partition_filter_prunes_at_source(spark, tmp_path):
+    """Partition pruning on the monthly-partitioned fact layout: a
+    sale_month predicate must become a PartitionFilter on the scan (prune
+    whole directories), not a row filter."""
+    df = spark.range(100).select(
+        F.col("id").alias("n"),
+        F.concat(F.lit("2024-0"), (F.col("id") % 3 + 1).cast("string")).alias(
+            "sale_month"
+        ),
+    )
+    path = str(tmp_path / "fact_parted")
+    df.write.partitionBy("sale_month").parquet(path)
+    plan = _formatted_plan(
+        spark.read.parquet(path).filter(F.col("sale_month") == "2024-02")
+    )
+    assert "PartitionFilters" in plan
+    assert "isnotnull(sale_month" in plan or "sale_month" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
