@@ -182,6 +182,92 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q38_kmeans_ivf_clusters",
+    oracle=None,  # iterative algorithm: the declared rows-only case
+    doc="Trained-IVF cluster profile: 5 Lloyd's iterations refine the "
+    "q31 bootstrap centroids (operators.kmeans). Each iteration is one "
+    "mapInPandas pass emitting <= k partial-sum rows per partition "
+    "(map-side combine; shuffle volume independent of corpus size), with "
+    "kilobyte centroids held on the driver between jobs — the MLlib "
+    "pattern without its abstractions. Iterative = not SQL-expressible, "
+    "so this entry is deliberately rows-only (k rows, fixed schema).",
+    tags=("similarity", "iterative", "pandas-udf"),
+)
+def q38_kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=N_CENTROIDS, iters=5)
+    return (
+        kmeans_assign(emb, centroids)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+    )
+
+
+_QUANT_LEVELS = 127  # symmetric int8
+
+
+@register(
+    "q39_embedding_quantization",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                      1e-30) / {_QUANT_LEVELS}.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> floor(x / scale + 0.5)) AS qv
+      FROM v
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           round(list_dot_product(emb, qv)
+                 / (sqrt(list_dot_product(emb, emb))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS recon_cos
+    FROM q
+    """,
+    doc=f"Symmetric int8 embedding quantization (4x storage/bandwidth cut "
+    f"for ANN): per-vector scale = max|x|/{_QUANT_LEVELS}, levels = "
+    f"floor(x/scale + 0.5) — floor instead of round because both engines "
+    f"define floor identically while round's half-rule differs. Scale "
+    f"cancels in cosine, so reconstruction quality is the cosine between "
+    f"the raw vector and its integer levels (rounded 4dp for the "
+    f"interpolation ulp). All per-row arithmetic: map-side, no shuffle.",
+    tags=("similarity", "quantization"),
+)
+def q39_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+        f"greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), "
+        f"1e-30D) / {_QUANT_LEVELS}.0D AS scale",
+    )
+    q = v.selectExpr(
+        "vec_id",
+        "emb",
+        "scale",
+        # Spark floor(double) -> BIGINT; keep doubles for the dot products
+        "transform(emb, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS qv",
+    )
+    return q.selectExpr(
+        "vec_id",
+        "scale",
+        "CAST(aggregate(qv, 0.0D, (acc, x) -> acc + x) AS BIGINT) AS qsum",
+        "round(aggregate(zip_with(emb, qv, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) "
+        "/ (sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)) "
+        "* sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v))), 4) "
+        "AS recon_cos",
+    )
+
+
 _RP_SPARK = [rp_bucket_pair("emb", t)[0] for t in range(RP_TABLES)]
 _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
 

@@ -1,0 +1,69 @@
+"""K-means IVF training + int8 quantization semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_etl_pipeline_spark.operators.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+)
+from retail_sales_etl_pipeline_spark.plans.registry import load_all
+from retail_sales_etl_pipeline_spark.sources import load_table
+
+from .conftest import SMOKE_SF_DIR
+
+REGISTRY = load_all()
+K = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SMOKE_SF_DIR, "embeddings")
+
+
+def _inertia(emb, centroids) -> float:
+    return (
+        kmeans_assign(emb, centroids).agg(F.sum("sq_dist")).collect()[0][0]
+    )
+
+
+def test_training_reduces_inertia(spark, emb):
+    """5 Lloyd's iterations must strictly improve on the untrained
+    bootstrap (the first-k deterministic sample q31 uses)."""
+    bootstrap = [
+        list(r[1]) for r in emb.orderBy("vec_id").limit(K).collect()
+    ]
+    trained = kmeans_fit(emb, k=K, iters=5)
+    assert _inertia(emb, trained) < _inertia(emb, bootstrap) * 0.95
+
+
+def test_fit_deterministic_and_assignment_total(spark, emb):
+    c1 = kmeans_fit(emb, k=K, iters=3)
+    c2 = kmeans_fit(emb, k=K, iters=3)
+    assert c1 == c2  # fixed init, fixed iterations, fixed layout
+    assigned = kmeans_assign(emb, c1)
+    assert assigned.count() == emb.count()  # every vector assigned once
+    assert assigned.select("centroid_id").distinct().count() <= K
+
+
+def test_lloyd_iteration_monotone_inertia(spark, emb):
+    prev = float("inf")
+    for iters in (1, 3, 5):
+        cur = _inertia(emb, kmeans_fit(emb, k=K, iters=iters))
+        assert cur <= prev + 1e-9
+        prev = cur
+
+
+def test_quantization_reconstruction_quality(spark):
+    """int8 levels must reconstruct direction almost exactly: cosine
+    between raw vector and its integer levels >= 0.999 for every vector
+    (64-dim, symmetric 127-level grid)."""
+    out = REGISTRY["q39_embedding_quantization"].spark_fn(
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert out
+    assert all(r["recon_cos"] >= 0.999 for r in out)
+    # qsum bounded by 64 dims * 127 levels
+    assert all(abs(r["qsum"]) <= 64 * 127 for r in out)
