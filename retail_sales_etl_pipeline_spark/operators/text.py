@@ -256,6 +256,42 @@ def simhash_pandas(df, text_col: str = "text", id_col: str = "doc_id", bits: int
     return df.select(id_col, text_col).mapInPandas(per_batch, schema)
 
 
+def jaccard_pairs_pandas(pairs, n: int = 3):
+    """Arrow-batched token-trigram Jaccard over candidate pairs.
+
+    Input columns: (doc_a, doc_b, text_a, text_b); output (doc_a, doc_b,
+    jaccard). Set sizes are ints and the division is one IEEE op, so the
+    scores are bit-identical to the SQL list_intersect/list_distinct form
+    the oracles use. Quadratic work runs ONLY on the supplied candidate
+    pairs — callers are expected to have produced them from an LSH
+    band join, never an all-pairs scan.
+    """
+
+    def per_batch(batches):
+        import pandas as pd
+
+        def ngrams(text: str) -> set:
+            toks = text.split(" ")
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - (n - 1))
+            }
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                sa, sb = ngrams(ta), ngrams(tb)
+                rows.append(
+                    {"doc_a": da, "doc_b": db, "jaccard": len(sa & sb) / len(sa | sb)}
+                )
+            yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(per_batch, "doc_a long, doc_b long, jaccard double")
+
+
 def token_ngrams_expr(col: str, n: int = 3) -> tuple[str, str]:
     """Distinct word n-grams (joined with spaces) — the exact-similarity
     side used to verify LSH candidates.

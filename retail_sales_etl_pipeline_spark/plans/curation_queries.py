@@ -1,0 +1,132 @@
+"""Corpus-curation composition: the full LLM training-data pipeline as ONE
+query — per-doc featurization → quality filter → exact dedup → LSH
+candidate generation → exact near-dup verification → final corpus.
+
+Every stage reuses the already-oracle-checked building blocks (q24's
+language argmax, q25's quality banding, q27's content fingerprint, q22's
+MinHash band join, q21's Jaccard verify), so the whole composition is
+itself hash-checked end-to-end against DuckDB — the proof that the
+operators compose, not just pass in isolation.
+
+Scale shape: stages A-C are narrow maps + one window on the fingerprint;
+near-dedup candidates come from the banded equi-join (never all-pairs);
+the quadratic Jaccard runs only on band-sharing survivor pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    fingerprint_pandas,
+    jaccard_pairs_pandas,
+    poly_hash_pair,
+    token_ngrams_expr,
+)
+from ..sources import load_table
+from .dedup_queries import _DUCK_CAND_CTE, _spark_candidates
+from .registry import register
+from .text_queries import _DUCK_SCORES, _predict_expr, _SPARK_SCORES
+
+CURATION_JACCARD = 0.3
+
+_FP_DUCK = poly_hash_pair("text", "text")[1]
+_TG_DUCK = token_ngrams_expr("text", 3)[1]
+
+_DUCK_QUALITY_OK = (
+    "len(string_split(text, ' ')) >= 5 AND "
+    "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) "
+    "<= len(string_split(text, ' '))"
+)
+
+
+@register(
+    "q29_corpus_curation",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    feat AS (
+      SELECT doc_id, text,
+             {_predict_expr(_DUCK_SCORES)} AS predicted_lang,
+             {_FP_DUCK} AS content_fp
+      FROM documents
+      WHERE {_DUCK_QUALITY_OK}
+    ),
+    survivors AS (
+      SELECT doc_id, text, predicted_lang, content_fp FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY content_fp ORDER BY doc_id
+        ) AS rn FROM feat
+      ) WHERE rn = 1
+    ),
+    tg AS (
+      SELECT doc_id, {_TG_DUCK} AS tg FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    near_drop AS (
+      SELECT DISTINCT c.doc_b FROM cand c
+      JOIN survivors sa ON sa.doc_id = c.doc_a
+      JOIN survivors sb ON sb.doc_id = c.doc_b
+      JOIN tg a ON a.doc_id = c.doc_a
+      JOIN tg b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {CURATION_JACCARD}
+    )
+    SELECT doc_id, predicted_lang, CAST(content_fp AS BIGINT) AS content_fp
+    FROM survivors WHERE doc_id NOT IN (SELECT doc_b FROM near_drop)
+    """,
+    doc="End-to-end corpus curation in one plan: quality gate (q25's "
+    "banding rules) → language tag (q24's stopword argmax) → exact dedup "
+    "on the content fingerprint (min-doc_id survivor, q27/q20) → near-dup "
+    "removal via MinHash band candidates (q22) verified by trigram "
+    "Jaccard (q21), dropping the higher doc_id of each verified pair "
+    "(greedy by id — deterministic, not transitive clustering). "
+    "Composes five already-green operators and is hash-checked "
+    "end-to-end; candidates always come from the banded equi-join.",
+    tags=("dedup", "text", "composition"),
+)
+def q29_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    ).cast("long")
+    ok = docs.filter((n_tokens >= 5) & (n_punct <= n_tokens)).select(
+        "doc_id",
+        "text",
+        F.expr(_predict_expr(_SPARK_SCORES)).alias("predicted_lang"),
+    )
+    feat = ok.join(fingerprint_pandas(docs).select("doc_id", "content_fp"), "doc_id")
+
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    survivors = (
+        feat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    surv_ids = survivors.select("doc_id")
+    cand = (
+        _spark_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(surv_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    texts = docs.filter(F.size(F.split("text", " ")) >= 3)
+    pairs = cand.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+        "doc_b",
+    )
+    near_drop = (
+        jaccard_pairs_pandas(pairs)
+        .filter(F.col("jaccard") >= CURATION_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(near_drop, "doc_id", "left_anti").select(
+        "doc_id", "predicted_lang", "content_fp"
+    )

@@ -182,34 +182,12 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")
 
-    # Arrow-batched Jaccard: trigram sets + |∩|/|∪| computed per candidate
-    # pair in Python sets — identical integers to list_intersect/
-    # list_distinct sizes, identical IEEE division, ~10x faster than the
-    # interpreted transform/concat lambda chain over every document.
-    def per_batch(batches):
-        import pandas as pd
+    # Arrow-batched Jaccard (operators.text.jaccard_pairs_pandas):
+    # identical integers to list_intersect/list_distinct sizes, identical
+    # IEEE division, ~10x faster than the interpreted lambda chain.
+    from ..operators.text import jaccard_pairs_pandas
 
-        def trigrams(text: str) -> set:
-            toks = text.split(" ")
-            return {
-                toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
-                for i in range(len(toks) - 2)
-            }
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            rows = []
-            for da, db, ta, tb in zip(
-                pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
-            ):
-                sa, sb = trigrams(ta), trigrams(tb)
-                j = len(sa & sb) / len(sa | sb)
-                rows.append({"doc_a": da, "doc_b": db, "jaccard": j})
-            yield pd.DataFrame(rows)
-
-    scored = pairs.mapInPandas(per_batch, "doc_a long, doc_b long, jaccard double")
-    return scored.filter(F.col("jaccard") >= NEARDUP_JACCARD)
+    return jaccard_pairs_pandas(pairs).filter(F.col("jaccard") >= NEARDUP_JACCARD)
 
 
 from ..operators.bloom import BLOOM_M, bloom_positions_pair, bloom_prefilter_new
