@@ -64,6 +64,60 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+FRAME_BYTES = 16
+FRAME_STRIDE = 32
+MAX_FRAMES = 4
+
+
+def frame_sample(
+    with_payload: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads — the row-EXPANDING
+    mapInPandas shape a real video pipeline has (N input rows → up to
+    N*max_frames output rows), with bounded frames per payload so one huge
+    blob cannot blow up a batch.
+
+    Real decoders (ffmpeg keyframe extraction) are stubbed like
+    ``decode_media``; the sampled "frames" are raw byte windows and the
+    per-frame features deterministic byte math, so the full plumbing —
+    offsets, bounding, short tail frames, schema — is oracle-checkable.
+    """
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb, st, mf = frame_bytes, stride, max_frames
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for k in range(mf):
+                    off = k * st
+                    if off >= len(data):
+                        break
+                    frame = data[off : off + fb]
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": k,
+                            "offset_bytes": off,
+                            "frame_hex8": frame[:4].hex().upper(),
+                            "frame_byte_sum": sum(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        per_batch,
+        "doc_id long, frame_idx int, offset_bytes long, "
+        "frame_hex8 string, frame_byte_sum long",
+    )
+
+
 def extract_features(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -6,7 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import attach_payload, extract_features
+from ..operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    MAX_FRAMES,
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -31,3 +38,46 @@ from .registry import register
 def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
+
+
+# hex-pair -> byte value in portable SQL: 16*digit(hi) + digit(lo) with
+# digit = strpos('0123456789ABCDEF', ch) - 1 (identical in both dialects)
+_HEXDIGITS = "0123456789ABCDEF"
+
+
+@register(
+    "q51_multimodal_frames",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, k AS frame_idx, k * {FRAME_STRIDE} AS offset_bytes,
+             substring(h, k * {FRAME_STRIDE} * 2 + 1, {FRAME_BYTES} * 2) AS fh
+      FROM p, range(0, {MAX_FRAMES}) t(k)
+      WHERE k * {FRAME_STRIDE} < n
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(offset_bytes AS BIGINT) AS offset_bytes,
+           substring(fh, 1, 8) AS frame_hex8,
+           CAST(list_sum(list_transform(range(1, len(fh) // 2 + 1),
+                i -> (strpos('{_HEXDIGITS}', substring(fh, 2 * i - 1, 1)) - 1) * 16
+                   + (strpos('{_HEXDIGITS}', substring(fh, 2 * i, 1)) - 1)))
+                AS BIGINT) AS frame_byte_sum
+    FROM f
+    """,
+    doc=f"Frame sampling over binary payloads: fixed-stride "
+    f"({FRAME_STRIDE}B) windows of {FRAME_BYTES}B, max {MAX_FRAMES} frames "
+    f"per payload — the row-expanding mapInPandas shape of video keyframe "
+    f"extraction, with per-payload bounding so blob skew can't blow up a "
+    f"batch. Short tail frames included. The oracle recomputes every "
+    f"frame offset, header, and byte sum from the hex of the same bytes, "
+    f"so the full expand-and-slice plumbing is hash-verified.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q51_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs))
