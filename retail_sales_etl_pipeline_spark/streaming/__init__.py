@@ -4,10 +4,13 @@ from .events import (
     sessionized_counts,
     windowed_event_counts,
 )
+from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
+    "exactly_once_parquet_sink",
     "read_events_stream",
     "run_to_memory",
+    "run_with_exactly_once_sink",
     "sessionized_counts",
     "windowed_event_counts",
 ]
