@@ -182,6 +182,110 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+
+@register(
+    "q52_ann_ivf_nprobe",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    cents AS (SELECT * FROM v WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, b.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN cents b ON true
+      ) WHERE rnk = 1
+    ),
+    qassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, b.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN cents b ON a.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+             ) AS rnk
+      FROM v a
+      JOIN qassign qa ON qa.vec_id = a.vec_id
+      JOIN assign ba ON ba.centroid_id = qa.centroid_id AND ba.vec_id <> a.vec_id
+      JOIN v b ON b.vec_id = ba.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"IVF with multi-cluster probing (nprobe={N_PROBE}): database "
+    "vectors keep the shuffle-free max_by assignment of q31, while each "
+    "QUERY fans out to its 2 nearest centroids — a per-query window over "
+    "only Q*K rows (Q tiny), so the recall boost costs nothing at corpus "
+    "scale. Candidates are then the union of the probed clusters; "
+    "duplicate (query, neighbor) pairs cannot arise because each "
+    "database vector belongs to exactly one cluster.",
+    tags=("similarity",),
+)
+def q52_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _vec_view_spark(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
+    a, b = v.alias("a"), F.broadcast(cents).alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a.join(b).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("centroid_id"),
+        cos.alias("cos_c"),
+    )
+    # database side: argmax via map-side partial max_by (the q31 shape)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cos_c").alias("c"), (-F.col("centroid_id")).alias("neg_id")),
+        ).alias("centroid_id")
+    )
+    # query side: top-nprobe centroids; the window touches only Q*K rows
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    qassign = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select("vec_id", "centroid_id")
+    )
+
+    qa, ba = qassign.alias("qa"), assign.alias("ba")
+    cand = (
+        v.alias("a")
+        .filter(F.col("a.vec_id") < N_QUERIES)
+        .join(qa, F.col("qa.vec_id") == F.col("a.vec_id"))
+        .join(
+            ba,
+            (F.col("ba.centroid_id") == F.col("qa.centroid_id"))
+            & (F.col("ba.vec_id") != F.col("a.vec_id")),
+        )
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("ba.vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 @register(
     "q38_kmeans_ivf_clusters",
     oracle=None,  # iterative algorithm: the declared rows-only case

@@ -132,6 +132,26 @@ def test_rp_buckets_pandas_equals_sql_expression_path(spark):
     assert sql_set == arrow_set
 
 
+def test_nprobe_recall_at_least_single_probe(spark):
+    """Probing 2 clusters must recall at least as many true (brute-force)
+    top-k neighbors as probing 1, for every query — the monotonicity that
+    justifies nprobe as the recall/cost knob."""
+    bf = {}
+    for r in REGISTRY["q30_ann_bruteforce"].spark_fn(spark, SMOKE_SF_DIR).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(name):
+        got = {}
+        for r in REGISTRY[name].spark_fn(spark, SMOKE_SF_DIR).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return {q: len(got.get(q, set()) & bf[q]) for q in bf}
+
+    r1 = recall("q31_ann_ivf")
+    r2 = recall("q52_ann_ivf_nprobe")
+    assert all(r2[q] >= r1[q] for q in bf), (r1, r2)
+    assert sum(r2.values()) >= sum(r1.values())
+
+
 def test_ivf_results_subset_of_bruteforce_universe(spark):
     """IVF returns valid (query, neighbor, cosine) triples whose cosines
     match the brute-force scores for the same pairs (approximation affects
