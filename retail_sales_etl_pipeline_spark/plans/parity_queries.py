@@ -132,9 +132,14 @@ def q04_dim_customer_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.groupBy(F.col("o_custkey").alias("customer_nat_key")).agg(
         F.max("o_orderpriority").alias("top_priority")
     )
-    sentinel = spark.createDataFrame(
-        [(-1, "UNKNOWN")], schema="customer_nat_key BIGINT, top_priority STRING"
-    ).coalesce(1)
+    # sentinel from range(1), not createDataFrame: a pure-JVM one-row
+    # relation skips the driver-side Arrow conversion and local-scan
+    # node, shaving session overhead off the plan (this was the bench's
+    # slowest query purely from that fixed cost)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("customer_nat_key"),
+        F.lit("UNKNOWN").alias("top_priority"),
+    )
     return dim.unionByName(sentinel)
 
 

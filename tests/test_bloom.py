@@ -78,3 +78,35 @@ def test_bits_relation_is_bounded(spark, keys):
     n_bits = bloom_bits(corpus).count()
     assert n_bits <= 400 * 4  # |corpus| * K distinct positions at most
     assert n_bits > 0
+
+
+def test_prefilter_property_random_key_sets(spark):
+    """Hypothesis-style sweep without a JVM per example: many random
+    (corpus, batch, m) triples in one pass — survivors must equal the
+    exact anti-join for EVERY combination, including empty corpus, full
+    overlap, and a degenerate 8-bit filter."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(8):
+        m = rng.choice([8, 64, 1021, BLOOM_M])
+        corpus_keys = rng.sample(range(10_000), rng.randint(0, 40))
+        batch_keys = rng.sample(range(10_000), rng.randint(1, 60))
+        if trial == 6:
+            batch_keys = corpus_keys or [1]  # full overlap
+        corpus = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(corpus_keys)] or [(0, -999)],
+            "doc_id long, key_hash long",
+        )
+        if not corpus_keys:
+            corpus = corpus.filter("doc_id < 0")  # truly empty relation
+        batch = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(batch_keys)],
+            "doc_id long, key_hash long",
+        )
+        got = {
+            r["key_hash"]
+            for r in bloom_prefilter_new(batch, corpus, m=m).collect()
+        }
+        expect = set(batch_keys) - set(corpus_keys)
+        assert got == expect, (trial, m, sorted(got), sorted(expect))

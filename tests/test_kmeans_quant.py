@@ -56,6 +56,32 @@ def test_lloyd_iteration_monotone_inertia(spark, emb):
         prev = cur
 
 
+def test_quantization_grid_error_bound(spark):
+    """Per-component property: dequantized values must sit within half a
+    grid step of the original (|x - q*scale| <= scale/2 + ulp) for every
+    component of every vector — the defining int8-grid invariant."""
+    out = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+            "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30D)"
+            " / 127.0D AS scale",
+        )
+        .selectExpr(
+            "vec_id",
+            "scale",
+            # max over components of |x - round_to_grid(x)|
+            "array_max(transform(emb, x -> "
+            "abs(x - CAST(floor(x / scale + 0.5) AS DOUBLE) * scale))) AS max_err",
+        )
+        .collect()
+    )
+    assert out
+    for r in out:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, (r["vec_id"], r["max_err"])
+
+
 def test_quantization_reconstruction_quality(spark):
     """int8 levels must reconstruct direction almost exactly: cosine
     between raw vector and its integer levels >= 0.999 for every vector
