@@ -168,3 +168,85 @@ def q36_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("k_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+ATTRIB_WINDOW_MIN = 30
+_W_US = ATTRIB_WINDOW_MIN * 60 * 1_000_000
+
+
+def binned_attribution_counts(
+    ev: DataFrame, probe_type: str = "purchase", window_us: int = _W_US
+) -> DataFrame:
+    """Bin-and-refine trailing-window count: for each ``probe_type`` event,
+    the number of same-user events with ts in (probe_ts - window, probe_ts)
+    — strict on both ends. An interval of width W spans at most two W-bins,
+    so each probe expands to 2 candidate bins and matching is a
+    (user_id, bin) equi-join + exact refine."""
+    withb = ev.withColumn("us", F.expr("unix_micros(ts)")).withColumn(
+        "bucket", F.expr(f"unix_micros(ts) div {window_us}")
+    )
+    p = withb.filter(F.col("event_type") == probe_type).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("us").alias("p_us"),
+        "bucket",
+    )
+    probe = p.select(
+        "p_event_id",
+        "user_id",
+        "p_us",
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"))).alias("cb"),
+    )
+    x = withb.select(
+        F.col("user_id"),
+        F.col("us").alias("x_us"),
+        F.col("bucket").alias("cb"),
+    )
+    matched = (
+        probe.join(x, ["user_id", "cb"])
+        .filter(
+            (F.col("x_us") < F.col("p_us"))
+            & (F.col("x_us") > F.col("p_us") - window_us)
+        )
+        .groupBy("p_event_id")
+        .agg(F.count(F.lit(1)).alias("n_prior"))
+    )
+    return (
+        p.join(matched, "p_event_id", "left")
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.coalesce(F.col("n_prior"), F.lit(0)).cast("long").alias("n_prior"),
+        )
+    )
+
+
+@register(
+    "q53_range_join_attribution",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(x.event_id) AS BIGINT) AS n_prior
+    FROM p LEFT JOIN events x
+      ON x.user_id = p.user_id
+     AND x.ts < p.ts
+     AND x.ts > p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc=f"Range (interval) join via bin-and-refine: per purchase, count "
+    f"same-user events in the trailing {ATTRIB_WINDOW_MIN}-minute "
+    f"attribution window. A naive ts-inequality join has no equi-key and "
+    f"degenerates to per-user cross products; instead timestamps are "
+    f"binned to the window width, each probe expands to its 2 candidate "
+    f"bins (an interval of width W spans at most 2 W-bins), candidates "
+    f"come from a (user_id, bin) EQUI-join, and the exact inequality "
+    f"refines them — bounded fan-out, shuffle on hash keys, the standard "
+    f"scale form of every time-range join. Oracle runs the naive "
+    f"non-equi form; hash parity proves the binned plan is exact.",
+    tags=("events", "join", "range"),
+)
+def q53_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return binned_attribution_counts(ev)
