@@ -57,6 +57,54 @@ def q45_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_range_frame_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS day_ord,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DECIMAL(38,2)) AS VARCHAR) AS spend_30d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="RANGE-frame window (value-based, not row-based): per order, the "
+    "same customer's trailing-30-DAY spend and order count — the frame "
+    "holds every row whose day ordinal is within 30, however many rows "
+    "that is, including all same-day peers. Distinct from q45's ROWS "
+    "frames; one shuffle on the partition key serves both aggregates. "
+    "Day ordinals are integer datediffs from a fixed epoch so both "
+    "engines sort and bound the frame identically; the spend is a "
+    "decimal sum rendered as a fixed-scale string.",
+    tags=("window",),
+)
+def q54_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01")).cast("int")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", day_ord.alias("day_ord")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-30, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_ord",
+        decimal_str(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        ).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
+@register(
     "q46_string_functions",
     oracle="""
     SELECT p_partkey,
