@@ -98,6 +98,41 @@ def sessionized_counts(
     )
 
 
+def stream_stream_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the trailing ``window`` — the streaming twin of the batch
+    bin-and-refine range join (plans.event_queries.q53).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, which is what lets Spark expire join state: a buffered
+    click can be dropped once the watermark passes ts + window, so state
+    stays finite on an infinite stream. Without the time bound this join
+    would be rejected (unbounded state).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"p_user_id = c_user_id AND c_ts < p_ts "
+            f"AND c_ts > p_ts - interval {window}"
+        ),
+    ).select("p_event_id", "c_event_id", F.col("p_user_id").alias("user_id"))
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from retail_sales_etl_pipeline_spark.streaming import (
     run_to_memory,
     run_with_exactly_once_sink,
     sessionized_counts,
+    stream_stream_attribution,
     windowed_event_counts,
 )
 
@@ -75,6 +76,45 @@ def test_session_stream_equals_batch_session_window(spark, events_dir):
         .select(F.col("session_window.start").alias("session_start"), "user_id", "n_events")
     )
     assert _canon(got) == _canon(batch)
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, events_dir):
+    """Stream-stream watermarked join (purchases x trailing clicks) must
+    produce exactly the batch join's pairs when driven over the full
+    backlog — the streaming twin of q53's bin-and-refine range join."""
+    stream = read_events_stream(spark, events_dir)
+    joined = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in run_to_memory(joined, "ssj", output_mode="append").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    expect = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user_id = c_user_id AND c_ts < p_ts "
+                "AND c_ts > p_ts - interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == expect
+    assert expect  # non-vacuous: the fixture has matching pairs
 
 
 def test_exactly_once_sink_idempotent_on_replay(spark, events_dir, tmp_path):
