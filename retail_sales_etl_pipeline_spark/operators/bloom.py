@@ -95,18 +95,24 @@ def bloom_prefilter_new(
     bp = batch_keys.select(
         *batch_keys.columns, F.explode(F.expr(pos_expr)).alias("pos")
     )
-    # docs with >= 1 position NOT in the filter: definitely new
-    definite_ids = bp.join(bits, "pos", "left_anti").select(
-        *[c for c in batch_keys.columns]
-    ).distinct()
-    definite = definite_ids.withColumn("bloom_candidate", F.lit(False))
-    cands = batch_keys.join(
-        definite_ids.select(batch_keys.columns[0]), batch_keys.columns[0], "left_anti"
+    # ONE pass over the batch keys: left-join the (broadcast) filter and
+    # fold the K per-key probes with bool_and — candidate iff every
+    # position hit. (Deriving definite/candidate rows as two separate
+    # anti-join branches would re-execute the upstream key computation.)
+    probed = (
+        bp.join(bits.withColumn("_hit", F.lit(True)), "pos", "left")
+        .groupBy(*batch_keys.columns)
+        .agg(F.bool_and(F.coalesce(F.col("_hit"), F.lit(False))).alias("bloom_candidate"))
     )
-    verified = cands.join(
-        corpus_keys.select(key_col).distinct(), key_col, "left_anti"
-    ).withColumn("bloom_candidate", F.lit(True))
-    return definite.unionByName(verified)
+    # verification folded into the same linear plan (one more left join +
+    # filter, never a second branch): keep non-candidates outright, and
+    # candidates only when the exact key lookup finds no corpus match.
+    dup_keys = corpus_keys.select(key_col).distinct().withColumn("_dup", F.lit(True))
+    return (
+        probed.join(dup_keys, key_col, "left")
+        .filter(~F.col("bloom_candidate") | F.col("_dup").isNull())
+        .select(*batch_keys.columns, "bloom_candidate")
+    )
 
 
 # --- broadcast-bitmap physical form ----------------------------------------

@@ -222,6 +222,65 @@ def binned_attribution_counts(
 
 
 @register(
+    "q55_user_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           median(gap_us) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Grouped-map operator (applyInPandas): per-user inter-event gap "
+    "stats, each user's full history delivered to one pandas function as "
+    "a sorted group — the API shape for per-entity feature engineering "
+    "that windowed SQL can't express cleanly (here median keeps it "
+    "oracle-checkable; real uses fit per-user models or embeddings). One "
+    "shuffle on user_id; group size is bounded by per-user history. "
+    "Median of an even count is the midpoint mean in both numpy and "
+    "DuckDB, and gaps are exact integer micros, so parity is exact.",
+    tags=("events", "pandas-udf"),
+)
+def q55_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def per_user(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        gaps = np.diff(us)
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "min_gap_us", "max_gap_us", "median_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "min_gap_us": [int(gaps.min())],
+                "max_gap_us": [int(gaps.max())],
+                "median_gap_us": [float(np.median(gaps))],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        "user_id long, n_gaps long, min_gap_us long, max_gap_us long, "
+        "median_gap_us double",
+    )
+
+
+@register(
     "q53_range_join_attribution",
     oracle=f"""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
