@@ -112,6 +112,30 @@ def test_ri_antijoin_is_broadcast(spark):
     assert "LeftAnti" in plan
 
 
+def test_range_join_extracts_equi_keys(spark):
+    """q53's time-inequality join must plan as a hash join on the
+    extracted (user_id, bin) equi-keys with the inequality as a residual
+    filter — NEVER a BroadcastNestedLoopJoin/CartesianProduct, which is
+    what a naive non-equi join degenerates to."""
+    plan = _formatted_plan(
+        REGISTRY["q53_range_join_attribution"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _op_count(plan, "SortMergeJoin") + _op_count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_bloom_filter_relation_is_broadcast(spark):
+    """q28: the bloom positions-set must join broadcast (it is bounded by
+    min(|corpus|*K, m) small ints); the batch side must never shuffle for
+    the probe."""
+    plan = _formatted_plan(
+        REGISTRY["q28_bloom_prefilter_dedup"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "BroadcastHashJoin") >= 2  # probe + exact verify
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_month_partition_filter_prunes_at_source(spark, tmp_path):
     """Partition pruning on the monthly-partitioned fact layout: a
     sale_month predicate must become a PartitionFilter on the scan (prune
