@@ -1,5 +1,6 @@
 from .scalar import (
     decimal_str,
+    epoch_us,
     money_sum,
     nan_to_null,
     pg_dayofweek,
@@ -9,6 +10,7 @@ from .scalar import (
 
 __all__ = [
     "decimal_str",
+    "epoch_us",
     "money_sum",
     "nan_to_null",
     "pg_dayofweek",

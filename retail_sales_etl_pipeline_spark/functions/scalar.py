@@ -78,6 +78,22 @@ def decimal_str(col: Column, precision: int = 38, scale: int = 2) -> Column:
     return col.cast(f"decimal({precision},{scale})").cast("string")
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds of an NTZ timestamp, with NO time zone in the
+    computation: wall-clock difference from the NTZ epoch literal.
+
+    ``unix_micros`` would implicitly cast TIMESTAMP_NTZ to LTZ using the
+    SESSION zone — the same column would yield different integers under
+    TZ=America/New_York. timestampdiff on two NTZ values is pure integer
+    µs arithmetic, matching DuckDB's ``epoch_us`` on its naive timestamps."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError("epoch_us needs a column NAME (used in F.expr)")
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+    )
+
+
 def poly_hash_expr(str_expr: str, mod: int = POLY_MOD, base: int = POLY_BASE) -> str:
     """SQL-expression string: polynomial rolling hash of a string column.
 

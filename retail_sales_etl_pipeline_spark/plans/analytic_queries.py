@@ -95,7 +95,9 @@ def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "purchase_event_id",
         "purchase_value",
-        (F.unix_micros("ts") - F.unix_micros("p_ts")).cast("long").alias("gap_us"),
+        # timestampdiff NTZ-to-NTZ: TZ-free, unlike unix_micros (which
+        # would cast NTZ inputs to LTZ via the session zone)
+        F.expr("timestampdiff(MICROSECOND, p_ts, ts)").cast("long").alias("gap_us"),
     )
 
 

@@ -87,7 +87,9 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ms = SESSION_GAP_MIN * 60 * 1000
-    ts_ms = (F.unix_micros("ts") / 1000).cast("long")
+    from ..functions import epoch_us
+
+    ts_ms = (epoch_us("ts") / 1000).cast("long")
     prev_ms = F.lag(ts_ms).over(w)
     new_session = F.when(
         prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1
@@ -182,8 +184,13 @@ def binned_attribution_counts(
     — strict on both ends. An interval of width W spans at most two W-bins,
     so each probe expands to 2 candidate bins and matching is a
     (user_id, bin) equi-join + exact refine."""
-    withb = ev.withColumn("us", F.expr("unix_micros(ts)")).withColumn(
-        "bucket", F.expr(f"unix_micros(ts) div {window_us}")
+    from ..functions import epoch_us
+
+    withb = ev.withColumn("us", epoch_us("ts")).withColumn(
+        "bucket", F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
+            f"div {window_us}"
+        )
     )
     p = withb.filter(F.col("event_type") == probe_type).select(
         F.col("event_id").alias("p_event_id"),

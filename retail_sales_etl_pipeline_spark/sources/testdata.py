@@ -43,10 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    (legacy conf, runtime-settable) and convert to microsecond timestamps —
-    lossless for this data (every value has zero sub-microsecond part) and
-    the documented precision contract of the engine (Spark timestamps are
-    µs)."""
+    (legacy conf, runtime-settable) and convert to microsecond
+    TIMESTAMP_NTZ — lossless for this data (every value has zero
+    sub-microsecond part).
+
+    NTZ, not timestamp_micros (LTZ): every other testdata timestamp reads
+    as NTZ wall-clock, and an LTZ ts would make date_trunc/session_window/
+    to_date depend on the SESSION time zone — same integer data, different
+    hour buckets under TZ=America/New_York. timestampadd on an NTZ epoch
+    literal is exact integer µs arithmetic with no zone in sight."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -55,7 +60,13 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer division: epoch-nanos (~1.7e18) exceeds double precision
         # (2^53), so `/ 1000` would round some values off by 1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -27,6 +27,11 @@ from pyspark.sql.types import (
 
 # Schema of the events stream with ts at Spark-native µs precision (the
 # testdata parquet carries nanos; see sources.testdata._load_events).
+# LTZ by Spark REQUIREMENT: watermarks reject TIMESTAMP_NTZ event time
+# ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The batch path keeps NTZ
+# wall-clock timestamps for session-TZ-independent oracle parity; the
+# streaming twin inherits the session zone — which is fine, because
+# stream/batch equivalence is asserted within one session.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
