@@ -152,6 +152,30 @@ def fetch_and_update_data(
     }
 
 
+def update_source_url(
+    new_url: str, config_path: str, key_path: tuple[str, ...] = ("kaggle_dataset", "url")
+) -> bool:
+    """Refresh the source-data URL in a JSON config file (reference
+    scripts/update_data_url.py:12-34 — used when a signed download URL
+    expires). Sets the nested key and stamps ``last_updated`` next to it.
+    Returns whether the file existed and was updated."""
+    import json
+    from datetime import datetime, timezone
+
+    p = Path(config_path)
+    if not p.exists():
+        logger.warning("Config file not found: %s", config_path)
+        return False
+    config = json.loads(p.read_text())
+    node = config
+    for k in key_path[:-1]:
+        node = node.setdefault(k, {})
+    node[key_path[-1]] = new_url
+    node["last_updated"] = datetime.now(timezone.utc).strftime("%Y-%m-%d")
+    p.write_text(json.dumps(config, indent=2))
+    return True
+
+
 @dataclass(frozen=True)
 class CsvStatus:
     """One file's freshness report (check_csv_status.py:20-42)."""

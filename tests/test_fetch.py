@@ -107,6 +107,21 @@ def test_download_and_extract_units(tmp_path):
     assert not dl.exists()
 
 
+def test_update_source_url(tmp_path):
+    import json
+
+    from retail_sales_etl_pipeline_spark.sources.fetch import update_source_url
+
+    cfg = tmp_path / "data_source.json"
+    cfg.write_text(json.dumps({"kaggle_dataset": {"url": "old"}, "other": 1}))
+    assert update_source_url("https://example.com/new.zip", str(cfg))
+    out = json.loads(cfg.read_text())
+    assert out["kaggle_dataset"]["url"] == "https://example.com/new.zip"
+    assert "last_updated" in out["kaggle_dataset"]
+    assert out["other"] == 1  # untouched keys preserved
+    assert not update_source_url("x", str(tmp_path / "missing.json"))
+
+
 def test_check_csv_status(tmp_path):
     missing = check_csv_status(str(tmp_path / "nope.csv"))
     assert missing == CsvStatus(path=str(tmp_path / "nope.csv"), exists=False)
