@@ -177,3 +177,67 @@ def q47_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("custkeys_in_both_small_large").alias("cohort"), "n"
     )
     return a.unionByName(b)
+
+
+@register(
+    "q56_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+    FROM orders o
+    WHERE o_totalprice = (
+      SELECT MAX(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="Correlated scalar subquery (each customer's maximum-price order): "
+    "Catalyst DECORRELATES it into an aggregate + join rather than "
+    "re-executing the subquery per row — the rewrite that makes "
+    "correlated SQL viable at scale. Expressed through spark.sql to "
+    "exercise the actual subquery path, not a hand-desugared join.",
+    tags=("subquery",),
+)
+def q56_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q56_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str
+        FROM q56_orders o
+        WHERE o_totalprice = (
+          SELECT MAX(o2.o_totalprice) FROM q56_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "q57_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS INTEGER) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS — the general form ROLLUP (q42) and CUBE "
+    "(q48) desugar to — with an arbitrary, non-hierarchical set list and "
+    "GROUPING flags distinguishing NULL-as-total from NULL data. Spark "
+    "plans one Expand + single aggregate over the expanded rows: one "
+    "shuffle regardless of how many sets.",
+    tags=("aggregate",),
+)
+def q57_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q57_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS INT) AS gid
+        FROM q57_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
