@@ -1,0 +1,50 @@
+"""Multimodal plumbing unit tests (the queries' oracle hashes prove the
+full path; these pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_etl_pipeline_spark.operators.multimodal import (
+    FRAME_STRIDE,
+    MAX_FRAMES,
+    attach_payload,
+    decode_media,
+    frame_sample,
+)
+
+
+def test_decode_media_is_a_declared_stub():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"\x00\x01", "image/png")
+
+
+def test_frame_sample_bounds_and_offsets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * (FRAME_STRIDE * 10)),  # long payload: capped at MAX_FRAMES
+            (2, "y" * 5),                    # short payload: 1 tail frame
+            (3, "z" * (FRAME_STRIDE + 3)),   # 2 frames, second a short tail
+        ],
+        "doc_id long, text string",
+    )
+    rows = frame_sample(attach_payload(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == MAX_FRAMES  # skew bounding
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2
+    for r in by_doc[1]:
+        assert r["offset_bytes"] == r["frame_idx"] * FRAME_STRIDE
+    # short tail frame: byte sum of the 3 trailing 'z' bytes
+    tail = [r for r in by_doc[3] if r["frame_idx"] == 1][0]
+    assert tail["frame_byte_sum"] == 3 * ord("z")
+
+
+def test_payload_roundtrip_binary(spark):
+    docs = spark.createDataFrame([(1, "héllo")], "doc_id long, text string")
+    row = attach_payload(docs).collect()[0]
+    assert bytes(row["payload"]) == "héllo".encode("utf-8")
+    assert row["mime"] == "text/plain"

@@ -63,6 +63,48 @@ def test_salted_join_rejects_outer_small_side(spark):
             salted_join(li, orders, "l_orderkey", how=how)
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling (on in the session factory): with
+    one hot key dominating the build of a sort-merge join, the final
+    adaptive plan must mark the join skew-handled (skew=true) — the
+    runtime complement to the explicit salting utilities above."""
+    import pytest
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE key + a thin uniform tail vs a small right side
+        big = spark.range(0, 200_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(0, 2_000).select(
+                (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(0, 52).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        joined = big.join(right, "k")
+        # collect() executes THIS DataFrame's plan (count() would build a
+        # separate query execution and leave this one un-finalized)
+        assert len(joined.collect()) == 202_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """bucketBy + saveAsTable co-locates both sides: the join plan must
     contain a SortMergeJoin with NO Exchange (the 100 TB repeated-join
