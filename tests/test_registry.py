@@ -26,6 +26,19 @@ def test_load_all_registers_full_surface():
         assert name in qs, name
 
 
+def test_catalog_tool_lists_all_and_filters():
+    from tools.list_queries import catalog
+
+    rows = catalog()
+    assert len(rows) >= 54
+    assert all(r["doc"] for r in rows)  # every query is documented
+    dedup = catalog("dedup")
+    assert 0 < len(dedup) < len(rows)
+    assert all("dedup" in r["tags"] for r in dedup)
+    oracle_status = {r["oracle"] for r in rows}
+    assert oracle_status == {"hash-checked", "rows-only"}
+
+
 def test_broken_module_fails_loudly(monkeypatch):
     monkeypatch.setattr(
         registry,
