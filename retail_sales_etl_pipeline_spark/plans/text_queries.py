@@ -155,6 +155,82 @@ def q26_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified sampling rates per labeled language (percent kept), the
+# downsample-overrepresented-languages step of corpus construction; and a
+# deterministic 80/10/10 train/val/test split. Decisions come from two
+# INDEPENDENT affine transforms of the content hash (disjoint constants),
+# never from rand(): re-running on the same corpus reproduces the exact
+# same sample on any cluster layout — and the oracle can check it row-for-row.
+SAMPLE_PCT = {"en": 50, "de": 25, "fr": 25, "es": 25, "zh": 10}
+_DEFAULT_PCT = 10
+SPLIT_PCT = (80, 10)  # train, val; rest = test
+_SAMPLE_A, _SAMPLE_B = 472882049, 299210837
+_SPLIT_A, _SPLIT_B = 573259391, 674506111
+
+
+def _keep_pct_expr(dialect: str) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in SAMPLE_PCT.items()
+    )
+    return f"CASE {cases} ELSE {_DEFAULT_PCT} END"
+
+
+@register(
+    "q58_stratified_sample_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {poly_hash_pair("text", "text")[1]} AS key_hash
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             ({_SAMPLE_A} * key_hash + {_SAMPLE_B}) % 100 AS sample_slot,
+             ({_SPLIT_A} * key_hash + {_SPLIT_B}) % 100 AS split_slot
+      FROM h
+    )
+    SELECT doc_id, lang,
+           CASE WHEN split_slot < {SPLIT_PCT[0]} THEN 'train'
+                WHEN split_slot < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM d
+    WHERE sample_slot < ({_keep_pct_expr("duck")})
+    """,
+    doc="Deterministic stratified sampling + train/val/test split: keep "
+    "rates per language (downsampling overrepresented languages) and an "
+    "80/10/10 split, both decided by independent affine transforms of "
+    "the content hash mod 100 — never rand(), so the sample is exactly "
+    "reproducible across runs, partitionings, and cluster sizes, "
+    "content-stable under re-ingestion (same doc -> same split: no "
+    "train/test leakage when the corpus is rebuilt), and row-for-row "
+    "oracle-checkable. Pure map-side projection + filter, no shuffle.",
+    tags=("text", "sampling"),
+)
+def q58_stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "lang").join(
+        fingerprint_pandas(docs).select("doc_id", F.col("content_fp").alias("key_hash")),
+        "doc_id",
+    )
+    sample_slot = (_SAMPLE_A * F.col("key_hash") + _SAMPLE_B) % 100
+    split_slot = (_SPLIT_A * F.col("key_hash") + _SPLIT_B) % 100
+    keep_pct = F.expr(_keep_pct_expr("spark"))
+    return (
+        keyed.withColumn("sample_slot", sample_slot)
+        .withColumn("split_slot", split_slot)
+        .filter(F.col("sample_slot") < keep_pct)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("split_slot") < SPLIT_PCT[0], "train")
+            .when(F.col("split_slot") < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 _FP_SPARK, _FP_DUCK = poly_hash_pair("text", "text")
 _SH8_SPARK, _SH8_DUCK = char_shingle_hashes_pair("text", 8)
 
