@@ -78,19 +78,19 @@ def decimal_str(col: Column, precision: int = 38, scale: int = 2) -> Column:
     return col.cast(f"decimal({precision},{scale})").cast("string")
 
 
-def epoch_us(col: Column | str) -> Column:
-    """Epoch microseconds of an NTZ timestamp, with NO time zone in the
+def epoch_us(col_name: str) -> Column:
+    """Epoch microseconds of an NTZ timestamp column (by NAME — the
+    expression is built as SQL text), with NO time zone in the
     computation: wall-clock difference from the NTZ epoch literal.
 
     ``unix_micros`` would implicitly cast TIMESTAMP_NTZ to LTZ using the
     SESSION zone — the same column would yield different integers under
     TZ=America/New_York. timestampdiff on two NTZ values is pure integer
     µs arithmetic, matching DuckDB's ``epoch_us`` on its naive timestamps."""
-    name = col if isinstance(col, str) else None
-    if name is None:
+    if not isinstance(col_name, str):
         raise TypeError("epoch_us needs a column NAME (used in F.expr)")
     return F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
     )
 
 

@@ -40,6 +40,10 @@ def kmeans_fit(
     init_rows = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not init_rows:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    # fewer rows than k: fit the clusters that exist (k is an upper bound)
+    k = len(init_rows)
     centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
 
     for _ in range(iters):

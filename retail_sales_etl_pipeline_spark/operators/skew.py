@@ -63,7 +63,7 @@ def salted_join(
     'left' if you need to keep the small side's unmatched rows.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched small-side "

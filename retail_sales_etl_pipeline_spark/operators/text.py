@@ -284,9 +284,11 @@ def jaccard_pairs_pandas(pairs, n: int = 3):
                 pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
             ):
                 sa, sb = ngrams(ta), ngrams(tb)
-                rows.append(
-                    {"doc_a": da, "doc_b": db, "jaccard": len(sa & sb) / len(sa | sb)}
-                )
+                union = len(sa | sb)
+                # both texts shorter than n tokens -> empty sets; define
+                # similarity as 0.0 rather than dividing by zero
+                j = len(sa & sb) / union if union else 0.0
+                rows.append({"doc_a": da, "doc_b": db, "jaccard": j})
             yield pd.DataFrame(rows)
 
     return pairs.mapInPandas(per_batch, "doc_a long, doc_b long, jaccard double")

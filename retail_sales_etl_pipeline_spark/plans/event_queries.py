@@ -110,8 +110,14 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH seq AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
-                       >= {SESSION_GAP_MIN} * 60 * 1000
+             -- microsecond-exact gap (epoch_us), matching session_window's
+             -- native precision: an ms-truncated comparison would split
+             -- sessions the engine merges when the true gap is within 1 ms
+             -- below the boundary (the data HAS sub-ms timestamps).
+             -- >= because Spark windows are [ts, ts+gap): a gap of exactly
+             -- 30:00 starts a new session.
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= {SESSION_GAP_MIN} * 60 * 1000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

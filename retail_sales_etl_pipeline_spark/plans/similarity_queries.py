@@ -44,6 +44,32 @@ _DUCK_VEC_CTE = f"""
 """
 
 
+def _ivf_scored(v: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos_c) for every vector x broadcast centroid."""
+    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
+    a, b = v.alias("a"), F.broadcast(cents).alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    return a.join(b).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("centroid_id"),
+        cos.alias("cos_c"),
+    )
+
+
+def _ivf_assign(scored: DataFrame) -> DataFrame:
+    """Nearest-centroid argmax shared by q31/q52: max_by(struct(cos,
+    -centroid_id)) — same survivor as the oracle's ORDER BY cos DESC,
+    centroid_id ASC window, but with map-side partial aggregation instead
+    of a full N*K window shuffle. Any change to this tie-break MUST stay
+    mirrored in both queries' oracle SQL."""
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cos_c").alias("c"), (-F.col("centroid_id")).alias("neg_id")),
+        ).alias("centroid_id")
+    )
+
+
 @register(
     "q30_ann_bruteforce",
     oracle=f"""
@@ -131,30 +157,7 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _vec_view_spark(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
-    a, b = v.alias("a"), F.broadcast(cents).alias("b")
-    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
-    # argmax via max_by(struct(cos, -centroid_id)): same survivor as the
-    # oracle's ORDER BY cos DESC, centroid_id ASC window, but with map-side
-    # partial aggregation instead of a full N*K window shuffle.
-    assign = (
-        a.join(b)
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("centroid_id"),
-            cos.alias("cos_c"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(
-                    F.col("cos_c").alias("c"),
-                    (-F.col("centroid_id")).alias("neg_id"),
-                ),
-            ).alias("centroid_id")
-        )
-    )
+    assign = _ivf_assign(_ivf_scored(v))
 
     qa = assign.alias("qa")
     ba = assign.alias("ba")
@@ -237,21 +240,9 @@ def q52_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _vec_view_spark(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
-    a, b = v.alias("a"), F.broadcast(cents).alias("b")
-    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
-    scored = a.join(b).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("centroid_id"),
-        cos.alias("cos_c"),
-    )
+    scored = _ivf_scored(v)
     # database side: argmax via map-side partial max_by (the q31 shape)
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("centroid_id"),
-            F.struct(F.col("cos_c").alias("c"), (-F.col("centroid_id")).alias("neg_id")),
-        ).alias("centroid_id")
-    )
+    assign = _ivf_assign(scored)
     # query side: top-nprobe centroids; the window touches only Q*K rows
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
     qassign = (

@@ -168,7 +168,8 @@ _SAMPLE_A, _SAMPLE_B = 472882049, 299210837
 _SPLIT_A, _SPLIT_B = 573259391, 674506111
 
 
-def _keep_pct_expr(dialect: str) -> str:
+def _keep_pct_expr() -> str:
+    """Per-language keep percentage (identical SQL in both dialects)."""
     cases = " ".join(
         f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in SAMPLE_PCT.items()
     )
@@ -193,7 +194,7 @@ def _keep_pct_expr(dialect: str) -> str:
                 WHEN split_slot < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
                 ELSE 'test' END AS split
     FROM d
-    WHERE sample_slot < ({_keep_pct_expr("duck")})
+    WHERE sample_slot < ({_keep_pct_expr()})
     """,
     doc="Deterministic stratified sampling + train/val/test split: keep "
     "rates per language (downsampling overrepresented languages) and an "
@@ -215,7 +216,7 @@ def q58_stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample_slot = (_SAMPLE_A * F.col("key_hash") + _SAMPLE_B) % 100
     split_slot = (_SPLIT_A * F.col("key_hash") + _SPLIT_B) % 100
-    keep_pct = F.expr(_keep_pct_expr("spark"))
+    keep_pct = F.expr(_keep_pct_expr())
     return (
         keyed.withColumn("sample_slot", sample_slot)
         .withColumn("split_slot", split_slot)

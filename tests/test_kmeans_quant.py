@@ -56,6 +56,23 @@ def test_lloyd_iteration_monotone_inertia(spark, emb):
         prev = cur
 
 
+def test_fit_with_fewer_rows_than_k(spark):
+    """k is an upper bound: a 3-vector corpus with k=8 fits 3 centroids
+    instead of crashing on a mask-length mismatch."""
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(tiny, k=8, iters=2)
+    assert len(cents) == 3
+    assert kmeans_assign(tiny, cents).count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(tiny.filter("vec_id < 0"), k=4)
+
+
 def test_quantization_grid_error_bound(spark):
     """Per-component property: dequantized values must sit within half a
     grid step of the original (|x - q*scale| <= scale/2 + ulp) for every
