@@ -83,7 +83,12 @@ _DUCK_QUALITY_OK = (
     "Jaccard (q21), dropping the higher doc_id of each verified pair "
     "(greedy by id — deterministic, not transitive clustering). "
     "Composes five already-green operators and is hash-checked "
-    "end-to-end; candidates always come from the banded equi-join.",
+    "end-to-end; candidates always come from the banded equi-join. "
+    "As one lazy plan, multi-consumer stages (survivors feeds the "
+    "candidate semi-joins AND the final output) re-execute their "
+    "subtree; the 100 TB form writes each stage to parquet and reads it "
+    "back — exactly the stage-boundary materialization the retail "
+    "pipeline driver does — which also checkpoints the lineage.",
     tags=("dedup", "text", "composition"),
 )
 def q29_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
