@@ -47,15 +47,27 @@ BLOOM_M = 262139  # prime bit-space; ~fpp 2% at ~4k keys with K=4
 def bloom_positions_pair(
     h_spark: str, h_duck: str, m: int = BLOOM_M
 ) -> tuple[str, str]:
-    """Dialect-paired array-of-positions expressions for a key-hash expr."""
+    """Dialect-paired array-of-positions expressions for a key-hash expr.
+
+    Positions use pmod semantics (always non-negative) in BOTH dialects so
+    they agree with numpy's ``%`` in the bitmap form even for negative key
+    hashes: Spark ``pmod``, DuckDB ``((x % m) + m) % m`` (its ``%`` follows
+    the dividend's sign, like Spark's). For the poly-hash domain
+    [0, POLY_MOD) all three were already identical; this closes the
+    disagreement for out-of-domain callers. a*h stays < 1e6 * POLY_MOD
+    ≈ 1e15 « 2^63, so the int64 arithmetic cannot overflow on-domain —
+    the bitmap helpers assert the domain (numpy's a*h WOULD overflow
+    silently for |h| ≳ 1e13)."""
     spark = (
         "array("
-        + ", ".join(f"(({a}L * {h_spark} + {b}L) % {m})" for a, b in BLOOM_HASHES)
+        + ", ".join(f"pmod({a}L * {h_spark} + {b}L, {m})" for a, b in BLOOM_HASHES)
         + ")"
     )
     duck = (
         "["
-        + ", ".join(f"(({a} * {h_duck} + {b}) % {m})" for a, b in BLOOM_HASHES)
+        + ", ".join(
+            f"((({a} * {h_duck} + {b}) % {m}) + {m}) % {m}" for a, b in BLOOM_HASHES
+        )
         + "]"
     )
     return spark, duck
@@ -88,12 +100,17 @@ def bloom_prefilter_new(
       positives of the filter).
 
     Result set == plain exact anti-join, proven in tests with an
-    undersized ``m`` that forces false positives.
+    undersized ``m`` that forces false positives. Input contract: batch
+    rows are distinct (the groupBy re-assembling the K probe rows per key
+    would collapse byte-identical duplicates — upstream exact dedup is the
+    ladder rung that owns those). A NULL key hash is handled like
+    left_anti handles it — kept as definite-new (``explode_outer``; its
+    NULL positions never match the filter).
     """
     pos_expr = bloom_positions_pair(key_col, key_col, m)[0]
     bits = F.broadcast(bloom_bits(corpus_keys, key_col, m))
     bp = batch_keys.select(
-        *batch_keys.columns, F.explode(F.expr(pos_expr)).alias("pos")
+        *batch_keys.columns, F.explode_outer(F.expr(pos_expr)).alias("pos")
     )
     # ONE pass over the batch keys: left-join the (broadcast) filter and
     # fold the K per-key probes with bool_and — candidate iff every
@@ -126,7 +143,7 @@ def bloom_bitmap_build(
     bitmaps. Shuffle-free; driver receives n_partitions * m/8 bytes."""
     import numpy as np
 
-    hashes, mod = list(BLOOM_HASHES), m
+    hashes, mod, poly_mod = list(BLOOM_HASHES), m, POLY_MOD
     n_bytes = (m + 7) // 8
 
     def per_partition(batches):
@@ -140,6 +157,10 @@ def bloom_bitmap_build(
                 continue
             seen = True
             h = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            # numpy a*h overflows int64 silently for |h| >= ~1e13; the
+            # poly-hash domain [0, POLY_MOD) is the supported input.
+            if h.min() < 0 or h.max() >= poly_mod:
+                raise ValueError("bloom bitmap: key_hash outside [0, POLY_MOD)")
             for a, b in hashes:
                 pos = (a * h + b) % mod
                 np.bitwise_or.at(bitmap, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
@@ -164,7 +185,7 @@ def bloom_bitmap_filter(
     bits set) when ``candidates``, else the definite-new rows. Zero
     shuffle; the bitmap ships once per executor in the task closure (use
     ``spark.sparkContext.broadcast`` for very large m)."""
-    hashes, mod = list(BLOOM_HASHES), m
+    hashes, mod, poly_mod = list(BLOOM_HASHES), m, POLY_MOD
     schema = batch_keys.schema
 
     def per_batch(batches):
@@ -175,6 +196,8 @@ def bloom_bitmap_filter(
             if pdf.empty:
                 continue
             h = pdf[key_col].to_numpy(dtype=np.int64)
+            if h.min() < 0 or h.max() >= poly_mod:
+                raise ValueError("bloom bitmap: key_hash outside [0, POLY_MOD)")
             hit = np.ones(len(h), dtype=bool)
             for a, b in hashes:
                 pos = (a * h + b) % mod

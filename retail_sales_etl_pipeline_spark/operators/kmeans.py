@@ -89,7 +89,13 @@ def kmeans_fit(
         )
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
-        for r in part_rows:
+        # collect() row order follows partition report order, which is NOT
+        # guaranteed (AQE, speculative tasks); sort the tiny partial list by
+        # its full content so the float64 accumulation order — and hence the
+        # fitted centroids — is deterministic by construction.
+        for r in sorted(
+            part_rows, key=lambda r: (r["centroid_id"], r["n"], tuple(r["vec_sum"]))
+        ):
             sums[r["centroid_id"]] += np.asarray(r["vec_sum"])
             counts[r["centroid_id"]] += r["n"]
         nonempty = counts > 0

@@ -83,14 +83,28 @@ def run(
     quality.validate_row_gate(cleaned_rows, min_rows)
 
     # -- transform (dag3): three dim upserts, then the fact star join -------
-    # The three dim lineages are independent (the reference runs them as
-    # parallel Airflow tasks); Spark schedules their jobs from one driver.
-    dim_product = load_dim_product(cleaned, _read_dim(spark, p["dim_product"]))
-    dim_product.write.mode("overwrite").parquet(p["dim_product"] + "_new")
-    dim_customer = load_dim_customer(cleaned, _read_dim(spark, p["dim_customer"]))
-    dim_customer.write.mode("overwrite").parquet(p["dim_customer"] + "_new")
-    dim_date = load_dim_date(cleaned, _read_dim(spark, p["dim_date"]))
-    dim_date.write.mode("overwrite").parquet(p["dim_date"] + "_new")
+    # The three dim lineages are independent and the reference runs them as
+    # PARALLEL Airflow tasks (dag3_transform_warehouse.py:216). Submitting
+    # the three build+write actions from a thread pool reproduces that:
+    # SparkSession is thread-safe for concurrent actions, so the scheduler
+    # interleaves the three jobs instead of running them back-to-back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_and_write(name: str, loader) -> None:
+        df = loader(cleaned, _read_dim(spark, p[name]))
+        df.write.mode("overwrite").parquet(p[name] + "_new")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(_build_and_write, name, loader)
+            for name, loader in (
+                ("dim_product", load_dim_product),
+                ("dim_customer", load_dim_customer),
+                ("dim_date", load_dim_date),
+            )
+        ]
+        for f in futures:
+            f.result()  # re-raise the first failure; never swallow
 
     # swap: writing X_new then renaming avoids reading+overwriting the same
     # path in one job (Spark reads lazily; an in-place overwrite of an input

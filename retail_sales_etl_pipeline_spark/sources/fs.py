@@ -69,14 +69,32 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
 
 
 def replace(spark: SparkSession, src: str, dst: str) -> None:
-    """The dim-swap primitive: atomically-as-the-FS-allows move ``src``
-    over ``dst`` (delete dst if present, then rename). Raises if the
-    rename is refused (e.g. src missing, or cross-filesystem move)."""
+    """The dim-swap primitive: move ``src`` over ``dst``, recoverable at
+    every step. A delete-then-rename swap has a window where a crash
+    leaves NO copy of dst; instead the old dst is renamed aside first, so
+    at any interruption point at least one complete copy exists:
+
+    1. rename dst → dst_old   (crash here: data intact under dst_old)
+    2. rename src → dst       (crash here: new data intact under dst)
+    3. delete dst_old         (crash here: dst already live)
+
+    Raises if a rename is refused (src missing, cross-FS move). A stale
+    ``dst_old`` from a previous crash is cleaned up before starting."""
     fs, jsrc = _fs_path(spark, src)
     _, jdst = _fs_path(spark, dst)
     if not fs.exists(jsrc):
         raise FileNotFoundError(f"rename source missing: {src}")
-    if fs.exists(jdst):
-        fs.delete(jdst, True)
+    old = dst.rstrip("/") + "_old"
+    _, jold = _fs_path(spark, old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    had_dst = fs.exists(jdst)
+    if had_dst and not fs.rename(jdst, jold):
+        raise OSError(f"rename failed: {dst} -> {old}")
     if not fs.rename(jsrc, jdst):
+        # put the old copy back so dst is never left missing
+        if had_dst:
+            fs.rename(jold, jdst)
         raise OSError(f"rename failed: {src} -> {dst}")
+    if had_dst:
+        fs.delete(jold, True)

@@ -51,6 +51,16 @@ def read_events_stream(
 
     Streaming file sources require an explicit schema (no inference at
     start). ``maxFilesPerTrigger`` shapes micro-batches for tests.
+
+    UTC-session dependency (load-bearing, not just a schema comment): the
+    batch loaders write/carry event time as TIMESTAMP_NTZ wall-clock
+    values, while this schema declares LTZ ``TimestampType`` because
+    watermarks REQUIRE it. Reading NTZ-written parquet with an LTZ schema
+    reinterprets the stored micros through ``spark.sql.session.timeZone``
+    — identical to the batch values only because the session factory pins
+    UTC. A session on any other zone would shift every streaming window
+    boundary relative to batch. If this reader must run on a non-UTC
+    session, derive ts by casting from the NTZ loader convention instead.
     """
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
     if max_files_per_trigger:

@@ -5,12 +5,20 @@ over the same parquet files, canonicalizes both results (columns sorted by
 name, rows sorted, values stringified), and compares hashes. Use while
 iterating; the real gate is the round driver.
 
-Usage: python tools/check_correctness.py [query_name ...]
+Usage:
+    python tools/check_correctness.py [query_name ...]
+    python tools/check_correctness.py --verify-report CORRECTNESS_rN.json
+
+Completeness is part of the gate: a full run (no query-name filter) exits
+non-zero unless EVERY registered query produced a result row, and
+``--verify-report`` checks a driver-produced correctness JSON covers the
+whole registry — a registry/report mismatch can never read as green.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -38,9 +46,50 @@ def canon(df: pd.DataFrame) -> tuple[str, int]:
     return h, len(rows)
 
 
+def verify_report(path: str) -> int:
+    """Gate a driver-produced CORRECTNESS_r*.json against the registry:
+    every registered query must have a row, every oracle-backed row must be
+    fully green, every rows-only row must be error-free. Exit non-zero on
+    any gap — this is how a stale/partial report is made un-ignorable."""
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+    registry = load_all()
+    with open(path) as f:
+        report = json.load(f)
+    rc = 0
+    missing = sorted(set(registry) - set(report))
+    unknown = sorted(set(report) - set(registry))
+    if missing:
+        print(f"MISSING from report ({len(missing)}): {', '.join(missing)}")
+        rc = 1
+    if unknown:
+        print(f"UNKNOWN in report (not registered, {len(unknown)}): {', '.join(unknown)}")
+        rc = 1
+    for name, row in sorted(report.items()):
+        if name not in registry:
+            continue
+        if registry[name].oracle is None:
+            ok = row.get("err") in (None, "no_oracle") and row.get("spark_rows", 0) >= 0
+            status = "ROWS " if ok else "FAIL "
+        else:
+            ok = bool(
+                row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            )
+            status = "PASS " if ok else "FAIL "
+        if not ok:
+            rc = 1
+            print(f"{status} {name}: {row}")
+    n = len(report)
+    print(f"report rows: {n} / registry: {len(registry)} -> {'GREEN' if rc == 0 else 'RED'}")
+    return rc
+
+
 def main() -> int:
     from retail_sales_etl_pipeline_spark.plans.registry import load_all
     from retail_sales_etl_pipeline_spark.session import get_spark
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--verify-report":
+        return verify_report(sys.argv[2])
 
     only = set(sys.argv[1:])
     registry = load_all()
@@ -55,9 +104,11 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_noorcl = 0
+    seen: set[str] = set()
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
+        seen.add(name)
         t0 = time.time()
         try:
             sdf = q.spark_fn(spark, SF_DIR).toPandas()
@@ -92,7 +143,18 @@ def main() -> int:
             else:
                 print("      sample spark:", sdf.reindex(sorted(sdf.columns), axis=1).head(2).to_dict("records"))
                 print("      sample oracle:", odf.reindex(sorted(odf.columns), axis=1).head(2).to_dict("records"))
-    print(f"\n{n_pass} pass / {n_fail} fail / {n_noorcl} rows-only")
+    # Completeness gate: a full run must cover the WHOLE registry. (With a
+    # name filter, unknown names are also an error — a typo must not pass.)
+    if only:
+        unmatched = sorted(only - seen)
+        if unmatched:
+            print(f"FAIL  unknown query name(s): {', '.join(unmatched)}")
+            n_fail += 1
+    elif seen != set(registry):
+        print(f"FAIL  registry/report mismatch: {sorted(set(registry) - seen)}")
+        n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_noorcl} rows-only "
+          f"({len(seen)}/{len(registry)} registered queries checked)")
     return 1 if n_fail else 0
 
 
