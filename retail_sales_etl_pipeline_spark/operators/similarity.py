@@ -37,6 +37,16 @@ RP_TABLES = 4
 RP_BITS = 4
 _DIMS = 64
 
+# Hot-bucket cap for RP-LSH candidate generation (see dedup_queries.
+# LSH_MAX_BUCKET for the rationale). The 2^RP_BITS bucket space is FIXED,
+# so bucket size grows linearly with the corpus — at real corpus scale the
+# structural fix is more hyperplanes (bucket space must scale with N); the
+# cap's job is bounding degenerate buckets (e.g. near-zero embeddings that
+# all land in one cell) to cap^2 pair work. Observed max bucket: 65 at
+# sf0.01, 281 at sf0.1 — 1024 is a no-op at test scale and is mirrored in
+# the q32 oracle; dropped buckets stay observable via q59.
+RP_MAX_BUCKET = 1024
+
 
 def _hyperplane(bit_k: int, dims: int = _DIMS) -> list[int]:
     """Deterministic pseudo-random integer hyperplane in [-9, 9]."""

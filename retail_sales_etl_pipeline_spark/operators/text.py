@@ -132,11 +132,15 @@ def simhash_expr(col: str = "text", bits: int = 16) -> tuple[str, str]:
 # parity verified per-row by the correctness gate itself.
 
 
-def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id", row_counter=None):
     """(id, band0..bandN) MinHash band signatures, numpy-vectorized.
 
     Matches minhash_sig_expr exactly: char-5-shingle polynomial hashes,
     16 affine permutations, 4 bands of 4 joined with '-'.
+
+    ``row_counter``: optional Spark accumulator incremented per processed
+    input row — an execution probe, used by tests to PROVE this stage runs
+    once (not once per lazy consumer) under stage materialization.
     """
     perms = list(MINHASH_PERMS)
     bands, mod, base = MINHASH_BANDS, POLY_MOD, POLY_BASE
@@ -162,6 +166,8 @@ def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
         for pdf in batches:
             if pdf.empty:
                 continue
+            if row_counter is not None:
+                row_counter.add(len(pdf))
             out_rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 sh = shingle_hashes(text)
@@ -176,9 +182,12 @@ def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
     return df.select(id_col, text_col).mapInPandas(per_batch, schema)
 
 
-def fingerprint_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+def fingerprint_pandas(df, text_col: str = "text", id_col: str = "doc_id", row_counter=None):
     """(id, content_fp, min_shingle_fp) — numpy-vectorized twin of the
-    poly_hash_pair / char_shingle_hashes_pair(k=8) SQL forms."""
+    poly_hash_pair / char_shingle_hashes_pair(k=8) SQL forms.
+
+    ``row_counter``: optional Spark accumulator incremented per processed
+    input row (execution probe; see minhash_bands_pandas)."""
     mod, base = POLY_MOD, POLY_BASE
     schema = f"{id_col} long, content_fp long, min_shingle_fp long"
 
@@ -206,6 +215,8 @@ def fingerprint_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
         for pdf in batches:
             if pdf.empty:
                 continue
+            if row_counter is not None:
+                row_counter.add(len(pdf))
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 codes = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))

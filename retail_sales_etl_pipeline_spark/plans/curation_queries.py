@@ -25,7 +25,7 @@ from ..operators.text import (
     token_ngrams_expr,
 )
 from ..sources import load_table
-from .dedup_queries import _DUCK_CAND_CTE, _spark_candidates
+from .dedup_queries import _DUCK_CAND_CTE, minhash_candidates
 from .registry import register
 from .text_queries import _DUCK_SCORES, _predict_expr, _SPARK_SCORES
 
@@ -83,16 +83,24 @@ _DUCK_QUALITY_OK = (
     "Jaccard (q21), dropping the higher doc_id of each verified pair "
     "(greedy by id — deterministic, not transitive clustering). "
     "Composes five already-green operators and is hash-checked "
-    "end-to-end; candidates always come from the banded equi-join. "
-    "As one lazy plan, multi-consumer stages (survivors feeds the "
-    "candidate semi-joins AND the final output) re-execute their "
-    "subtree; the 100 TB form writes each stage to parquet and reads it "
-    "back — exactly the stage-boundary materialization the retail "
-    "pipeline driver does — which also checkpoints the lineage.",
+    "end-to-end; candidates always come from the banded (hot-bucket-"
+    "capped) equi-join. This registry entry is the one-lazy-plan form; "
+    "``curate(materialize_dir=...)`` is the 100 TB form — each "
+    "multi-consumer stage is written to parquet once and re-read, so "
+    "the MinHash/fingerprint subtrees execute exactly once (proven by "
+    "an accumulator test) and lineage is checkpointed at each stage.",
     tags=("dedup", "text", "composition"),
 )
 def q29_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return curate(spark, sf_dir)
+
+
+# --- stage builders shared by the lazy and materialized forms --------------
+
+
+def _featurized_survivors(docs: DataFrame, row_counter=None) -> DataFrame:
+    """Stages A-C: quality gate → language tag → exact dedup (min-doc_id
+    survivor per content fingerprint)."""
     n_tokens = F.size(F.split("text", " ")).cast("long")
     n_punct = (
         F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
@@ -102,22 +110,36 @@ def q29_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.expr(_predict_expr(_SPARK_SCORES)).alias("predicted_lang"),
     )
-    feat = ok.join(fingerprint_pandas(docs).select("doc_id", "content_fp"), "doc_id")
-
+    feat = ok.join(
+        fingerprint_pandas(docs, row_counter=row_counter).select(
+            "doc_id", "content_fp"
+        ),
+        "doc_id",
+    )
     w = Window.partitionBy("content_fp").orderBy("doc_id")
-    survivors = (
+    return (
         feat.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
 
+
+def _survivor_candidates(
+    docs: DataFrame, survivors: DataFrame, row_counter=None
+) -> DataFrame:
+    """Stage D: MinHash band candidates restricted to surviving docs."""
     surv_ids = survivors.select("doc_id")
-    cand = (
-        _spark_candidates(spark, sf_dir)
+    return (
+        minhash_candidates(docs, row_counter=row_counter)
         .select("doc_a", "doc_b")
         .join(surv_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(surv_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
+
+
+def _verified_near_drop(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Stage E: trigram-Jaccard verification; drop the higher doc_id of
+    each verified pair (greedy by id)."""
     texts = docs.filter(F.size(F.split("text", " ")) >= 3)
     pairs = cand.join(
         texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
@@ -126,12 +148,57 @@ def q29_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
         "doc_b",
     )
-    near_drop = (
+    return (
         jaccard_pairs_pandas(pairs)
         .filter(F.col("jaccard") >= CURATION_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize_dir: str | None = None,
+    row_counter=None,
+) -> DataFrame:
+    """Corpus curation, lazily composed or stage-materialized.
+
+    With ``materialize_dir=None`` the whole pipeline is ONE lazy plan —
+    correct, but multi-consumer stages re-execute per consumer:
+    ``survivors`` feeds the two candidate semi-joins AND the final
+    output, so the quality/lang/fingerprint subtree runs three times (at
+    sf0.1 that doubles a 2 s query; at 100 TB it re-runs the MinHash
+    stage over the corpus — a scale-killer).
+
+    With ``materialize_dir`` set, each multi-consumer stage is written to
+    parquet ONCE and re-read by its consumers — the stage-boundary
+    materialization the retail pipeline driver does, which also
+    checkpoints lineage (an executor loss replays a parquet read, not the
+    signature computation). Tests prove single execution via a row
+    accumulator on the MinHash stage and result equality with the lazy
+    form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    if materialize_dir is None:
+        survivors = _featurized_survivors(docs, row_counter=row_counter)
+        cand = _survivor_candidates(docs, survivors, row_counter=row_counter)
+        near_drop = _verified_near_drop(cand, docs)
+        return survivors.join(near_drop, "doc_id", "left_anti").select(
+            "doc_id", "predicted_lang", "content_fp"
+        )
+
+    surv_path = materialize_dir.rstrip("/") + "/survivors"
+    cand_path = materialize_dir.rstrip("/") + "/candidates"
+    _featurized_survivors(docs, row_counter=row_counter).write.mode(
+        "overwrite"
+    ).parquet(surv_path)
+    survivors = spark.read.parquet(surv_path)
+    _survivor_candidates(docs, survivors, row_counter=row_counter).write.mode(
+        "overwrite"
+    ).parquet(cand_path)
+    cand = spark.read.parquet(cand_path)
+    near_drop = _verified_near_drop(cand, docs)
     return survivors.join(near_drop, "doc_id", "left_anti").select(
         "doc_id", "predicted_lang", "content_fp"
     )

@@ -24,7 +24,7 @@ hash match is itself the proof the two paths agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import (
@@ -39,6 +39,17 @@ from ..sources import load_table
 from .registry import register
 
 NEARDUP_JACCARD = 0.3
+
+# Hot-bucket cap for LSH candidate generation. Candidate pairs are
+# |bucket|^2 per bucket, so ONE degenerate bucket (boilerplate docs, empty
+# strings) turns the banded self-join quadratic. Buckets above the cap are
+# DROPPED before pairing — the FineWeb/SlimPajama convention: a signature
+# shared by more than this many documents is too common to be a useful
+# near-dup signal. Pair work is then bounded by n_buckets * cap^2.
+# Observed max bucket: 6 at sf0.01, 25 at sf0.1 — 64 is a no-op at test
+# scale (the oracle mirrors the cap, so this is hash-checked, and the
+# dropped buckets stay observable via q59_lsh_bucket_stats: no silent cap).
+LSH_MAX_BUCKET = 64
 
 
 @register(
@@ -91,28 +102,52 @@ _DUCK_CAND_CTE = f"""
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band{i} AS sig FROM sigs" for i in range(MINHASH_BANDS))}
     ),
+    okbands AS (
+      SELECT doc_id, band_idx, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, sig) AS bucket_n
+        FROM bands
+      ) WHERE bucket_n <= {LSH_MAX_BUCKET}
+    ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-      FROM bands a JOIN bands b
+      FROM okbands a JOIN okbands b
         ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
 """
 
 
-def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Arrow/numpy signature computation — identical integers to the SQL
-    # form the oracle runs.
-    sigs = minhash_bands_pandas(docs)
-    bands = sigs.selectExpr(
+def minhash_band_rows(docs: DataFrame, row_counter=None) -> DataFrame:
+    """(doc_id, band_idx, sig): one row per document per LSH band.
+    Signatures computed by the Arrow/numpy operator — identical integers
+    to the SQL form the oracle runs."""
+    sigs = minhash_bands_pandas(docs, row_counter=row_counter)
+    return sigs.selectExpr(
         "doc_id",
         f"stack({MINHASH_BANDS}, "
         + ", ".join(f"{i}, band{i}" for i in range(MINHASH_BANDS))
         + ") AS (band_idx, sig)",
     )
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def minhash_candidates(
+    docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET, row_counter=None
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) candidate pairs from band-bucket
+    equality, with hot buckets (> ``max_bucket`` members) dropped BEFORE
+    pairing. The bucket count is a window over (band_idx, sig) — the same
+    key the self-join shuffles on, so sizing adds one co-partitioned pass,
+    not a second execution of the signature subtree. Candidate work per
+    bucket is bounded by cap^2 regardless of corpus degeneracy."""
+    bands = minhash_band_rows(docs, row_counter=row_counter)
+    w = Window.partitionBy("band_idx", "sig")
+    ok = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
     return (
         a.join(
             b,
@@ -125,6 +160,10 @@ def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "q22_minhash_lsh_candidates",
     oracle=f"""
@@ -134,9 +173,12 @@ def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH near-dup candidates: 16 affine permutations over "
     "char-5-shingle polynomial hashes, banded 4x4; docs sharing any band "
     "signature become candidates. The unpivot+equi-join shape shuffles "
-    "(band_idx, sig) keys only — no all-pairs scan, which is what makes "
-    "near-dedup feasible at 100 TB. Signatures computed via the Arrow/"
-    "numpy operator; the oracle recomputes them in pure SQL arithmetic.",
+    "(band_idx, sig) keys only — no all-pairs scan — and buckets larger "
+    f"than {LSH_MAX_BUCKET} are dropped before pairing (mirrored in the "
+    "oracle; see q59 for the dropped-bucket report), so one degenerate "
+    "boilerplate bucket can never make the self-join quadratic. "
+    "Signatures computed via the Arrow/numpy operator; the oracle "
+    "recomputes them in pure SQL arithmetic.",
     tags=("dedup", "lsh", "pandas-udf"),
 )
 def q22_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,6 +283,88 @@ def q28_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = keys.filter(F.col("doc_id") % 3 == 0)
     batch = keys.filter(F.col("doc_id") % 3 != 0)
     return bloom_prefilter_new(batch, corpus)
+
+
+from ..operators.similarity import (
+    RP_MAX_BUCKET,
+    RP_TABLES,
+    rp_bucket_pair,
+    rp_buckets_pandas,
+)
+
+_RP_DUCK_BUCKETS = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
+
+
+@register(
+    "q59_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    mh_sizes AS (
+      SELECT band_idx, sig, COUNT(*) AS n FROM bands GROUP BY band_idx, sig
+    ),
+    rv AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    rp_buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {t} AS tbl, ({e}) AS bucket FROM rv"
+          for t, e in enumerate(_RP_DUCK_BUCKETS)
+      )}
+    ),
+    rp_sizes AS (
+      SELECT tbl, bucket, COUNT(*) AS n FROM rp_buckets GROUP BY tbl, bucket
+    )
+    SELECT 'minhash' AS space, CAST(band_idx AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(SUM(CASE WHEN n > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_dropped,
+           CAST(SUM(CASE WHEN n > {LSH_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_dropped
+    FROM mh_sizes GROUP BY band_idx
+    UNION ALL
+    SELECT 'rp' AS space, CAST(tbl AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(SUM(CASE WHEN n > {RP_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_dropped,
+           CAST(SUM(CASE WHEN n > {RP_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_dropped
+    FROM rp_sizes GROUP BY tbl
+    """,
+    doc="LSH bucket-size report for BOTH candidate-generation spaces "
+    "(MinHash bands over documents, RP tables over embeddings): per band/"
+    "table, the bucket count, the largest bucket, and how many buckets/"
+    "rows the hot-bucket caps (q22/q32) drop. This is the no-silent-caps "
+    "rule as a first-class oracle-checked query — capping is only "
+    "acceptable because its effect is observable here.",
+    tags=("dedup", "lsh", "observability"),
+)
+def q59_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def stats(sizes: DataFrame, space: str, band_col: str, cap: int) -> DataFrame:
+        return sizes.groupBy(
+            F.lit(space).alias("space"), F.col(band_col).cast("long").alias("band")
+        ).agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket_n"),
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("n_buckets_dropped"),
+            F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias("rows_dropped"),
+        ).select("space", "band", "n_buckets", "max_bucket_n", "n_buckets_dropped", "rows_dropped")
+
+    mh_sizes = (
+        minhash_band_rows(docs)
+        .groupBy("band_idx", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rp_sizes = (
+        rp_buckets_pandas(emb)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return stats(mh_sizes, "minhash", "band_idx", LSH_MAX_BUCKET).unionByName(
+        stats(rp_sizes, "rp", "tbl", RP_MAX_BUCKET)
+    )
 
 
 _SIMHASH_SPARK, _SIMHASH_DUCK = simhash_expr("text", 16)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    RP_MAX_BUCKET,
     RP_TABLES,
     dot_pair,
     norm_pair,
@@ -377,9 +378,15 @@ _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
           for t, e in enumerate(_RP_DUCK)
       )}
     ),
+    okbuckets AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bucket_n
+        FROM buckets
+      ) WHERE bucket_n <= {RP_MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM buckets a JOIN buckets b
+      FROM okbuckets a JOIN okbuckets b
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b, {_DOT_D} / (a.nrm * b.nrm) AS cosine
@@ -389,6 +396,8 @@ _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
     doc=f"Embedding near-dup pairs via random-projection LSH: {RP_TABLES} "
     f"tables of sign-bit buckets from fixed integer hyperplanes; candidate "
     f"pairs come from (table, bucket) equality — never an all-pairs scan — "
+    f"with buckets above {RP_MAX_BUCKET} members dropped before pairing "
+    f"(hot-bucket cap, mirrored in the oracle; q59 reports the drops), "
     f"then exact cosine >= {NEARDUP_COS} verification. Buckets are computed "
     f"by the Arrow/numpy twin (operators.similarity.rp_buckets_pandas) with "
     f"fold-order-exact accumulation, so DuckDB reproduces them bit-for-bit; "
@@ -397,9 +406,31 @@ _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
     tags=("similarity", "dedup", "lsh"),
 )
 def q32_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vec_view_spark(spark, sf_dir)
-    buckets = rp_buckets_pandas(load_table(spark, sf_dir, "embeddings"))
-    a, b = buckets.alias("ba"), buckets.alias("bb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_neardup_pairs(emb)
+
+
+def rp_neardup_pairs(
+    emb: DataFrame, max_bucket: int = RP_MAX_BUCKET, min_cos: float = NEARDUP_COS
+) -> DataFrame:
+    """q32's body as a reusable operator (parameterized cap for tests).
+    The bucket count is a window over (tbl, bucket) — the self-join's own
+    shuffle key — so capping costs one co-partitioned pass."""
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
+    )
+    from pyspark.sql import Window
+
+    buckets = rp_buckets_pandas(emb)
+    w = Window.partitionBy("tbl", "bucket")
+    ok = (
+        buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a, b = ok.alias("ba"), ok.alias("bb")
     cand = (
         a.join(
             b,
@@ -418,5 +449,5 @@ def q32_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(av, F.col("a.vec_id") == F.col("vec_a"))
         .join(bv, F.col("b.vec_id") == F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_COS)
+        .filter(F.col("cosine") >= min_cos)
     )
