@@ -137,9 +137,8 @@ def _survivor_candidates(
     )
 
 
-def _verified_near_drop(cand: DataFrame, docs: DataFrame) -> DataFrame:
-    """Stage E: trigram-Jaccard verification; drop the higher doc_id of
-    each verified pair (greedy by id)."""
+def _verified_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Stage E: trigram-Jaccard verification of the candidate pairs."""
     texts = docs.filter(F.size(F.split("text", " ")) >= 3)
     pairs = cand.join(
         texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
@@ -151,9 +150,15 @@ def _verified_near_drop(cand: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         jaccard_pairs_pandas(pairs)
         .filter(F.col("jaccard") >= CURATION_JACCARD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+
+
+def _verified_near_drop(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Greedy drop set: the higher doc_id of each verified pair (q29's
+    documented, deterministic-but-not-transitive rule; q61 is the
+    transitive form)."""
+    return _verified_pairs(cand, docs).select(F.col("doc_b").alias("doc_id")).distinct()
 
 
 def curate(
@@ -200,5 +205,86 @@ def curate(
     cand = spark.read.parquet(cand_path)
     near_drop = _verified_near_drop(cand, docs)
     return survivors.join(near_drop, "doc_id", "left_anti").select(
+        "doc_id", "predicted_lang", "content_fp"
+    )
+
+
+@register(
+    "q61_curation_transitive",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CAND_CTE},
+    feat AS (
+      SELECT doc_id, text,
+             {_predict_expr(_DUCK_SCORES)} AS predicted_lang,
+             {_FP_DUCK} AS content_fp
+      FROM documents
+      WHERE {_DUCK_QUALITY_OK}
+    ),
+    survivors AS (
+      SELECT doc_id, text, predicted_lang, content_fp FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY content_fp ORDER BY doc_id
+        ) AS rn FROM feat
+      ) WHERE rn = 1
+    ),
+    tg AS (
+      SELECT doc_id, {_TG_DUCK} AS tg FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN survivors sa ON sa.doc_id = c.doc_a
+      JOIN survivors sb ON sb.doc_id = c.doc_b
+      JOIN tg a ON a.doc_id = c.doc_a
+      JOIN tg b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {CURATION_JACCARD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM survivors
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.predicted_lang, CAST(s.content_fp AS BIGINT) AS content_fp
+    FROM survivors s
+    JOIN comp ON comp.doc_id = s.doc_id AND comp.component_id = s.doc_id
+    """,
+    doc="q29 with the drop set done RIGHT: instead of greedily dropping "
+    "the higher id of each verified pair (which can keep both A and C of "
+    "an A~B~C chain), near-dup clusters are the connected components of "
+    "the verified-pair graph among exact-dedup survivors "
+    "(operators.graph min-label propagation), and exactly the min-id "
+    "member of each component survives. Every chain keeps ONE canonical "
+    "doc. Oracle: DuckDB WITH RECURSIVE reachability twin — the "
+    "iterative join loop is value-checked end-to-end.",
+    tags=("dedup", "text", "composition", "graph", "iterative"),
+)
+def q61_curation_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = _featurized_survivors(docs)
+    cand = _survivor_candidates(docs, survivors)
+    verified = _verified_pairs(cand, docs)
+    comps = connected_components(
+        survivors.select("doc_id"),
+        verified,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    keep = comps.filter(F.col("id") == F.col("component_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return survivors.join(keep, "doc_id", "left_semi").select(
         "doc_id", "predicted_lang", "content_fp"
     )

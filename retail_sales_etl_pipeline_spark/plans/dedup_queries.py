@@ -232,6 +232,56 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_pandas(pairs).filter(F.col("jaccard") >= NEARDUP_JACCARD)
 
 
+@register(
+    "q60_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, CAST(MIN(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY doc_id
+    """,
+    doc="Connected components over the VERIFIED near-dup pair graph "
+    "(q21's capped-LSH + Jaccard pipeline): component_id = min doc_id "
+    "reachable through pair edges, computed by iterative min-label "
+    "propagation (operators.graph — joins only, driver holds just the "
+    "convergence count). This is the transitive rung greedy pair-drop "
+    "lacks: A~B and B~C land in ONE component even when A,C never pair "
+    "directly. Deterministic fixpoint, so the iterative algorithm is "
+    "fully oracle-checked against a DuckDB WITH RECURSIVE reachability "
+    "twin — not rows-only.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q60_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        docs, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("id").alias("doc_id"), "component_id")
+
+
 from ..operators.bloom import BLOOM_M, bloom_positions_pair, bloom_prefilter_new
 from ..operators.text import fingerprint_pandas, poly_hash_pair
 

@@ -278,6 +278,88 @@ def q52_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT_AA_S, _DOT_AA_D = dot_pair("a.emb", "a.emb")
+_DOT_AC_S, _DOT_AC_D = dot_pair("a.emb", "c.cemb")
+_DOT_CC_S, _DOT_CC_D = dot_pair("c.cemb", "c.cemb")
+
+
+@register(
+    "q38a_kmeans_one_step",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, emb AS cemb FROM v WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT a.vec_id, c.centroid_id,
+             {_DOT_AA_D} - 2 * {_DOT_AC_D} + {_DOT_CC_D} AS dist
+      FROM v a CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, centroid_id
+        ) AS rnk FROM scored
+      ) WHERE rnk = 1
+    ),
+    el AS (
+      SELECT v.vec_id, t.i AS dim,
+             CAST(floor(v.emb[t.i + 1] * 1000000000 + 0.5) AS BIGINT) AS x_nano
+      FROM v, range(0, 64) t(i)
+    )
+    SELECT s.centroid_id, CAST(e.dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(e.x_nano) AS BIGINT) AS dim_sum_nano
+    FROM assign s JOIN el e ON e.vec_id = s.vec_id
+    GROUP BY s.centroid_id, e.dim
+    """,
+    doc="ONE unrolled Lloyd's iteration, fully SQL-expressible — the "
+    "value-level oracle for the iterative k-means operator (q38 stays the "
+    "rows-only 5-iteration profile). Assignment: argmin of the squared-"
+    "euclidean expansion x.x - 2x.c + c.c over the 16 broadcast bootstrap "
+    "centroids, every dot an index-ordered fold (bit-identical across "
+    "engines), ties to the lowest centroid id. Update: per (centroid, "
+    "dim), member count and the element sum in integer nano-units "
+    "(floor(x*1e9+0.5): double*int and floor are bit-identical across "
+    "engines, and int64 sums are order-independent — a per-element "
+    "DECIMAL cast is NOT, the engines' double->decimal roundings differ "
+    "in the last digit). Count and sum together determine the updated "
+    "centroid, so any assignment, tie-break, or partial-sum bug changes "
+    "a hashed value. tests/test_kmeans_quant.py cross-checks "
+    "operators.kmeans against this query's implied centroids.",
+    tags=("similarity", "oracle-twin"),
+)
+def q38a_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    cents = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    a, c = v.alias("a"), F.broadcast(cents).alias("c")
+    dist = (
+        F.expr(_DOT_AA_S) - F.lit(2.0) * F.expr(_DOT_AC_S) + F.expr(_DOT_CC_S)
+    ).alias("dist")
+    scored = a.join(c).select(F.col("a.vec_id").alias("vec_id"), "centroid_id", dist)
+    # map-side partial min_by (the q31 shape): ties -> lowest centroid_id
+    # via lexicographic struct comparison; no N*K window shuffle.
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("dist", "centroid_id")).alias("centroid_id")
+    )
+    el = v.select("vec_id", F.posexplode("emb").alias("dim", "x")).withColumn(
+        "x_nano", F.floor(F.col("x") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    )
+    return (
+        assign.join(el, "vec_id")
+        .groupBy("centroid_id", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("x_nano").alias("dim_sum_nano"),
+        )
+    )
+
+
 @register(
     "q38_kmeans_ivf_clusters",
     oracle=None,  # iterative algorithm: the declared rows-only case
@@ -361,6 +443,114 @@ def q39_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ (sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)) "
         "* sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v))), 4) "
         "AS recon_cos",
+    )
+
+
+RERANK_K = 3 * TOP_K  # quantized probe keeps 3k candidates for exact re-rank
+
+_QDOT_S, _QDOT_D = dot_pair("a.qv", "b.qv")
+
+
+@register(
+    "q62_ann_quantized",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+             greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30)
+               / {_QUANT_LEVELS}.0 AS scale
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id, emb, nrm, scale,
+             list_transform(emb, x -> floor(x / scale + 0.5)) AS qv
+      FROM v
+    ),
+    probe AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ({_QDOT_D} * a.scale * b.scale) / (a.nrm * b.nrm) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+      ) WHERE rnk <= {RERANK_K}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT p.query_id, p.neighbor_id,
+             list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                        p.neighbor_id
+             ) AS rnk
+      FROM probe p
+      JOIN v a ON a.vec_id = p.query_id
+      JOIN v b ON b.vec_id = p.neighbor_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"Quantized ANN search — the composition q39 + q30 were halves "
+    f"of: PROBE with int8 levels (integer dot products: every term is an "
+    f"exact integer <= 127^2, so the sum is order-independent and "
+    f"bit-identical across engines — cheaper and 4x less memory "
+    f"bandwidth than fp64 at corpus scale), keep the top {RERANK_K} "
+    f"candidates per query, then RE-RANK those at full fp64 cosine for "
+    f"the final top {TOP_K}. Scale cancellation makes the quantized "
+    f"ranking nearly order-preserving, so recall@{TOP_K} stays high "
+    f"(asserted >= 0.9 vs brute force in pytest) while the expensive "
+    f"exact scoring touches only {RERANK_K} rows per query. Fully "
+    f"oracle-checked: quantization grid, integer dots, and both windows "
+    f"are deterministic in both dialects.",
+    tags=("similarity", "quantization"),
+)
+def q62_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    ).selectExpr(
+        "vec_id",
+        "emb",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)) AS nrm",
+        f"greatest(array_max(transform(emb, x -> abs(x))), 1e-30D) / {_QUANT_LEVELS}.0D AS scale",
+    )
+    q = v.selectExpr(
+        "vec_id",
+        "emb",
+        "nrm",
+        "scale",
+        "transform(emb, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS qv",
+    )
+    a = q.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = q.alias("b")
+    approx = (F.expr(_QDOT_S) * F.col("a.scale") * F.col("b.scale")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    probe = (
+        a.join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            approx.alias("approx"),
+        )
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= RERANK_K)
+        .select("query_id", "neighbor_id")
+    )
+    av = v.alias("a")
+    bv = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probe.join(av, F.col("a.vec_id") == F.col("query_id"))
+        .join(bv, F.col("b.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
     )
 
 

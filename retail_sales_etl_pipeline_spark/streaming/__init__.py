@@ -1,3 +1,4 @@
+from .dedup import dedup_stream_within_watermark, fingerprint_events
 from .events import (
     read_events_stream,
     run_to_memory,
@@ -8,7 +9,9 @@ from .events import (
 from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
+    "dedup_stream_within_watermark",
     "exactly_once_parquet_sink",
+    "fingerprint_events",
     "read_events_stream",
     "run_to_memory",
     "run_with_exactly_once_sink",

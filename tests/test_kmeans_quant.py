@@ -110,3 +110,37 @@ def test_quantization_reconstruction_quality(spark):
     assert all(r["recon_cos"] >= 0.999 for r in out)
     # qsum bounded by 64 dims * 127 levels
     assert all(abs(r["qsum"]) <= 64 * 127 for r in out)
+
+
+def test_operator_matches_one_step_oracle_query(spark, emb):
+    """Cross-check the ITERATIVE operator against the SQL-expressible
+    one-step query (q38a, itself DuckDB-hash-checked): after exactly one
+    Lloyd iteration, kmeans_fit's centroids must equal the centroids
+    implied by q38a's per-(centroid, dim) member counts and nano-unit
+    sums, and kmeans_assign under the bootstrap centroids must reproduce
+    the same member counts. This closes the assignment / tie-break /
+    partial-sum verification gap that rows-only checking leaves open."""
+    import numpy as np
+
+    k = 16
+    rows = REGISTRY["q38a_kmeans_one_step"].spark_fn(spark, SMOKE_SF_DIR).collect()
+    emb01 = load_table(spark, SMOKE_SF_DIR, "embeddings")
+
+    implied = np.zeros((k, 64))
+    counts = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        implied[r["centroid_id"], r["dim"]] = (r["dim_sum_nano"] / 1e9) / r["n_members"]
+        counts[r["centroid_id"]] = r["n_members"]
+
+    fitted = np.array(kmeans_fit(emb01, k=k, iters=1))
+    # 1e-9 tolerance: the nano-unit grid of the oracle encoding, plus
+    # summation-order ulps — any assignment flip would move a centroid
+    # component by orders of magnitude more
+    assert np.abs(fitted - implied).max() < 2e-9
+
+    bootstrap = [list(r[1]) for r in emb01.orderBy("vec_id").limit(k).collect()]
+    op_counts = {
+        r["centroid_id"]: r["count"]
+        for r in kmeans_assign(emb01, bootstrap).groupBy("centroid_id").count().collect()
+    }
+    assert [op_counts.get(i, 0) for i in range(k)] == counts.tolist()

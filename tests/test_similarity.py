@@ -168,3 +168,24 @@ def test_ivf_results_subset_of_bruteforce_universe(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert r["cosine"] == pytest.approx(bf[key], abs=0)
+
+
+def test_quantized_probe_recall_vs_bruteforce(spark):
+    """q62 (int8 probe -> fp64 re-rank of 3k candidates) must recover at
+    least 90% of the exact brute-force top-10 per query. At this scale the
+    quantized ranking is near-order-preserving, so recall is typically 1.0;
+    0.9 guards the property without pinning ulp-level rank swaps."""
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in reg["q30_ann_bruteforce"].spark_fn(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in reg["q62_ann_quantized"].spark_fn(spark, sf).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(quant) == set(exact)
+    for qid, top in exact.items():
+        recall = len(quant[qid] & top) / len(top)
+        assert recall >= 0.9, (qid, recall)
