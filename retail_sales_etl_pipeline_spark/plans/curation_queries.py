@@ -272,7 +272,12 @@ def q61_curation_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    survivors = _featurized_survivors(docs)
+    # survivors feeds the candidate semi-joins, the CC node set, AND the
+    # final output; this query is already action-ful (the CC loop runs
+    # jobs), so materialize the narrow survivor frame once instead of
+    # re-executing the fingerprint subtree per consumer — the in-plan
+    # analogue of curate(materialize_dir=...)'s parquet stage boundary.
+    survivors = _featurized_survivors(docs).localCheckpoint(eager=True)
     cand = _survivor_candidates(docs, survivors)
     verified = _verified_pairs(cand, docs)
     comps = connected_components(

@@ -153,3 +153,40 @@ def test_month_partition_filter_prunes_at_source(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "isnotnull(sale_month" in plan or "sale_month" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_lsh_cap_does_not_reexecute_signature_pass(spark):
+    """q22's hot-bucket cap must not re-execute the MinHash subtree. The
+    static plan prints both self-join branches, but at runtime AQE reuses
+    the single (band_idx, sig) exchange — proven with a row accumulator
+    on the Arrow signature pass: each document is hashed exactly once."""
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        minhash_candidates,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+    minhash_candidates(docs, row_counter=acc).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert acc.value == n
+
+
+def test_quantized_ann_rerank_is_bounded(spark):
+    """q62: the probe's top-RERANK_K window limits what reaches the exact
+    re-rank — the plan must contain two WindowGroupLimit/Window pairs (probe
+    + re-rank) and broadcast the tiny query side of the scoring join."""
+    plan = _formatted_plan(REGISTRY["q62_ann_quantized"].spark_fn(spark, SMOKE_SF_DIR))
+    assert _op_count(plan, "Window") >= 2
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown active
+    assert "Broadcast" in plan
+
+
+def test_kmeans_one_step_broadcasts_centroids_and_partial_aggs(spark):
+    """q38a: the centroid side of the scoring join is broadcast (16 rows —
+    never a shuffle join), and the per-(centroid,dim) aggregation is
+    partial-then-final hash aggregation."""
+    plan = _formatted_plan(REGISTRY["q38a_kmeans_one_step"].spark_fn(spark, SMOKE_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert _op_count(plan, "HashAggregate") >= 2
