@@ -282,6 +282,74 @@ def q60_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component_id")
 
 
+# Benchmark decontamination: GPT-3-style n-gram overlap between a held-out
+# benchmark split and the training corpus (public convention: flag training
+# docs sharing >= MIN_SHARED token shingles with any benchmark doc).
+DECON_SHINGLE_N = 5
+DECON_MAX_DF = 64  # document-frequency cap: a shingle this common is
+# boilerplate, not contamination signal (observed max DF: 3 at sf0.01,
+# 4 at sf0.1 — no-op at test scale, mirrored in the oracle)
+DECON_MIN_SHARED = 2
+
+_TG5_SPARK, _TG5_DUCK = token_ngrams_expr("text", DECON_SHINGLE_N)
+
+
+@register(
+    "q63_benchmark_decontamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_TG5_DUCK}) AS g
+      FROM documents WHERE len(string_split(text, ' ')) >= {DECON_SHINGLE_N}
+    ),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY g) AS df FROM sh
+      ) WHERE df <= {DECON_MAX_DF}
+    )
+    SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped b JOIN capped t ON b.g = t.g
+    WHERE b.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+    GROUP BY b.doc_id, t.doc_id
+    HAVING COUNT(*) >= {DECON_MIN_SHARED}
+    """,
+    doc=f"Train/test decontamination: (benchmark doc, training doc) pairs "
+    f"sharing >= {DECON_MIN_SHARED} distinct {DECON_SHINGLE_N}-gram token "
+    f"shingles — the published n-gram-overlap convention for purging "
+    f"evaluation contamination from training corpora. The shingle join "
+    f"is an inverted-index equi-join on the shingle string (shuffles "
+    f"shingles, never doc pairs — no all-pairs), with the hot-bucket "
+    f"pattern applied as a document-frequency cap: a shingle in more "
+    f"than {DECON_MAX_DF} docs is boilerplate and joins are bounded by "
+    f"|shingles| * cap. Benchmark split = doc_id % 20 (deterministic). "
+    f"Fully oracle-checked.",
+    tags=("dedup", "decontamination", "join"),
+)
+def q63_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= DECON_SHINGLE_N
+    )
+    sh = docs.select("doc_id", F.explode(F.expr(_TG5_SPARK)).alias("g"))
+    w = Window.partitionBy("g")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= DECON_MAX_DF)
+        .drop("df")
+    )
+    b = capped.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    t = capped.filter(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    return (
+        b.join(t, "g")
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+
+
 from ..operators.bloom import BLOOM_M, bloom_positions_pair, bloom_prefilter_new
 from ..operators.text import fingerprint_pandas, poly_hash_pair
 

@@ -257,3 +257,75 @@ def q27_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow/numpy path — identical integers to the SQL form in the oracle
     # (interpreted lambda chains make the expression form ~30x slower).
     return fingerprint_pandas(docs)
+
+
+# Intra-document repetition (Gopher-style quality rule): heavily repeated
+# n-grams / a single dominating token mark low-quality, degenerate text.
+_REP_TG_SPARK = (
+    "transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+    "split(text, ' ')[i+2]))"
+)
+_REP_TG_DUCK = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2])"
+)
+
+
+@register(
+    "q65_repetition_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tok, {_REP_TG_DUCK} AS tg
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    mt AS (
+      SELECT doc_id, MAX(c) AS max_tok FROM (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tok) AS t FROM base)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.tok) AS BIGINT) AS n_tokens,
+           CAST(len(b.tg) - len(list_distinct(b.tg)) AS DOUBLE)
+             / CAST(len(b.tg) AS DOUBLE) AS dup_trigram_frac,
+           CAST(mt.max_tok AS DOUBLE) / CAST(len(b.tok) AS DOUBLE)
+             AS top_token_frac
+    FROM base b JOIN mt USING (doc_id)
+    """,
+    doc="Intra-document repetition scores (the Gopher repetition rules): "
+    "duplicate-trigram fraction (1 - distinct/total token trigrams) and "
+    "top-token dominance (most frequent token's share of all tokens). "
+    "Degenerate generated/boilerplate text scores high on both; quality "
+    "pipelines threshold these alongside q25's length/punct bands. "
+    "Map-side except one (doc_id, token) count — int-ratio doubles are "
+    "bit-exact cross-engine, no rounding needed.",
+    tags=("text", "quality"),
+)
+def q65_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    base = docs.selectExpr(
+        "doc_id", "split(text, ' ') AS tok", f"{_REP_TG_SPARK} AS tg"
+    )
+    mt = (
+        base.select("doc_id", F.explode("tok").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    return base.join(mt, "doc_id").select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_tokens"),
+        (
+            (F.size("tg") - F.size(F.array_distinct("tg"))).cast("double")
+            / F.size("tg").cast("double")
+        ).alias("dup_trigram_frac"),
+        (F.col("max_tok").cast("double") / F.size("tok").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )
