@@ -322,3 +322,72 @@ def token_ngrams_expr(col: str, n: int = 3) -> tuple[str, str]:
         f"i -> " + " || ' ' || ".join(f"string_split({col},' ')[i+{d}]" for d in range(n)) + "))"
     )
     return spark, duck
+
+
+def token_shingles_pandas(df, n: int, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, g) DISTINCT word n-gram rows per document — the Arrow twin of
+    exploding ``token_ngrams_expr(col, n)``. Python ``str.split(' ')``
+    matches Spark ``split(text, ' ')`` (both keep empty fields, including
+    trailing ones), so shingle strings are byte-identical to the SQL form.
+    Docs with < n tokens emit nothing (callers filter anyway)."""
+    schema = f"{id_col} long, g string"
+
+    def per_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, grams = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(did)
+                        grams.append(g)
+            yield pd.DataFrame({id_col: ids, "g": grams})
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
+def repetition_scores_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens, dup_trigram_frac, top_token_frac) — Arrow twin of the
+    q65 SQL form. All three values are integer-ratio doubles (bit-exact
+    across engines); docs with < 3 tokens are skipped (mirror the SQL
+    filter)."""
+    schema = (
+        f"{id_col} long, n_tokens long, dup_trigram_frac double, "
+        f"top_token_frac double"
+    )
+
+    def per_batch(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                nt = len(toks)
+                if nt < 3:
+                    continue
+                tg = [" ".join(toks[i : i + 3]) for i in range(nt - 2)]
+                rows.append(
+                    {
+                        id_col: did,
+                        "n_tokens": nt,
+                        "dup_trigram_frac": (len(tg) - len(set(tg))) / len(tg),
+                        "top_token_frac": max(Counter(toks).values()) / nt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)

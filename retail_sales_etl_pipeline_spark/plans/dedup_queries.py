@@ -291,7 +291,9 @@ DECON_MAX_DF = 64  # document-frequency cap: a shingle this common is
 # 4 at sf0.1 — no-op at test scale, mirrored in the oracle)
 DECON_MIN_SHARED = 2
 
-_TG5_SPARK, _TG5_DUCK = token_ngrams_expr("text", DECON_SHINGLE_N)
+# Spark runs the Arrow shingle twin (token_shingles_pandas); the oracle
+# unnests this SQL form — identical strings by construction.
+_TG5_DUCK = token_ngrams_expr("text", DECON_SHINGLE_N)[1]
 
 
 @register(
@@ -326,10 +328,13 @@ _TG5_SPARK, _TG5_DUCK = token_ngrams_expr("text", DECON_SHINGLE_N)
     tags=("dedup", "decontamination", "join"),
 )
 def q63_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= DECON_SHINGLE_N
-    )
-    sh = docs.select("doc_id", F.explode(F.expr(_TG5_SPARK)).alias("g"))
+    from ..operators.text import token_shingles_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Arrow shingle expansion (identical strings to the SQL form the
+    # oracle unnests; the interpreted transform/sequence lambda re-splits
+    # the text per element and is ~5x slower)
+    sh = token_shingles_pandas(docs, DECON_SHINGLE_N)
     w = Window.partitionBy("g")
     capped = (
         sh.withColumn("df", F.count(F.lit(1)).over(w))

@@ -554,6 +554,138 @@ def q62_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q64_ann_ivf_quantized",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+             greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30)
+               / {_QUANT_LEVELS}.0 AS scale
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id, emb, nrm, scale,
+             list_transform(emb, x -> floor(x / scale + 0.5)) AS qv
+      FROM v
+    ),
+    cents AS (SELECT * FROM v WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, b.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN cents b ON true
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ({_QDOT_D} * a.scale * b.scale) / (a.nrm * b.nrm) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q a
+        JOIN assign qa ON qa.vec_id = a.vec_id
+        JOIN assign ba ON ba.centroid_id = qa.centroid_id
+                      AND ba.vec_id <> a.vec_id
+        JOIN q b ON b.vec_id = ba.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {RERANK_K}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT p.query_id, p.neighbor_id,
+             list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                        p.neighbor_id
+             ) AS rnk
+      FROM probe p
+      JOIN v a ON a.vec_id = p.query_id
+      JOIN v b ON b.vec_id = p.neighbor_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"The full production ANN stack in one plan — all three published "
+    f"tricks composed: (1) IVF pruning via q31's shuffle-free max_by "
+    f"assignment restricts each query to its own cluster (~K-fold fewer "
+    f"candidates); (2) the int8 probe (q62) ranks those candidates with "
+    f"exact-integer dot products (4x less memory bandwidth — at 100 TB "
+    f"the quantized corpus is what fits in cluster RAM); (3) fp64 "
+    f"re-rank of the top {RERANK_K} yields the final top {TOP_K}. Each "
+    f"stage already oracle-checked alone (q31/q62/q30); this entry "
+    f"hash-checks their composition end-to-end.",
+    tags=("similarity", "quantization", "composition"),
+)
+def q64_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    ).selectExpr(
+        "vec_id",
+        "emb",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)) AS nrm",
+        f"greatest(array_max(transform(emb, x -> abs(x))), 1e-30D) / {_QUANT_LEVELS}.0D AS scale",
+    )
+    q = v.selectExpr(
+        "vec_id",
+        "emb",
+        "nrm",
+        "scale",
+        "transform(emb, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS qv",
+    )
+    # IVF assignment: q31's shape — broadcast centroids, map-side max_by
+    cents = v.filter(F.col("vec_id") < N_CENTROIDS)
+    a_s, c_s = v.alias("a"), F.broadcast(cents).alias("b")
+    cos_c = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a_s.join(c_s).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("centroid_id"),
+        cos_c.alias("cos_c"),
+    )
+    assign = _ivf_assign(scored)
+
+    qa, ba = assign.alias("qa"), assign.alias("ba")
+    approx = (F.expr(_QDOT_S) * F.col("a.scale") * F.col("b.scale")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    probe = (
+        q.alias("a")
+        .filter(F.col("a.vec_id") < N_QUERIES)
+        .join(qa, F.col("qa.vec_id") == F.col("a.vec_id"))
+        .join(
+            ba,
+            (F.col("ba.centroid_id") == F.col("qa.centroid_id"))
+            & (F.col("ba.vec_id") != F.col("a.vec_id")),
+        )
+        .join(q.alias("b"), F.col("b.vec_id") == F.col("ba.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            approx.alias("approx"),
+        )
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= RERANK_K)
+        .select("query_id", "neighbor_id")
+    )
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probe.join(v.alias("a"), F.col("a.vec_id") == F.col("query_id"))
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 _RP_SPARK = [rp_bucket_pair("emb", t)[0] for t in range(RP_TABLES)]
 _RP_DUCK = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
 
@@ -641,3 +773,65 @@ def rp_neardup_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= min_cos)
     )
+
+
+@register(
+    "q66_embedding_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE v AS ({_DUCK_VEC_CTE}),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, emb, nrm, {t} AS tbl, ({e}) AS bucket FROM v"
+          for t, e in enumerate(_RP_DUCK)
+      )}
+    ),
+    okbuckets AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bucket_n
+        FROM buckets
+      ) WHERE bucket_n <= {RP_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM okbuckets a JOIN okbuckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
+      WHERE {_DOT_D} / (a.nrm * b.nrm) >= {NEARDUP_COS}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM verified
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM verified
+    ),
+    reach(vec_id, label) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vec_id
+    )
+    SELECT vec_id, CAST(MIN(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY vec_id
+    """,
+    doc="Embedding near-dup CLUSTERS: connected components over q32's "
+    "verified cosine>=threshold pairs (capped RP-LSH candidates) — the "
+    "embedding-space twin of q60's text components, closing the "
+    "transitivity gap for semantic dedup the same way: one canonical "
+    "vector (min vec_id) per cluster. Same operators.graph min-label "
+    "propagation; same WITH RECURSIVE oracle pattern; fully hash-checked "
+    "despite being iterative.",
+    tags=("similarity", "dedup", "graph", "iterative"),
+)
+def q66_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = rp_neardup_pairs(emb).select("vec_a", "vec_b")
+    return connected_components(
+        emb.select("vec_id"),
+        pairs,
+        id_col="vec_id",
+        src_col="vec_a",
+        dst_col="vec_b",
+    ).select(F.col("id").alias("vec_id"), "component_id")

@@ -261,11 +261,8 @@ def q27_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Intra-document repetition (Gopher-style quality rule): heavily repeated
 # n-grams / a single dominating token mark low-quality, degenerate text.
-_REP_TG_SPARK = (
-    "transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-    "split(text, ' ')[i+2]))"
-)
+# The Spark side runs the Arrow twin (operators.text.repetition_scores_pandas);
+# the oracle keeps this SQL form.
 _REP_TG_DUCK = (
     "list_transform(range(1, len(string_split(text, ' ')) - 1), "
     "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
@@ -305,27 +302,10 @@ _REP_TG_DUCK = (
     tags=("text", "quality"),
 )
 def q65_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3
-    )
-    base = docs.selectExpr(
-        "doc_id", "split(text, ' ') AS tok", f"{_REP_TG_SPARK} AS tg"
-    )
-    mt = (
-        base.select("doc_id", F.explode("tok").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_tok"))
-    )
-    return base.join(mt, "doc_id").select(
-        "doc_id",
-        F.size("tok").cast("long").alias("n_tokens"),
-        (
-            (F.size("tg") - F.size(F.array_distinct("tg"))).cast("double")
-            / F.size("tg").cast("double")
-        ).alias("dup_trigram_frac"),
-        (F.col("max_tok").cast("double") / F.size("tok").cast("double")).alias(
-            "top_token_frac"
-        ),
-    )
+    from ..operators.text import repetition_scores_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Arrow path: all three scores are per-document (map-only, no join),
+    # and Counter/set beat the interpreted transform/sequence lambdas
+    # ~5x. Integer-ratio doubles are bit-exact vs the oracle's SQL form.
+    return repetition_scores_pandas(docs)
