@@ -59,6 +59,7 @@ QUERY_MODULES = (
     "curation_queries",
     "similarity_queries",
     "text_queries",
+    "search_queries",
     "event_queries",
     "multimodal_queries",
     "analytic_queries",

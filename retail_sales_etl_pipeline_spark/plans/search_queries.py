@@ -1,0 +1,380 @@
+"""Search / ranking / chunking queries over the `documents` table: TF-IDF
+term extraction, BM25 keyword search, sliding-window chunking, and corpus
+token statistics — the retrieval-and-packaging tail of a training-data
+pipeline (after cleaning/dedup, corpora are chunked for training and
+indexed for retrieval).
+
+Hash-parity notes: every score is computed from exact integers (tf, df,
+doc-length, corpus counts) with an IDENTICAL floating-point expression
+tree in both dialects — only correctly-rounded IEEE ops (+ - * /), no
+transcendentals — so doubles are bit-equal cross-engine. Where a classic
+formulation uses log() (IDF), we keep the monotone rational core and
+document the transform: ranking order is what matters and log's
+cross-libm rounding is not oracle-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+TOP_TERMS_PER_DOC = 3
+BM25_TERMS = ("join", "merge", "vector")
+BM25_TOP_K = 20
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+TOP_TOKENS_PER_SOURCE = 10
+
+# tf-idf with a rational idf (n_docs / df): same ranking as the log form
+# for any fixed corpus (log is monotone), bit-deterministic cross-engine.
+_TFIDF_SCORE = (
+    "CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+)
+
+# BM25 with the rational idf core (n_docs - df + 0.5) / (df + 0.5) — the
+# argument of the standard log1p idf — and the exact Robertson tf
+# saturation term, k1=1.2 b=0.75. (k1+1)=2.2, (1-b)=0.25.
+_BM25_TERM_SCORE = (
+    "((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+    " * (CAST(dl AS DOUBLE) / avgdl))))"
+)
+
+
+@register(
+    "q67_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             {_TFIDF_SCORE} AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_TERMS_PER_DOC}
+    """,
+    doc="Per-document top-3 TF-IDF terms: token explode -> (doc,term) "
+    "partial-agg TF -> term-keyed DF counts -> rational-idf score -> "
+    "per-doc top-k window. Scale shape: TF and DF are both two-stage "
+    "aggregates (map-side combine before the shuffle); the TF<->DF join "
+    "keys on term (vocab-sized, AQE picks broadcast when it fits); the "
+    "corpus count joins as a broadcast scalar; the final window "
+    "partitions by doc_id — no global sort, no all-pairs. idf kept "
+    "rational (n_docs/df, monotone with the log form) so doubles are "
+    "bit-equal cross-engine.",
+    tags=("text", "search"),
+)
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.expr(_TFIDF_SCORE))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def _bm25_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    per_term = ", ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN score END), "
+        f"CAST(0 AS DOUBLE)) AS s_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, {_BM25_TERM_SCORE} AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, {total} AS bm25
+    FROM per_doc
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@register(
+    "q68_bm25_search",
+    oracle=_bm25_oracle(),
+    doc="BM25 keyword search (k1=1.2, b=0.75, rational idf core — the "
+    "log's argument, same ranking) for a fixed term set. Scale shape: the "
+    "token stream is FILTERED to the query terms before any shuffle (the "
+    "inverted-index probe — work is proportional to postings hit, not "
+    "corpus size); df is |query| rows (broadcast); avgdl is one broadcast "
+    "scalar row; per-doc term scores come from single-row conditional "
+    "sums added in fixed order (no order-dependent double SUM); final "
+    "top-20 is TakeOrderedAndProject, never a global sort.",
+    tags=("text", "search"),
+)
+def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(_BM25_TERM_SCORE))
+    )
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("score"))),
+            F.lit(0).cast("double"),
+        ).alias(f"s_{t}")
+        for t in BM25_TERMS
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*per_term)
+    total = None
+    for t in BM25_TERMS:
+        col = F.col(f"s_{t}")
+        total = col if total is None else total + col
+    return (
+        per_doc.select("doc_id", total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+@register(
+    "q69_doc_chunking",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ),
+    starts AS (
+      SELECT doc_id, tok, n,
+             unnest(range(0, n, {CHUNK_STRIDE})) AS start
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(FLOOR(start / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)
+               AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           CAST(len(list_slice(tok, start + 1, start + {CHUNK_TOKENS}))
+               AS BIGINT) AS chunk_len,
+           array_to_string(
+               list_slice(tok, start + 1, start + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    doc=f"Sliding-window document chunking ({CHUNK_TOKENS}-token chunks, "
+    f"stride {CHUNK_STRIDE}, {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) "
+    "— the packaging step that turns curated documents into fixed-size "
+    "training samples. Pure map-side row expansion (sequence + "
+    "posexplode + slice): fan-out per doc is ceil(n/stride), bounded by "
+    "document length; no shuffle, no driver involvement; chunk "
+    "boundaries depend only on content, so re-chunking is deterministic "
+    "across any partitioning.",
+    tags=("text", "chunking"),
+)
+def q69_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tok"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 1)
+    starts = base.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.expr(f"sequence(0, n - 1, {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("start") + 1, CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("start") / F.lit(float(CHUNK_STRIDE)))
+        .cast("long")
+        .alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "q70_corpus_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, token, c,
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS source_total,
+             ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY c DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT source, token, c,
+           CAST(c AS DOUBLE) / CAST(source_total AS DOUBLE) AS share,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked
+    WHERE rnk <= {TOP_TOKENS_PER_SOURCE}
+    """,
+    doc="Corpus token statistics: top-10 tokens per source with frequency "
+    "share — the vocabulary/frequency report a corpus build emits per "
+    "slice. Scale shape: the (source, token) count is a two-stage "
+    "aggregate (map-side combine absorbs the explode fan-out before the "
+    "shuffle); the window partitions by source over vocab-sized input — "
+    "cardinality is |sources| x |vocab|, independent of corpus row "
+    "count; share uses an exact integer window SUM, then one "
+    "deterministic int/int double division.",
+    tags=("text", "stats"),
+)
+def q70_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_tot = Window.partitionBy("source")
+    w_rnk = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("source_total", F.sum("c").over(w_tot).cast("long"))
+        .withColumn("rnk", F.row_number().over(w_rnk).cast("int"))
+        .filter(F.col("rnk") <= TOP_TOKENS_PER_SOURCE)
+        .select(
+            "source",
+            "token",
+            "c",
+            (F.col("c").cast("double") / F.col("source_total").cast("double"))
+            .alias("share"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "q71_sliding_event_windows",
+    oracle="""
+    WITH expanded AS (
+      SELECT to_timestamp(
+               (CAST(FLOOR(epoch(ts) / 900.0) AS BIGINT) - k) * 900
+             ) AS window_start,
+             event_type, value
+      FROM events, unnest(range(0, 4)) AS u(k)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+    doc="Sliding 1-hour windows every 15 minutes (batch form of the "
+    "streaming sliding window in streaming/events.py): each event lands "
+    "in exactly 4 overlapping windows. Spark's native F.window handles "
+    "the expansion; the oracle reconstructs it as floor-to-slide minus "
+    "k*slide for k in 0..3. Fan-out is a fixed x4 map-side expansion "
+    "before a bounded-cardinality (window, type) aggregate — partial "
+    "aggregation absorbs it before the shuffle. Double SUM goes through "
+    "floor-micros integers (order-independent, sign-safe).",
+    tags=("events", "window"),
+)
+def q71_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_micros",
+        )
+    )
