@@ -1,8 +1,14 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the LAST stdout line):
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01": sec, ...}, "sf": 0.1, "detail": "BENCH_LOCAL.json"}
+
+The summary line uses short query keys (q01, q02, ...) to stay well under
+any tail-capture window — round 3's record was lost because the full-name
+line outgrew the driver's capture buffer and its head was truncated. The
+full-name per-query timings are written to BENCH_LOCAL.json next to this
+script; human-readable per-query lines go to stderr.
 
 Each query is executed with a `noop`-format write so the full distributed
 plan runs (scan → shuffle → agg) without materializing results on the
@@ -49,18 +55,37 @@ def main() -> None:
             q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        print(f"{name} {timings[name]}s", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "registry_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # Short keys (q01, q02, ...) keep the summary line ~1 KB so it survives
+    # the driver's tail-capture window intact; full names are in the file.
+    short = {name.split("_", 1)[0]: sec for name, sec in timings.items()}
+    assert len(short) == len(timings), "short query keys collided"
     print(
         json.dumps(
             {
                 "metric": "registry_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": sf,
-            }
+                "detail": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -7,19 +7,25 @@ both A and C even though {A, B, C} is one duplicate cluster. The correct
 semantics is one canonical survivor per CONNECTED COMPONENT of the
 verified-pair graph — which needs an iterative algorithm, not one join.
 
-Implementation: iterative min-label propagation with joins only.
+Two join-only implementations behind one signature:
 
-- state: (id, label), initialized label = id.
-- step: every node offers its label to its neighbors; each node keeps the
-  MIN of its own label and all offers. One shuffle per iteration, keyed on
-  id — co-partitioned with the edge join.
-- driver holds ONLY the per-iteration changed-count (the convergence
-  flag); labels and edges never leave the cluster.
-- converges in O(longest shortest-path) iterations; production graphs at
-  100 TB scale cut rounds to O(log n) with pointer-doubling /
-  large-star-small-star (Kiveris et al.) — same join-only building
-  blocks, more of them per round. Component count and membership are
-  IDENTICAL, so the simple propagation is the verifiable reference form.
+- ``algorithm="star"`` (default): alternating large-star / small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC 2014). Each round rewires every edge to point at a local
+  minimum, halving (amortized) the distance to the component min — the
+  round count is O(log n) on path graphs instead of O(diameter), which is
+  the difference between 6 shuffle rounds and 50+ on a 100 TB near-dup
+  graph with long duplicate chains. State is the edge set itself; at the
+  fixpoint the edges form a star forest with every node pointing directly
+  at its component's minimum id.
+- ``algorithm="label"``: iterative min-label propagation — one
+  co-partitioned join + min-agg per round, converging in O(longest
+  shortest path) rounds. The simpler, obviously-correct reference form;
+  kept as the equivalence twin (tests/test_graph_components.py proves the
+  two agree on random graphs).
+
+Both keep all data distributed: the driver holds only a per-round
+convergence scalar; labels and edges never leave the cluster.
 
 The result (min id per component) is deterministic and SQL-expressible
 via recursive reachability, so the registry queries built on this
@@ -34,6 +40,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Each node connects its strictly-larger neighbors to the minimum of
+    its closed neighborhood. Edges out: (src, dst) with src > dst."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    m = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("src", "mn").alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Each node connects its smaller-or-equal neighbors (and itself) to
+    the minimum of that set. Edges out: (src, dst) with src > dst."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        canon.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(m.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -41,22 +81,86 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 50,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component_id) for every node: component_id = min node id
     reachable through ``edges`` (undirected; pass each pair once).
 
-    ``edges`` is symmetrized and persisted (it drives every iteration).
-    Each iteration's label frame is ``localCheckpoint``-ed: an iterative
-    plan's LINEAGE doubles per round (the label frame feeds both the
-    offer join and the union), so without truncation the logical plan
-    grows 2^iters and kills the driver long before the data does —
-    persist alone does NOT cut the logical plan. On a real cluster with
-    executor loss to survive, point ``spark.sparkContext.setCheckpointDir``
-    at durable storage and swap in reliable ``checkpoint``; the shape is
-    identical. Raises RuntimeError if propagation hasn't converged in
-    ``max_iters`` (longest-path diameter exceeded — raise the bound or
-    switch to the pointer-doubling form).
+    Each round's frame is ``localCheckpoint``-ed: an iterative plan's
+    LINEAGE doubles per round (the frame feeds both the next join and the
+    convergence check), so without truncation the logical plan grows
+    2^iters and kills the driver long before the data does — persist alone
+    does NOT cut the logical plan. On a real cluster with executor loss to
+    survive, point ``spark.sparkContext.setCheckpointDir`` at durable
+    storage and swap in reliable ``checkpoint``; the shape is identical.
+    Raises RuntimeError if not converged in ``max_iters`` rounds.
+
+    ``stats`` (optional dict) is filled with ``{"rounds": n, "algorithm":
+    ...}`` — observability for the no-silent-iteration rule and the
+    round-count assertions in tests.
     """
+    if algorithm == "star":
+        return _cc_star(nodes, edges, id_col, src_col, dst_col, max_iters, stats)
+    if algorithm == "label":
+        return _cc_label(nodes, edges, id_col, src_col, dst_col, max_iters, stats)
+    raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+
+def _cc_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("src"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for i in range(max_iters):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = new_e.count()
+        # Set equality: both sides are distinct sets, so equal counts plus
+        # an empty one-way difference means the edge set is stable — and
+        # the fixpoint of large∘small star is a star forest whose edges
+        # all point straight at the component minimum.
+        if n_new == n_edges and new_e.exceptAll(e).isEmpty():
+            if stats is not None:
+                stats["rounds"] = i + 1
+                stats["algorithm"] = "star"
+            parents = new_e.groupBy("src").agg(F.min("dst").alias("component_id"))
+            return (
+                nodes.select(F.col(id_col).alias("id"))
+                .join(parents.withColumnRenamed("src", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("component_id", "id").alias("component_id"),
+                )
+            )
+        e, n_edges = new_e, n_new
+    raise RuntimeError(
+        f"connected_components(star): not converged in {max_iters} rounds"
+    )
+
+
+def _cc_label(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -67,7 +171,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     try:
-        for _ in range(max_iters):
+        for i in range(max_iters):
             offers = (
                 sym.join(labels, sym["src"] == labels["id"])
                 .select(F.col("dst").alias("id"), "label")
@@ -86,9 +190,12 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                    stats["algorithm"] = "label"
                 return labels.select("id", F.col("label").alias("component_id"))
         raise RuntimeError(
-            f"connected_components: not converged in {max_iters} iterations"
+            f"connected_components(label): not converged in {max_iters} iterations"
         )
     finally:
         sym.unpersist()

@@ -112,14 +112,21 @@ def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Embed a term as a SQL string literal (single quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _bm25_oracle() -> str:
-    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # Positional aliases (s_0, s_1, ...) — never derived from term text,
+    # so terms containing quotes/keywords/punctuation can't break the SQL.
+    terms_sql = ", ".join(_sql_str(t) for t in BM25_TERMS)
     per_term = ", ".join(
-        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN score END), "
-        f"CAST(0 AS DOUBLE)) AS s_{t}"
-        for t in BM25_TERMS
+        f"COALESCE(SUM(CASE WHEN term = {_sql_str(t)} THEN score END), "
+        f"CAST(0 AS DOUBLE)) AS s_{i}"
+        for i, t in enumerate(BM25_TERMS)
     )
-    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    total = " + ".join(f"s_{i}" for i in range(len(BM25_TERMS)))
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -195,13 +202,13 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.when(F.col("term") == t, F.col("score"))),
             F.lit(0).cast("double"),
-        ).alias(f"s_{t}")
-        for t in BM25_TERMS
+        ).alias(f"s_{i}")
+        for i, t in enumerate(BM25_TERMS)
     ]
     per_doc = scored.groupBy("doc_id").agg(*per_term)
     total = None
-    for t in BM25_TERMS:
-        col = F.col(f"s_{t}")
+    for i in range(len(BM25_TERMS)):
+        col = F.col(f"s_{i}")
         total = col if total is None else total + col
     return (
         per_doc.select("doc_id", total.alias("bm25"))
@@ -217,7 +224,7 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS tok,
              len(string_split(text, ' ')) AS n
       FROM documents
-      WHERE len(string_split(text, ' ')) >= 1
+      WHERE text IS NOT NULL
     ),
     starts AS (
       SELECT doc_id, tok, n,
@@ -239,7 +246,7 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"stride {CHUNK_STRIDE}, {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) "
     "— the packaging step that turns curated documents into fixed-size "
     "training samples. Pure map-side row expansion (sequence + "
-    "posexplode + slice): fan-out per doc is ceil(n/stride), bounded by "
+    "explode + slice): fan-out per doc is ceil(n/stride), bounded by "
     "document length; no shuffle, no driver involvement; chunk "
     "boundaries depend only on content, so re-chunking is deterministic "
     "across any partitioning.",
@@ -247,11 +254,11 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.split("text", " ").alias("tok"),
         F.size(F.split("text", " ")).alias("n"),
-    ).filter(F.col("n") >= 1)
+    )
     starts = base.select(
         "doc_id",
         "tok",
@@ -336,11 +343,17 @@ def q70_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q71_sliding_event_windows",
     oracle="""
     WITH expanded AS (
-      SELECT to_timestamp(
-               (CAST(FLOOR(epoch(ts) / 900.0) AS BIGINT) - k) * 900
+      -- make_timestamp(us) builds a NAIVE timestamp: matches Spark's
+      -- TIMESTAMP_NTZ windows under ANY session TZ. (to_timestamp returns
+      -- TIMESTAMPTZ, and CASTing that to TIMESTAMP converts through the
+      -- session zone — both forms fail the TZ=America/New_York probe.)
+      SELECT make_timestamp(
+               ((CAST(FLOOR(epoch(ts) / 900.0) AS BIGINT) - k) * 900)
+               * 1000000
              ) AS window_start,
              event_type, value
       FROM events, unnest(range(0, 4)) AS u(k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -377,4 +390,123 @@ def q71_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "value_micros",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-form scoring variants (q72/q73): the textbook TF-IDF / BM25 score
+# values a production consumer expects. log() is correctly-rounded in
+# neither JVM StrictMath-exempt paths nor every libm identically, so these
+# are registered ROWS-ONLY (no bit-exact cross-engine hash is honest for
+# transcendentals); tests/test_search_log_form.py value-checks them against
+# an independent DuckDB twin at rtol=1e-12 and proves internal rank
+# consistency. The ranking itself genuinely differs from the rational-core
+# forms (q67/q68): log dampens high-idf terms relative to tf, which is the
+# point of the log form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_tfidf_log_top_terms",
+    oracle=None,  # transcendental scores: tolerance-checked in pytest
+    doc="Per-document top-3 terms by textbook TF-IDF (tf * ln(n_docs/df)). "
+    "Identical plan shape to q67 (two-stage TF and DF aggs, vocab-keyed "
+    "join, broadcast corpus scalar, per-doc top-k window) — only the "
+    "scoring expression changes, so the 100 TB story is q67's. Scores use "
+    "F.log (JVM-side, whole-stage codegen); value-checked vs DuckDB ln() "
+    "at rtol=1e-12 in tests/test_search_log_form.py.",
+    tags=("text", "search", "log-form"),
+)
+def q72_tfidf_log_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_log",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_log").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term", "tf", "df", "tfidf_log", "rnk")
+    )
+
+
+@register(
+    "q73_bm25_log_search",
+    oracle=None,  # transcendental scores: tolerance-checked in pytest
+    doc="BM25 keyword search with the standard log idf "
+    "(ln(1 + (n_docs - df + 0.5)/(df + 0.5)), Robertson/Sparck-Jones) — "
+    "the score values a search consumer expects, alongside q68's "
+    "hash-exact rational-core twin. Same inverted-index plan shape as "
+    "q68: postings filtered to query terms before any shuffle, broadcast "
+    "df and avgdl, fixed-order per-term sum, TakeOrdered top-20.",
+    tags=("text", "search", "log-form"),
+)
+def q73_bm25_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    )
+    tf_sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", idf * tf_sat)
+    )
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("score"))),
+            F.lit(0).cast("double"),
+        ).alias(f"s_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*per_term)
+    total = None
+    for i in range(len(BM25_TERMS)):
+        col = F.col(f"s_{i}")
+        total = col if total is None else total + col
+    return (
+        per_doc.select("doc_id", total.alias("bm25_log"))
+        .orderBy(F.col("bm25_log").desc(), "doc_id")
+        .limit(BM25_TOP_K)
     )
