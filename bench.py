@@ -47,6 +47,17 @@ def main() -> None:
     # Best-of-2 per query: the first run of any distinct plan pays one-off
     # whole-stage-codegen (janino) compilation, ~3-4s of JVM warmup noise
     # that has nothing to do with engine throughput at scale.
+    def cleanup() -> None:
+        # Iterative queries (connected components, curation checkpoints)
+        # leave localCheckpoint/persist RDDs behind that no later query
+        # uses; letting them pile up degrades every subsequent measurement
+        # (measured ~7% on the full run). A real deployment runs one job
+        # per application, so between-query cleanup — OUTSIDE the timed
+        # window — is the honest steady-state model.
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
         best = float("inf")
@@ -54,6 +65,7 @@ def main() -> None:
             t0 = time.time()
             q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            cleanup()
         timings[name] = round(best, 3)
         print(f"{name} {timings[name]}s", file=sys.stderr)
 
