@@ -1,0 +1,122 @@
+"""Corpus-curation driver: the 100 TB form of ``curate`` run as a PIPELINE
+(stage-materialized parquet + metrics logging), mirroring the retail ETL
+driver (plans/retail_pipeline.py) — not just the lazily-composed registry
+query (q29/q61).
+
+Stage boundaries are parquet writes: each multi-consumer frame (featurized
+survivors, LSH candidates) is computed ONCE, checkpointing lineage — an
+executor loss replays a parquet read, not the MinHash signature pass over
+the corpus. Per-stage row counts land in the same append-only
+``stage_metrics`` / ``pipeline_runs`` logs the retail driver writes
+(reference metadata_tracker.py pattern), so a 100 TB run is observable:
+every curation decision (quality drop, exact-dup drop, near-dup drop) is a
+numbered row, never a silent truncation.
+
+Run from the CLI:
+    python -m retail_sales_etl_pipeline_spark.plans.curation_pipeline \
+        [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.clean import StageMetric
+from ..sources import fs, load_table
+from . import metadata
+from .curation_queries import curate
+
+__all__ = ["CurationResult", "run"]
+
+
+@dataclass
+class CurationResult:
+    raw_docs: int
+    quality_survivors: int
+    exact_survivors: int
+    lsh_candidates: int
+    near_drop: int
+    final_docs: int
+    run_id: int = 0
+    stage_metrics: list[StageMetric] = field(default_factory=list)
+
+
+def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
+    """Materialized curation end-to-end: stages under ``out_dir``/stages,
+    final corpus at ``out_dir``/corpus, metrics logs next to them."""
+    t_start = time.time()
+    fs.mkdirs(spark, out_dir)
+    stages_dir = fs.join(out_dir, "stages")
+    corpus_path = fs.join(out_dir, "corpus")
+    runs_path = fs.join(out_dir, "pipeline_runs")
+    metrics_path = fs.join(out_dir, "stage_metrics")
+
+    raw_docs = load_table(spark, sf_dir, "documents").count()
+
+    # curate() writes survivors + candidates parquet under stages_dir and
+    # returns the final frame reading FROM those stage files.
+    final = curate(spark, sf_dir, materialize_dir=stages_dir)
+    final.write.mode("overwrite").parquet(corpus_path)
+
+    survivors = spark.read.parquet(fs.join(stages_dir, "survivors"))
+    candidates = spark.read.parquet(fs.join(stages_dir, "candidates"))
+    corpus = spark.read.parquet(corpus_path)
+    exact_survivors = survivors.count()
+    lsh_candidates = candidates.count()
+    final_docs = corpus.count()
+    # near-drop = survivors that did not reach the final corpus (the
+    # verified near-dup drop set): derivable from materialized stages, no
+    # re-execution of the verify join.
+    near_drop = exact_survivors - final_docs
+
+    metrics = [
+        StageMetric("quality_exact_dedup", raw_docs, exact_survivors),
+        StageMetric("lsh_candidates", exact_survivors, lsh_candidates),
+        StageMetric("neardup_verify_drop", exact_survivors, final_docs),
+    ]
+    run_id = metadata.log_pipeline_run(
+        spark,
+        runs_path,
+        pipeline_name="corpus_curation",
+        status="success",
+        total_rows_processed=raw_docs,
+        total_rows_loaded=final_docs,
+        duration_minutes=(time.time() - t_start) / 60.0,
+        notes=f"sf_dir={sf_dir}",
+    )
+    metadata.log_stage_metrics(spark, metrics_path, run_id, metrics)
+
+    return CurationResult(
+        raw_docs=raw_docs,
+        quality_survivors=exact_survivors,
+        exact_survivors=exact_survivors,
+        lsh_candidates=lsh_candidates,
+        near_drop=near_drop,
+        final_docs=final_docs,
+        run_id=run_id,
+        stage_metrics=metrics,
+    )
+
+
+def _main() -> None:
+    import sys
+
+    from ..session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_warehouse"
+    spark = get_spark("curation-pipeline")
+    res = run(spark, sf_dir, out_dir)
+    print(
+        f"curation: {res.raw_docs} docs -> {res.exact_survivors} after "
+        f"quality+exact dedup -> {res.final_docs} final "
+        f"({res.near_drop} near-dups dropped from {res.lsh_candidates} "
+        f"LSH candidates); run_id={res.run_id} out={out_dir}"
+    )
+
+
+if __name__ == "__main__":
+    _main()

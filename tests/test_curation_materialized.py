@@ -41,3 +41,36 @@ def test_signature_stages_execute_once_when_materialized(spark, tmp_path):
     acc2 = spark.sparkContext.accumulator(0)
     curate(spark, SF, row_counter=acc2).collect()
     assert acc2.value > 2 * n  # lazy re-execution is real
+
+
+def test_curation_pipeline_driver(spark, tmp_path):
+    """The CLI/driver form (plans/curation_pipeline.run): end-to-end
+    materialized curation whose final corpus parquet equals the lazy q29
+    result, with stage_metrics / pipeline_runs rows recorded — the same
+    observability contract as the retail ETL driver."""
+    from retail_sales_etl_pipeline_spark.plans import curation_pipeline
+
+    out = str(tmp_path / "curation_wh")
+    res = curation_pipeline.run(spark, SF, out)
+
+    corpus = {tuple(r) for r in spark.read.parquet(f"{out}/corpus").collect()}
+    lazy = {tuple(r) for r in curate(spark, SF).collect()}
+    assert corpus == lazy
+
+    assert res.raw_docs == _n_docs(spark)
+    assert res.final_docs == len(corpus)
+    assert res.near_drop == res.exact_survivors - res.final_docs
+    assert 0 < res.final_docs <= res.exact_survivors <= res.raw_docs
+
+    metrics = spark.read.parquet(f"{out}/stage_metrics").collect()
+    assert {m["stage_name"] for m in metrics} == {
+        "quality_exact_dedup", "lsh_candidates", "neardup_verify_drop",
+    }
+    by_name = {m["stage_name"]: m for m in metrics}
+    assert by_name["quality_exact_dedup"]["rows_after"] == res.exact_survivors
+    assert by_name["neardup_verify_drop"]["rows_removed"] == res.near_drop
+
+    runs = spark.read.parquet(f"{out}/pipeline_runs").collect()
+    assert len(runs) == 1
+    assert runs[0]["status"] == "success"
+    assert runs[0]["total_rows_loaded"] == res.final_docs

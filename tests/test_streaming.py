@@ -282,3 +282,23 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # exactly one emission of the finalized 10:00 window, with n=1 (the
     # late row never counted); the 13:00 window stays open (no emission).
     assert emitted == [("2024-01-01 10:00:00", 1)]
+
+
+def test_sliding_1h_15m_stream_equals_q71_batch(spark, events_dir):
+    """The streaming twin of q71_sliding_event_windows: the SAME 1-hour /
+    15-minute sliding window over the same events, via
+    windowed_event_counts(slide=...), must equal the batch registry query
+    bit-for-bit. Streaming event time is LTZ (watermarks require it) while
+    the batch loader carries NTZ — under the factory's pinned-UTC session
+    the micros coincide, so we cast the streaming window_start to NTZ for
+    the comparison (the documented one-session equivalence contract)."""
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(
+        windowed_event_counts(stream, window="1 hour", slide="15 minutes"),
+        "q71_twin",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+    batch = load_all()["q71_sliding_event_windows"].spark_fn(spark, SMOKE_SF_DIR)
+    assert _canon(got) == _canon(batch)
