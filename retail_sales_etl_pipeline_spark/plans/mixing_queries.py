@@ -1,0 +1,267 @@
+"""Corpus composition queries: semantic dedup (SemDeDup), temperature-based
+source/language mixing, and token-budget shard packing — the "what goes in
+the training run, and in what proportions" tail of a data pipeline, after
+cleaning (q01/q25), dedup (q20-q23), and curation (q29/q61).
+
+All three are deterministic and fully SQL-expressible, so each carries a
+bit-exact DuckDB oracle:
+
+- pair cosines are index-ordered double folds (bit-identical cross-engine,
+  the q30 convention) rounded only at the output edge;
+- sampling decisions come from affine transforms of the content hash
+  (the q58 convention) — never rand(), so mixtures are reproducible
+  across runs, partitionings, and cluster sizes;
+- keep-rates are exact integer percents computed from corpus counts, so
+  the mixture itself is hash-checkable, not just its mechanics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import dot_pair, norm_pair
+from ..operators.text import poly_hash_pair
+from ..sources import load_table
+from .registry import register
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+# embedding space, then search for near-duplicates ONLY within a cluster —
+# the quadratic pair work drops from N^2 to sum(n_i^2), and at 100 TB the
+# cluster count scales with the corpus (k ~ N/target_cluster_size) so n_i
+# stays bounded. Centroids here are the fixed bootstrap set (vec_id <
+# SEM_K, the q31/q38a convention) to keep the whole query one
+# deterministic, oracle-checkable plan; the trained-centroid form swaps in
+# operators.kmeans.kmeans_fit.
+SEM_K = 16
+SEMDEDUP_COS = 0.35
+
+# Temperature mixing (multilingual-sampling convention, e.g. mT5/UniMax):
+# p_lang ∝ share^ALPHA with ALPHA < 1 upweights tail languages. Keep-rates
+# are computed IN the query from observed counts — integer percents, exact
+# in both engines: rate_l = floor(100 * (min_share/share_l)^(1-ALPHA)) via
+# integer sqrt since ALPHA = 0.5 (avoids cross-engine pow()).
+MIX_SALT_A, MIX_SALT_B = 735816943, 418529671
+
+# Shard packing: fixed shard count, content-hash assignment. At 100 TB
+# shards are written by a partitionBy on shard_id; the query reports the
+# per-shard doc/token load so imbalance is observable, never silent.
+N_SHARDS = 8
+SHARD_A, SHARD_B = 592821581, 133292681
+
+_DOT_S, _DOT_D = dot_pair("a.emb", "b.emb")
+_NORM_S, _NORM_D = norm_pair("embedding")
+_HASH_SPARK, _HASH_DUCK = poly_hash_pair("text", "text")
+
+
+@register(
+    "q74_semantic_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT * FROM v WHERE vec_id < {SEM_K}),
+    assign AS (
+      SELECT a.vec_id, a.emb, a.nrm, b.vec_id AS centroid_id
+      FROM (
+        SELECT a.vec_id, b.vec_id AS bid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a CROSS JOIN cents b
+      ) r JOIN v a USING (vec_id) JOIN cents b ON b.vec_id = r.bid
+      WHERE r.rnk = 1
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_DOT_D} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+    )
+    SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+    FROM assign a
+    """,
+    doc="SemDeDup semantic near-dup removal (arXiv:2303.09540): assign "
+    "every embedding to its max-cosine centroid (broadcast "
+    f"{SEM_K}-centroid set, map-side max_by — no N*K window shuffle), "
+    "then compute pair cosines ONLY within a cluster and drop the higher "
+    "vec_id of any pair above the threshold (greedy rule; q66 is the "
+    "transitive-components form). Scale shape: the pair join keys on "
+    "centroid_id so work is sum(n_i^2) not N^2, and at corpus scale k "
+    "grows with N to bound n_i — the entire point of clustering before "
+    "dedup. Dots are index-ordered folds, bit-identical cross-engine.",
+    tags=("similarity", "dedup", "mixing"),
+)
+def q74_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S).alias("nrm"),
+    )
+    cents = v.filter(F.col("vec_id") < SEM_K)
+    a, b = v.alias("a"), F.broadcast(cents).alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a.join(b).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("cid"),
+        cos.alias("cos_c"),
+    )
+    # map-side partial max_by; ties -> lowest centroid id (q31 shape)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nid")))
+        .alias("centroid_id")
+    )
+    member = assign.join(v, "vec_id")
+    pa = member.alias("a")
+    pb = member.alias("b")
+    pair_cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    drops = (
+        pa.join(
+            pb,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+@register(
+    "q75_temperature_mixing",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_HASH_DUCK} AS key_hash FROM documents
+    ),
+    counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY lang),
+    mn AS (SELECT MIN(n) AS min_n FROM counts),
+    rates AS (
+      -- alpha = 0.5: keep_pct_l = floor(100 * sqrt(min_n / n_l)) as an
+      -- exact integer: isqrt(10000 * min_n / n_l) in integer arithmetic.
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST((10000 * min_n) // n AS DOUBLE))) AS BIGINT)
+                 AS keep_pct
+      FROM counts CROSS JOIN mn
+    ),
+    kept AS (
+      SELECT h.lang, h.doc_id
+      FROM h JOIN rates USING (lang)
+      WHERE ({MIX_SALT_A} * key_hash + {MIX_SALT_B}) % 100 < keep_pct
+    )
+    SELECT r.lang, r.n AS n_before, r.keep_pct,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_after
+    FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+    GROUP BY r.lang, r.n, r.keep_pct
+    """,
+    doc="Temperature-based language mixing (the mT5/UniMax sampling "
+    "family, alpha=0.5): downsample overrepresented languages to "
+    "keep_pct = floor(100*sqrt(min_share/share)), with the keep decision "
+    "a salted affine transform of the content hash — deterministic, "
+    "content-stable, partition-independent (q58's convention; different "
+    "salt, so mixing composes with sampling without correlation). "
+    "keep_pct stays in exact integer arithmetic (integer-div then sqrt "
+    "of a perfect representable double) so both engines agree "
+    "bit-for-bit. Scale shape: one vocab-sized count agg broadcast back "
+    "onto a map-side filter — the corpus is never shuffled.",
+    tags=("text", "mixing"),
+)
+def q75_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "lang").join(
+        fingerprint_pandas(docs).select(
+            "doc_id", F.col("content_fp").alias("key_hash")
+        ),
+        "doc_id",
+    )
+    counts = h.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n",
+        # exact integer division first ((10000*min_n) div n <= 10000, an
+        # exactly-representable double), THEN the correctly-rounded sqrt —
+        # matches the oracle's // bit-for-bit; a double division here
+        # would round before the floor.
+        F.floor(F.sqrt(F.expr("(10000 * min_n) div n").cast("double")))
+        .cast("long")
+        .alias("keep_pct"),
+    )
+    kept = (
+        h.join(F.broadcast(rates), "lang")
+        .filter(
+            (F.lit(MIX_SALT_A) * F.col("key_hash") + F.lit(MIX_SALT_B)) % 100
+            < F.col("keep_pct")
+        )
+        .select("lang", "doc_id")
+    )
+    return (
+        rates.alias("r")
+        .join(kept.alias("k"), "lang", "left")
+        .groupBy("lang", "n", "keep_pct")
+        .agg(F.count(F.col("k.doc_id")).cast("long").alias("n_after"))
+        .select(F.col("lang"), F.col("n").alias("n_before"), "keep_pct", "n_after")
+    )
+
+
+@register(
+    "q76_shard_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ({SHARD_A} * ({_HASH_DUCK}) + {SHARD_B}) % {N_SHARDS} AS shard_id
+      FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM d GROUP BY shard_id
+    """,
+    doc=f"Token-budget shard packing: every document lands in one of "
+    f"{N_SHARDS} training shards by a salted affine transform of its "
+    "content hash — deterministic, partition-independent, and stable "
+    "under corpus rebuilds (same doc -> same shard, so shard-level "
+    "caching survives re-ingestion). The query reports per-shard doc "
+    "count, token load, and the largest document — the no-silent-caps "
+    "observability for shard imbalance. Scale shape: map-side hash + "
+    f"token count, one {N_SHARDS}-group agg; the production write is "
+    "df.write.partitionBy('shard_id') on the same expression. "
+    "Expected-token balance is a pytest property "
+    "(tests/test_mixing.py), not an assumption.",
+    tags=("text", "mixing", "sharding"),
+)
+def q76_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(
+            fingerprint_pandas(docs).select(
+                "doc_id", F.col("content_fp").alias("key_hash")
+            ),
+            "doc_id",
+        )
+        .select(
+            "n_tokens",
+            ((F.lit(SHARD_A) * F.col("key_hash") + F.lit(SHARD_B)) % N_SHARDS).alias(
+                "shard_id"
+            ),
+        )
+    )
+    return d.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+    )

@@ -62,6 +62,7 @@ QUERY_MODULES = (
     "search_queries",
     "event_queries",
     "multimodal_queries",
+    "mixing_queries",
     "analytic_queries",
     "window_queries",
     "composite_queries",
