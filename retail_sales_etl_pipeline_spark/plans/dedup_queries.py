@@ -511,3 +511,59 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Arrow/numpy path (same integers as _SIMHASH_DUCK in the oracle).
     return simhash_pandas(docs)
+
+
+@register(
+    "q79_cross_source_contamination",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {_TG_DUCK} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    )
+    SELECT least(sa.source, sb.source) AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.doc_a) AS BIGINT) AS n_docs_a
+    FROM verified c
+    JOIN documents sa ON sa.doc_id = c.doc_a
+    JOIN documents sb ON sb.doc_id = c.doc_b
+    GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+    """,
+    doc="Cross-source contamination matrix: verified near-dup pairs "
+    "(q21's LSH-candidates -> exact-Jaccard pipeline) rolled up by the "
+    "UNORDERED source pair (least/greatest canonicalization) — the "
+    "provenance view that surfaces mirrored/syndicated content between "
+    "sources, the usual cause of dedup hot spots at corpus scale. "
+    "Off-diagonal mass tells you two crawls overlap; diagonal mass is "
+    "within-source duplication. Scale shape: everything downstream of "
+    "the banded candidate join is pair-sized, the source lookups are "
+    "lean (doc_id, source) projections, and the final agg is "
+    "|sources|^2-bounded.",
+    tags=("dedup", "profiling"),
+)
+def q79_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
+        )
+    )

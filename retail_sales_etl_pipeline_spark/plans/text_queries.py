@@ -309,3 +309,69 @@ def q65_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Counter/set beat the interpreted transform/sequence lambdas
     # ~5x. Integer-ratio doubles are bit-exact vs the oracle's SQL form.
     return repetition_scores_pandas(docs)
+
+
+@register(
+    "q78_source_length_profile",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM d
+    )
+    SELECT source, n,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END)
+               AS BIGINT) AS median_tokens,
+           CAST(MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END)
+               AS BIGINT) AS p95_tokens
+    FROM r GROUP BY source, n
+    """,
+    doc="Per-source corpus profile with EXACT order statistics: lower "
+    "median (rank (n+1) div 2) and p95 (rank ceil(0.95n)) picked by "
+    "rank from a per-source sort — integer ranks and integer token "
+    "counts, so unlike approx_percentile/quantile_cont the result is "
+    "bit-identical across engines and runs. Scale shape: one shuffle "
+    "keyed on source for the rank window (per-source sort — the same "
+    "shape any exact quantile needs), then a bounded per-source agg; "
+    "the production alternative for skewed sources is approx_percentile "
+    "(documented trade: approximate, but mergeable sketches, no sort).",
+    tags=("text", "profiling"),
+)
+def q78_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    w_all = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    median_rn = F.expr("(n + 1) div 2")
+    p95_rn = F.expr("(95 * n + 99) div 100")
+    return r.groupBy("source", "n").agg(
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min(F.when(F.col("rn") == median_rn, F.col("n_tokens")))
+        .cast("long")
+        .alias("median_tokens"),
+        F.min(F.when(F.col("rn") == p95_rn, F.col("n_tokens")))
+        .cast("long")
+        .alias("p95_tokens"),
+    )
