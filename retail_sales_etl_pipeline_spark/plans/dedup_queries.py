@@ -567,3 +567,139 @@ def q79_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
         )
     )
+
+
+def dedup_increment_status(
+    index_docs: DataFrame,
+    incoming: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental dedup of an ``incoming`` batch against an already-built
+    corpus (``index_docs``): (doc_id, status) for every incoming doc with
+
+    - ``exact_dup``: content hash already in the index, OR a lower-id
+      incoming doc has the same hash (first-arrival-wins within a batch);
+    - ``near_flagged``: survives exact dedup but shares a MinHash band
+      signature with an index document (the LSH accept signal — at corpus
+      scale the index stores only hashes + band signatures, so banding IS
+      the incremental near-dup decision; full Jaccard verification needs
+      stored shingle sketches and runs as a follow-up batch, q21's shape);
+    - ``accepted``: neither — joins the corpus, and its hash + band rows
+      join the index.
+
+    Scale shape: the daily-increment operation at 100 TB. Nothing ever
+    recomputes over the existing corpus: exact membership is a left-semi
+    join on the 64-hex hash, band matching is an equi-join on
+    (band_idx, sig) keyed exactly like q22's self-join, and hot INDEX
+    buckets (> ``max_bucket``) are dropped before probing — one
+    boilerplate signature in a 100 TB index can't make every increment
+    quadratic. Index state is two parquet-able frames (hashes, band
+    rows), both append-only under accepted docs.
+    """
+    inc_h = incoming.select("doc_id", F.sha2("text", 256).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    firsted = inc_h.withColumn("rn", F.row_number().over(w))
+    idx_h = index_docs.select(F.sha2("text", 256).alias("h")).distinct()
+    in_index = firsted.join(idx_h, "h", "left_semi").select("doc_id")
+    exact_dup = (
+        firsted.filter(F.col("rn") > 1).select("doc_id").union(in_index).distinct()
+    )
+
+    survivors = incoming.join(exact_dup, "doc_id", "left_anti")
+    wb = Window.partitionBy("band_idx", "sig")
+    idx_bands = (
+        minhash_band_rows(index_docs)
+        .withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("band_idx", "sig")
+        .distinct()
+    )
+    flagged = (
+        minhash_band_rows(survivors)
+        .join(idx_bands, ["band_idx", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact_dup.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(flagged.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_flagged"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "q80_incremental_dedup",
+    oracle=f"""
+    WITH idx AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    inc_h AS (
+      SELECT doc_id, sha256(text) AS h,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+                 AS rn
+      FROM inc
+    ),
+    idx_h AS (SELECT DISTINCT sha256(text) AS h FROM idx),
+    exact_dup AS (
+      SELECT doc_id FROM inc_h
+      WHERE rn > 1 OR h IN (SELECT h FROM idx_h)
+    ),
+    idx_sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS band{i}" for i, e in enumerate(_DUCK_BANDS))}
+      FROM idx
+    ),
+    idx_bands AS (
+      SELECT band_idx, sig FROM (
+        SELECT band_idx, sig, COUNT(*) OVER (PARTITION BY band_idx, sig)
+                   AS bucket_n
+        FROM ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band{i} AS sig FROM idx_sigs" for i in range(MINHASH_BANDS))})
+      ) WHERE bucket_n <= {LSH_MAX_BUCKET}
+    ),
+    surv_sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS band{i}" for i, e in enumerate(_DUCK_BANDS))}
+      FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+    ),
+    surv_bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band{i} AS sig FROM surv_sigs" for i in range(MINHASH_BANDS))}
+    ),
+    flagged AS (
+      SELECT DISTINCT s.doc_id
+      FROM surv_bands s
+      WHERE EXISTS (
+        SELECT 1 FROM idx_bands b
+        WHERE b.band_idx = s.band_idx AND b.sig = s.sig
+      )
+    )
+    SELECT i.doc_id,
+           CASE WHEN i.doc_id IN (SELECT doc_id FROM exact_dup)
+                    THEN 'exact_dup'
+                WHEN i.doc_id IN (SELECT doc_id FROM flagged)
+                    THEN 'near_flagged'
+                ELSE 'accepted' END AS status
+    FROM inc i
+    """,
+    doc="Incremental dedup (dedup_increment_status): odd-id documents "
+    "arrive as the increment, even-id documents are the already-indexed "
+    "corpus. Exact membership is a semi-join on the content hash, "
+    "near-dup flagging an equi-join on capped index band signatures — "
+    "nothing recomputes over the existing corpus, the property that "
+    "makes daily increments O(batch) instead of O(corpus). "
+    "tests/test_incremental_dedup.py proves two-increment processing "
+    "equals one batch for the exact tier and that flags are sound "
+    "against q22's full-corpus candidates.",
+    tags=("dedup", "incremental"),
+)
+def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_increment_status(idx, inc)
