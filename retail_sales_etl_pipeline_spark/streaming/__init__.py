@@ -1,4 +1,8 @@
-from .dedup import dedup_stream_within_watermark, fingerprint_events
+from .dedup import (
+    dedup_stream_against_index,
+    dedup_stream_within_watermark,
+    fingerprint_events,
+)
 from .events import (
     read_events_stream,
     run_to_memory,
@@ -9,6 +13,7 @@ from .events import (
 from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
+    "dedup_stream_against_index",
     "dedup_stream_within_watermark",
     "exactly_once_parquet_sink",
     "fingerprint_events",

@@ -57,3 +57,26 @@ def dedup_stream_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def dedup_stream_against_index(
+    stream: DataFrame,
+    index: DataFrame,
+    key_cols: tuple[str, ...] = ("content_fp",),
+) -> DataFrame:
+    """Stream-STATIC anti join: drop every stream row whose key already
+    exists in a static (batch-built) index — the streaming form of
+    incremental dedup against an existing corpus
+    (plans.dedup_queries.dedup_increment_status), and the missing third
+    join shape next to stream-stream (events.stream_stream_attribution)
+    and batch-batch.
+
+    The static side is re-read per micro-batch (Spark's stream-static
+    contract), so an index parquet appended by a nightly batch compaction
+    is picked up without restarting the query. At scale the anti join
+    broadcasts the index when it fits, else shuffles hash keys only —
+    never document bodies. Stateless: no watermark needed (unlike
+    dropDuplicatesWithinWatermark there is no cross-batch stream state;
+    within-stream duplicates are the within-watermark operator's job —
+    compose both for the full incremental ladder)."""
+    return stream.join(index.select(*key_cols), list(key_cols), "left_anti")

@@ -126,3 +126,39 @@ def test_dedup_drop_and_reemit_contract(spark, tmp_path):
 
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 3, 5, 8, 9]
+
+
+def test_stream_static_index_dedup_equals_batch(spark, dup_events_dir):
+    """Stream-static anti join (dedup_stream_against_index): streaming the
+    duplicated events against a static fingerprint index built from the
+    base third must drop exactly the rows a batch anti join drops, and
+    compose with fingerprint_events on both sides."""
+    from retail_sales_etl_pipeline_spark.streaming import (
+        dedup_stream_against_index,
+        fingerprint_events,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    all_events = spark.read.parquet(dup_events_dir)
+    # static index: fingerprints of the original event_id % 3 == 0 third
+    index = fingerprint_events(
+        all_events.filter(
+            (F.col("event_id") % 3 == 0) & (F.col("event_id") < 1_000_000)
+        )
+    ).select("content_fp")
+
+    stream = fingerprint_events(read_events_stream(spark, dup_events_dir))
+    got = run_to_memory(
+        dedup_stream_against_index(stream, index), "idx_dedup",
+        output_mode="append",  # stateless map/filter stream: no aggregation
+    )
+    batch = fingerprint_events(all_events).join(index, "content_fp", "left_anti")
+
+    got_ids = sorted(r["event_id"] for r in got.collect())
+    batch_ids = sorted(r["event_id"] for r in batch.collect())
+    assert got_ids == batch_ids
+    # both copies of an indexed row are dropped (content identity, not id)
+    assert not any(i % 3 == 0 for i in got_ids if i < 1_000_000)
+    assert not any((i - 1_000_000) % 3 == 0 for i in got_ids if i >= 1_000_000)
+    assert got_ids  # the non-indexed rows all pass through
