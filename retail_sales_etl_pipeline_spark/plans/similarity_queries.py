@@ -376,6 +376,14 @@ def q38_kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_assign, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # fresh partition / filtered-out slice: nothing to train on — an
+        # empty profile with the trained schema, not a crash
+        # (kmeans_fit itself still raises: training on zero rows is a
+        # caller error; the QUERY degrades gracefully).
+        return spark.createDataFrame(
+            [], "centroid_id int, n_members long, avg_sq_dist double"
+        )
     centroids = kmeans_fit(emb, k=N_CENTROIDS, iters=5)
     return (
         kmeans_assign(emb, centroids)
