@@ -1,0 +1,52 @@
+"""Partition-count invariance: a distributed query's RESULT must not
+depend on how many shuffle partitions execute it — the property that
+order-dependent double sums, nondeterministic tiebreaks, and
+first()-style aggregates silently violate, and the reason money goes
+through decimals and tiebreaks are total orderings everywhere in this
+engine. Representative order-sensitive shapes run under 3 and 32 shuffle
+partitions and must match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+from .conftest import SMOKE_SF_DIR
+
+REGISTRY = load_all()
+
+# the shapes where partitioning could plausibly leak into results:
+# window-dedup tiebreaks, banded self-join aggs, iterative CC, floor-micros
+# sums, running-sum packing, top-k with ties, decimal money, grouped-map
+SENSITIVE = [
+    "q02_dedup_rownumber",
+    "q08_revenue_by_flag",
+    "q22_minhash_lsh_candidates",
+    "q30_ann_bruteforce",
+    "q55_user_gap_stats",
+    "q60_neardup_components",
+    "q71_sliding_event_windows",
+    "q77_sequence_packing",
+]
+
+
+def _canon_rows(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_shuffle_partitioning(spark, name):
+    if name not in REGISTRY:  # guard against renames
+        pytest.skip(f"{name} not registered")
+    q = REGISTRY[name]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = _canon_rows(q.spark_fn(spark, SMOKE_SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        many = _canon_rows(q.spark_fn(spark, SMOKE_SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert few == many, f"{name}: result depends on shuffle partitioning"
