@@ -17,7 +17,7 @@ bit-exact DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import dot_pair, norm_pair
@@ -35,6 +35,16 @@ from .registry import register
 # operators.kmeans.kmeans_fit.
 SEM_K = 16
 SEMDEDUP_COS = 0.35
+# Per-cluster member cap for the pair join (the LSH_MAX_BUCKET convention:
+# no pair join in this engine may go quadratic on degenerate data). Members
+# are ranked by vec_id within their cluster; only the first SEM_MAX_CLUSTER
+# participate in pairing, so pair work is bounded by k * cap^2 even if
+# every embedding collapses into one cluster. Observed max cluster: 42 at
+# sf0.01, 148 at sf0.1 — 256 is a no-op at test scale, the oracle mirrors
+# it, and tests/test_degenerate_corpus.py proves the bound bites when it
+# must. (In production SemDeDup the cluster count scales with the corpus,
+# which bounds n_i statistically; the cap is the deterministic backstop.)
+SEM_MAX_CLUSTER = 256
 
 # Temperature mixing (multilingual-sampling convention, e.g. mT5/UniMax):
 # p_lang ∝ share^ALPHA with ALPHA < 1 upweights tail languages. Keep-rates
@@ -74,11 +84,17 @@ _HASH_SPARK, _HASH_DUCK = poly_hash_pair("text", "text")
       ) r JOIN v a USING (vec_id) JOIN cents b ON b.vec_id = r.bid
       WHERE r.rnk = 1
     ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY centroid_id ORDER BY vec_id) AS mrank
+      FROM assign
+    ),
     drops AS (
       SELECT DISTINCT b.vec_id
-      FROM assign a JOIN assign b
+      FROM ranked a JOIN ranked b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      WHERE {_DOT_D} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+      WHERE a.mrank <= {SEM_MAX_CLUSTER} AND b.mrank <= {SEM_MAX_CLUSTER}
+        AND {_DOT_D} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
     )
     SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
            a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
@@ -90,9 +106,12 @@ _HASH_SPARK, _HASH_DUCK = poly_hash_pair("text", "text")
     "then compute pair cosines ONLY within a cluster and drop the higher "
     "vec_id of any pair above the threshold (greedy rule; q66 is the "
     "transitive-components form). Scale shape: the pair join keys on "
-    "centroid_id so work is sum(n_i^2) not N^2, and at corpus scale k "
-    "grows with N to bound n_i — the entire point of clustering before "
-    "dedup. Dots are index-ordered folds, bit-identical cross-engine.",
+    "centroid_id so work is sum(n_i^2) not N^2; k grows with the corpus "
+    "to bound n_i statistically, and the deterministic backstop is the "
+    f"{SEM_MAX_CLUSTER}-member per-cluster pairing cap (vec_id-ranked, "
+    "mirrored in the oracle — the LSH hot-bucket convention, so one "
+    "degenerate cluster can never go quadratic). Dots are index-ordered "
+    "folds, bit-identical cross-engine.",
     tags=("similarity", "dedup", "mixing"),
 )
 def q74_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +134,13 @@ def q74_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nid")))
         .alias("centroid_id")
     )
-    member = assign.join(v, "vec_id")
+    wm = Window.partitionBy("centroid_id").orderBy("vec_id")
+    member = (
+        assign.join(v, "vec_id")
+        .withColumn("mrank", F.row_number().over(wm))
+        .filter(F.col("mrank") <= SEM_MAX_CLUSTER)
+        .drop("mrank")
+    )
     pa = member.alias("a")
     pb = member.alias("b")
     pair_cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
