@@ -162,3 +162,53 @@ def test_stream_static_index_dedup_equals_batch(spark, dup_events_dir):
     assert not any(i % 3 == 0 for i in got_ids if i < 1_000_000)
     assert not any((i - 1_000_000) % 3 == 0 for i in got_ids if i >= 1_000_000)
     assert got_ids  # the non-indexed rows all pass through
+
+
+def test_full_incremental_ladder_composes(spark, dup_events_dir):
+    """The composed streaming dedup ladder the module doc promises:
+    within-stream duplicates removed by the watermark operator, already-
+    indexed content removed by the stream-static anti join — in one
+    streaming plan. With all duplicates in-window (same timestamps), the
+    result must equal the batch form exactly: distinct-by-fingerprint
+    events minus indexed fingerprints."""
+    from retail_sales_etl_pipeline_spark.streaming import (
+        dedup_stream_against_index,
+        dedup_stream_within_watermark,
+        fingerprint_events,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    all_events = spark.read.parquet(dup_events_dir)
+    index = fingerprint_events(
+        all_events.filter(
+            (F.col("event_id") % 5 == 0) & (F.col("event_id") < 1_000_000)
+        )
+    ).select("content_fp")
+
+    stream = fingerprint_events(read_events_stream(spark, dup_events_dir))
+    ladder = dedup_stream_against_index(
+        dedup_stream_within_watermark(stream), index
+    )
+    got = run_to_memory(ladder, "ladder", output_mode="append")
+
+    from pyspark.sql import Window
+
+    batch = (
+        fingerprint_events(all_events)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_fp").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .join(index, "content_fp", "left_anti")
+    )
+    # streaming first-arrival within a micro-batch is nondeterministic in
+    # WHICH duplicate row survives, but the surviving CONTENT set is not
+    got_fps = sorted(r["content_fp"] for r in got.collect())
+    batch_fps = sorted(r["content_fp"] for r in batch.collect())
+    assert got_fps == batch_fps
+    assert got_fps  # non-trivial survivor set
