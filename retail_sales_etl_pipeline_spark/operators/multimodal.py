@@ -145,3 +145,51 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
             yield out
 
     return with_payload.mapInPandas(per_batch, FEATURE_SCHEMA)
+
+
+RESIZE_SAMPLES = 32
+
+
+def resize_payload(
+    with_payload: DataFrame, samples: int = RESIZE_SAMPLES
+) -> DataFrame:
+    """Nearest-neighbor "resize" of binary payloads to a fixed sample
+    count — the normalize-before-batching step every image/audio training
+    pipeline has (images → fixed resolution, audio → fixed sample rate)
+    so downstream tensors are rectangular.
+
+    Real resampling (PIL.resize / librosa.resample) is stubbed like
+    ``decode_media``: here the payload's bytes ARE the signal, sampled at
+    indices floor(j*n/samples) — the exact index arithmetic of
+    nearest-neighbor interpolation, so the full plumbing (Arrow batch in,
+    fixed-width vector out, short-payload handling) is deterministic and
+    oracle-checkable. Map-side only; output width is constant regardless
+    of input size, which is the point."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = samples
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n == 0:
+                    continue
+                vals = [data[(j * n) // k] for j in range(k)]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_bytes": n,
+                        "resized_csv": ",".join(str(v) for v in vals),
+                        "resized_sum": sum(vals),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        per_batch,
+        "doc_id long, n_bytes long, resized_csv string, resized_sum long",
+    )

@@ -10,9 +10,11 @@ from ..operators.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
     MAX_FRAMES,
+    RESIZE_SAMPLES,
     attach_payload,
     extract_features,
     frame_sample,
+    resize_payload,
 )
 from ..sources import load_table
 from .registry import register
@@ -81,3 +83,44 @@ _HEXDIGITS = "0123456789ABCDEF"
 def q51_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_payload(docs))
+
+
+@register(
+    "q81_multimodal_resize",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, n, j, ((j * n) // {RESIZE_SAMPLES}) AS idx
+      FROM p, range(0, {RESIZE_SAMPLES}) t(j)
+    ),
+    v AS (
+      SELECT s.doc_id, s.n, s.j,
+             (strpos('{_HEXDIGITS}', substring(p.h, s.idx * 2 + 1, 1)) - 1) * 16
+           + (strpos('{_HEXDIGITS}', substring(p.h, s.idx * 2 + 2, 1)) - 1)
+               AS val
+      FROM s JOIN p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_bytes,
+           string_agg(val, ',' ORDER BY j) AS resized_csv,
+           CAST(SUM(val) AS BIGINT) AS resized_sum
+    FROM v GROUP BY doc_id
+    """,
+    doc=f"Multimodal resize stub (operators.multimodal.resize_payload): "
+    f"every payload normalized to {RESIZE_SAMPLES} nearest-neighbor byte "
+    "samples (index floor(j*n/k) — the exact arithmetic of NN "
+    "interpolation; real PIL/librosa resampling is stubbed, no codecs "
+    "here). Map-side Arrow pass, constant output width regardless of "
+    "input size — the rectangularity a training batcher needs. The "
+    "oracle recomputes the sampled bytes from hex in SQL, checking the "
+    "whole binary path bit-for-bit.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q81_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payload(attach_payload(docs))

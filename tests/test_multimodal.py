@@ -48,3 +48,33 @@ def test_payload_roundtrip_binary(spark):
     row = attach_payload(docs).collect()[0]
     assert bytes(row["payload"]) == "héllo".encode("utf-8")
     assert row["mime"] == "text/plain"
+
+
+def test_resize_payload_fixed_width_and_short_inputs(spark):
+    """NN resize always emits exactly RESIZE_SAMPLES samples: payloads
+    shorter than the target repeat bytes (upsample), longer ones skip
+    (downsample); empty payloads are dropped. Values re-derived driver-side."""
+    from retail_sales_etl_pipeline_spark.operators.multimodal import (
+        RESIZE_SAMPLES,
+        resize_payload,
+    )
+
+    rows = [
+        (1, b"ab"),                      # shorter than target: upsample
+        (2, bytes(range(200))),          # longer: downsample
+        (3, b""),                        # empty: dropped
+        (4, b"x" * RESIZE_SAMPLES),      # exact: identity
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_payload(df).collect()}
+    assert set(got) == {1, 2, 4}
+    for did, payload in rows:
+        if not payload:
+            continue
+        n = len(payload)
+        expect = [payload[(j * n) // RESIZE_SAMPLES] for j in range(RESIZE_SAMPLES)]
+        r = got[did]
+        assert r["n_bytes"] == n
+        assert r["resized_csv"] == ",".join(str(v) for v in expect)
+        assert r["resized_sum"] == sum(expect)
+        assert len(r["resized_csv"].split(",")) == RESIZE_SAMPLES
