@@ -375,3 +375,34 @@ def q78_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_tokens"),
     )
+
+
+@register(
+    "q82_source_length_profile_approx",
+    oracle=None,  # approximate sketches: rank-tolerance-checked in pytest
+    doc="The mergeable-sketch form of q78: per-source median/p95 via "
+    "percentile_approx (Greenwald-Khanna in Spark). At 100 TB this is "
+    "the production profile — sketches merge map-side with no per-source "
+    "sort and no rank window shuffle — while q78 stays the exact, "
+    "hash-checkable reference. Accuracy contract pinned in "
+    "tests/test_approx_profile.py: every approximate quantile must fall "
+    "within the rank tolerance of the exact order statistics.",
+    tags=("text", "profiling", "approx"),
+)
+def q82_source_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.percentile_approx("n_tokens", 0.5, 10000)
+        .cast("long")
+        .alias("median_tokens"),
+        F.percentile_approx("n_tokens", 0.95, 10000)
+        .cast("long")
+        .alias("p95_tokens"),
+    )
