@@ -97,15 +97,30 @@ def test_bm25_log_matches_duckdb(spark, ddb):
         ),
         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         scored AS (
-          SELECT tf.doc_id,
+          SELECT tf.doc_id, tf.term,
                  ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5))
                  * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
                      AS score
           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
           CROSS JOIN stats
+        ),
+        -- fixed-order per-term sum (the q68 oracle convention): a plain
+        -- SUM(score) lets DuckDB's parallel aggregation add the per-term
+        -- doubles in nondeterministic order, and the ULP wobble flips
+        -- rank ties between runs — this very test flaked on it.
+        per_doc AS (
+          SELECT doc_id,
+                 {", ".join(
+                     f"COALESCE(SUM(CASE WHEN term = {sq._sql_str(t)} "
+                     f"THEN score END), 0.0) AS s_{i}"
+                     for i, t in enumerate(sq.BM25_TERMS)
+                 )}
+          FROM scored GROUP BY doc_id
         )
-        SELECT doc_id, SUM(score) AS bm25_log
-        FROM scored GROUP BY doc_id
+        SELECT doc_id,
+               {" + ".join(f"s_{i}" for i in range(len(sq.BM25_TERMS)))}
+                   AS bm25_log
+        FROM per_doc
         ORDER BY bm25_log DESC, doc_id LIMIT {sq.BM25_TOP_K}
     """).fetchall()
     assert len(got) == len(want)
