@@ -98,3 +98,65 @@ def test_upsert_properties(spark, dummy, old, new):
         ).collect()
     }
     assert twice == nw
+
+
+# ---------------------------------------------------------------------------
+# Cross-dialect hash primitives: every dedup/sampling/mixing operator keys
+# on poly_hash_pair's integers, so Spark-expr == DuckDB-expr == a plain
+# Python reimplementation must hold for ADVERSARIAL strings (quotes,
+# unicode, separators, empties), not just the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+
+def _py_poly_hash(s: str, base: int, mod: int) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % mod
+    return acc
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_poly_hash_cross_dialect_equality(spark, duck, texts):
+    import pandas as pd
+
+    from retail_sales_etl_pipeline_spark.functions.scalar import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+    from retail_sales_etl_pipeline_spark.operators.text import poly_hash_pair
+
+    expect = {t: _py_poly_hash(t, POLY_BASE, POLY_MOD) for t in texts}
+
+    sp_expr, du_expr = poly_hash_pair("text", "text")
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_spark = {
+        r["text"]: r["h"] for r in sdf.selectExpr("text", f"{sp_expr} AS h").collect()
+    }
+
+    duck.register("hash_probe", pd.DataFrame({"text": texts}))
+    got_duck = {
+        t: h
+        for t, h in duck.execute(
+            f"SELECT text, {du_expr} AS h FROM hash_probe"
+        ).fetchall()
+    }
+    duck.unregister("hash_probe")
+
+    for t in texts:
+        assert got_spark[t] == expect[t], repr(t)
+        assert got_duck[t] == expect[t], repr(t)
