@@ -182,6 +182,49 @@ def minhash_bands_pandas(df, text_col: str = "text", id_col: str = "doc_id", row
     return df.select(id_col, text_col).mapInPandas(per_batch, schema)
 
 
+def minhash_components_pandas(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, m0..m15) the 16 RAW MinHash minima (one per permutation) —
+    the component form minhash_bands_pandas concatenates into band
+    strings. Needed when the CONSUMER is the Broder estimator
+    (est_jaccard = matching-component fraction), which compares
+    permutations one by one rather than banded groups. Same shingle
+    hashes, same affine permutations, identical integers to
+    ``minhash_sig_expr``'s SQL list."""
+    perms = list(MINHASH_PERMS)
+    mod, base = POLY_MOD, POLY_BASE
+    schema = f"{id_col} long, " + ", ".join(f"m{i} long" for i in range(len(perms)))
+
+    def per_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = 5
+
+        def shingle_hashes(text: str) -> "np.ndarray":
+            codes = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+            n = len(codes)
+            m = max(n - (k - 1), 1)
+            width = min(k, n)
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(width):
+                h = (h * base + codes[j : j + m]) % mod
+            return h
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = shingle_hashes(text)
+                row = {id_col: did}
+                for i, (a, b) in enumerate(perms):
+                    row[f"m{i}"] = int(((a * sh + b) % mod).min())
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows)
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
 def fingerprint_pandas(df, text_col: str = "text", id_col: str = "doc_id", row_counter=None):
     """(id, content_fp, min_shingle_fp) — numpy-vectorized twin of the
     poly_hash_pair / char_shingle_hashes_pair(k=8) SQL forms.

@@ -703,3 +703,270 @@ def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     return dedup_increment_status(idx, inc)
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance near-dup pairing (q84) — completes the SimHash
+# rung: q23 only EMITS fingerprints; this query actually pairs them, the
+# Manku/Jain/Sarma (WWW'07, Google web dedup) block-permutation scheme.
+# ---------------------------------------------------------------------------
+
+# 30-bit simhash: the token polynomial hashes live in [0, 1e9+7) ~ 2^30,
+# so 30 is the widest simhash whose every bit carries signal (bit 30+ of
+# the token hash is always 0 -> a constant-0 fingerprint bit).
+SIMHAM_BITS = 30
+SIMHAM_BAND_BITS = 10          # 3 blocks x 10 bits
+SIMHAM_BANDS = SIMHAM_BITS // SIMHAM_BAND_BITS
+SIMHAM_MAX_HAMMING = 2         # pigeonhole: <=2 flipped bits across 3
+#                                blocks => at least one block identical,
+#                                so block-equality candidate generation is
+#                                EXACT for this threshold (no recall loss).
+SIMHAM_MAX_BUCKET = 64         # hot-bucket cap, same convention as q22/q32
+
+_SIMHAM_DUCK = simhash_expr("text", SIMHAM_BITS)[1]
+_SIMHAM_BAND_MOD = 1 << SIMHAM_BAND_BITS
+
+
+@register(
+    "q84_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sims AS (
+      SELECT doc_id, CAST({_SIMHAM_DUCK} AS BIGINT) AS sim FROM documents
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, sim, {i} AS band_idx, "
+          f"(sim // {_SIMHAM_BAND_MOD ** i}) % {_SIMHAM_BAND_MOD} AS bval FROM sims"
+          for i in range(SIMHAM_BANDS)
+      )}
+    ),
+    ok AS (
+      SELECT doc_id, sim, band_idx, bval FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bval) AS bucket_n
+        FROM bands
+      ) WHERE bucket_n <= {SIMHAM_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             MIN(a.sim) AS sim_a, MIN(b.sim) AS sim_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM ok a JOIN ok b
+        ON a.band_idx = b.band_idx AND a.bval = b.bval AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared_bands,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming,
+           (bit_count(xor(sim_a, sim_b)) <= {SIMHAM_MAX_HAMMING}) AS is_neardup
+    FROM cand
+    """,
+    doc=f"SimHash hamming near-dup pairs — the pairing rung q23's "
+    f"fingerprints feed (Manku et al., WWW'07): the {SIMHAM_BITS}-bit "
+    f"simhash splits into {SIMHAM_BANDS} blocks of {SIMHAM_BAND_BITS} "
+    f"bits; docs sharing any block become candidates (block equality is "
+    f"an equi-join — never all-pairs), then exact hamming = "
+    f"bit_count(xor) verifies. Pigeonhole makes the blocking EXACT for "
+    f"hamming <= {SIMHAM_MAX_HAMMING}: that few flips cannot touch all "
+    f"{SIMHAM_BANDS} blocks, so every true near-dup pair shares a "
+    f"block. Buckets above {SIMHAM_MAX_BUCKET} are dropped before "
+    f"pairing (the q22/q32 hot-bucket convention). Scale shape: "
+    f"constant-size signatures shuffle, the join keys on (block, "
+    f"value), pair work is bounded by n_buckets * cap^2; all candidate "
+    f"pairs are emitted with their hamming and the verify flag, so the "
+    f"filter's effect is observable.",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q84_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import simhash_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_pandas(docs, bits=SIMHAM_BITS)
+    bands = sims.selectExpr(
+        "doc_id",
+        "simhash AS sim",
+        f"stack({SIMHAM_BANDS}, "
+        + ", ".join(
+            f"{i}, CAST((simhash div {_SIMHAM_BAND_MOD ** i}) % {_SIMHAM_BAND_MOD} AS LONG)"
+            for i in range(SIMHAM_BANDS)
+        )
+        + ") AS (band_idx, bval)",
+    )
+    w = Window.partitionBy("band_idx", "bval")
+    ok = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= SIMHAM_MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.min(F.col("a.sim")).alias("sim_a"),
+            F.min(F.col("b.sim")).alias("sim_b"),
+            F.count(F.lit(1)).alias("n_shared_bands"),
+        )
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        hamming.alias("hamming"),
+        (hamming <= SIMHAM_MAX_HAMMING).alias("is_neardup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-passage coverage (q85) — the line/passage-level dedup metric
+# (CCNet dedups paragraphs; RefinedWeb reports duplicate coverage): how
+# much of each document consists of passages seen in OTHER documents.
+# ---------------------------------------------------------------------------
+
+PASSAGE_N = 8  # 8-token shingles ~ a short "line" in the token-stream corpus
+
+_P8_DUCK = token_ngrams_expr("text", PASSAGE_N)[1]
+
+
+@register(
+    "q85_passage_duplication",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_P8_DUCK}) AS g
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {PASSAGE_N}
+    ),
+    dfreq AS (
+      -- sh is DISTINCT per doc (list_distinct), so COUNT(*) = doc count
+      SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_passages,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_coverage
+    FROM sh s JOIN dfreq d ON s.g = d.g
+    GROUP BY s.doc_id
+    """,
+    doc=f"Duplicated-passage coverage — passage/line-level dedup's "
+    f"measurement form (CCNet dedups paragraphs across documents; "
+    f"RefinedWeb reports exactly this coverage): per document, the "
+    f"fraction of its distinct {PASSAGE_N}-token passages that appear "
+    f"in at least one OTHER document (or twice here — frequency >= 2). "
+    f"Exact-dup docs score 1.0, boilerplate-heavy docs score high, and "
+    f"thresholding this is the passage-level rung between exact dedup "
+    f"(q20) and near-dup pairs (q21/q84). Scale shape: the passage "
+    f"frequency is a two-stage agg (map-side combine), the coverage "
+    f"join keys on the passage itself (an inverted index — shuffles "
+    f"shingles, never doc pairs), and the per-doc rollup is one more "
+    f"keyed agg; at 100 TB the passage string would be replaced by its "
+    f"64-bit polynomial hash so the shuffle carries ints, not text.",
+    tags=("dedup", "text", "passage"),
+)
+def q85_passage_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_shingles_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = token_shingles_pandas(docs, PASSAGE_N)  # distinct (doc_id, g) rows
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            shared.alias("n_shared_passages"),
+            (
+                shared.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard ESTIMATION vs exact (q86) — the Broder estimator the
+# whole MinHash construction exists for, checked against ground truth.
+# ---------------------------------------------------------------------------
+
+_MH_DUCK_COMPONENTS = minhash_sig_expr("text", 5)[1]
+
+
+@register(
+    "q86_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    comps AS (
+      SELECT doc_id,
+             {", ".join(f"({e}) AS m{i}" for i, e in enumerate(_MH_DUCK_COMPONENTS))}
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, {_TG_DUCK} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(f"(CASE WHEN ca.m{i} = cb.m{i} THEN 1 ELSE 0 END)" for i in range(len(_MH_DUCK_COMPONENTS)))} AS DOUBLE)
+             / {len(_MH_DUCK_COMPONENTS)}.0 AS est_jaccard,
+           CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+             / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN comps ca ON ca.doc_id = c.doc_a
+    JOIN comps cb ON cb.doc_id = c.doc_b
+    JOIN d a ON a.doc_id = c.doc_a
+    JOIN d b ON b.doc_id = c.doc_b
+    """,
+    doc="MinHash Jaccard estimation vs ground truth (the Broder "
+    "estimator LSH is built on): for every banded candidate pair, "
+    "est_jaccard = fraction of the 16 permutation minima that agree — "
+    "an unbiased estimate of the true resemblance, computed WITHOUT "
+    "touching the texts — next to the exact trigram Jaccard for "
+    "calibration. In production the estimate IS the verdict (texts "
+    "never shuffle; signatures are 128 bytes/doc) and this query is "
+    "the audit that the estimator tracks truth "
+    "(tests/test_minhash_estimate.py pins the mean absolute error). "
+    "Scale shape: constant-size signature join on the candidate pairs; "
+    "the exact column exists only for the audit. Both columns are "
+    "int/int doubles — bit-identical cross-engine.",
+    tags=("dedup", "lsh", "estimation"),
+)
+def q86_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import jaccard_pairs_pandas, minhash_components_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    comps = minhash_components_pandas(docs)
+    n_perms = len(MINHASH_PERMS)
+    ca = comps.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perms)],
+    )
+    cb = comps.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perms)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    est = cand.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / float(n_perms)).alias("est_jaccard"),
+    )
+    texts = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "text")
+    )
+    ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    exact = jaccard_pairs_pandas(
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+    )
+    return est.join(exact, ["doc_a", "doc_b"])
