@@ -843,3 +843,98 @@ def q66_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFr
         src_col="vec_a",
         dst_col="vec_b",
     ).select(F.col("id").alias("vec_id"), "component_id")
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality-based data pruning (q87) — the SSL-prototypes rule of
+# Sorscher et al., "Beyond neural scaling laws" (arXiv:2206.14486): rank
+# examples by cosine to their cluster centroid; when data is ABUNDANT,
+# prune the most prototypical (easiest) examples and keep the hard ones.
+# ---------------------------------------------------------------------------
+
+PRUNE_KEEP_DEN = 5  # prune the top-1/5 most prototypical per cluster
+
+_DOT_PC_S, _DOT_PC_D = dot_pair("a.emb", "c.cemb")
+
+
+@register(
+    "q87_prototypicality_pruning",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    cents AS (
+      SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+      FROM v WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT a.vec_id, c.centroid_id,
+             {_DOT_PC_D} / (a.nrm * c.cnrm) AS cos_c
+      FROM v a CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, cos_c FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id ASC
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY centroid_id ORDER BY cos_c DESC, vec_id ASC
+             ) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_n
+      FROM assigned
+    )
+    SELECT vec_id, centroid_id, cos_c,
+           CAST(proto_rank AS BIGINT) AS proto_rank,
+           ((proto_rank - 1) * {PRUNE_KEEP_DEN} < cluster_n) AS pruned
+    FROM ranked
+    """,
+    doc=f"Prototypicality pruning (SSL-prototypes rule, Sorscher et al. "
+    f"arXiv:2206.14486): every embedding is assigned to its nearest of "
+    f"the {N_CENTROIDS} broadcast bootstrap centroids (q31's assignment "
+    f"— the window form here is the oracle; the engine uses the "
+    f"max_by partial-agg shape that never shuffles N*K rows), ranked "
+    f"within its cluster by cosine TO that centroid, and the most "
+    f"prototypical ceil(n/{PRUNE_KEEP_DEN}) per cluster are flagged "
+    f"pruned — in the abundant-data regime easy/redundant examples "
+    f"contribute least to loss. The flag uses exact integer arithmetic "
+    f"((rank-1)*{PRUNE_KEEP_DEN} < n <=> rank <= ceil(n/"
+    f"{PRUNE_KEEP_DEN})), so the keep set is deterministic and "
+    f"hash-checkable. Scale shape: broadcast centroids, map-side "
+    f"max_by assignment, then ONE shuffle keyed on centroid_id for the "
+    f"rank window — cluster count is fixed, AQE splits skewed clusters.",
+    tags=("similarity", "pruning", "mixing"),
+)
+def q87_prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _vec_view_spark(spark, sf_dir)
+    scored = _ivf_scored(v)
+    # argmax centroid per vector WITH its cosine: max(cos) is the cosine of
+    # the argmax by construction; the max_by tiebreak (highest cos, then
+    # LOWEST centroid_id) must stay mirrored in the oracle's window.
+    assigned = scored.groupBy("vec_id").agg(
+        F.max("cos_c").alias("cos_c"),
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cos_c").alias("c"), (-F.col("centroid_id")).alias("neg_id")),
+        ).alias("centroid_id"),
+    )
+    wr = Window.partitionBy("centroid_id").orderBy(F.desc("cos_c"), F.asc("vec_id"))
+    wn = Window.partitionBy("centroid_id")
+    return assigned.select(
+        "vec_id",
+        "centroid_id",
+        "cos_c",
+        F.row_number().over(wr).cast("long").alias("proto_rank"),
+        F.count(F.lit(1)).over(wn).alias("cluster_n"),
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "cos_c",
+        "proto_rank",
+        ((F.col("proto_rank") - 1) * PRUNE_KEEP_DEN < F.col("cluster_n")).alias(
+            "pruned"
+        ),
+    )

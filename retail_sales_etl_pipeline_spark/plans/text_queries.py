@@ -406,3 +406,55 @@ def q82_source_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("long")
         .alias("p95_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (q88) — the model-based quality rung: the lightweight
+# stand-in for the KenLM-perplexity filter every published web-corpus
+# pipeline runs (CCNet scores documents with a 5-gram LM; the unigram
+# model keeps the same plan shape and the same consume-side contract —
+# a per-doc mean log-loss — while staying library-free and verifiable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_unigram_surprisal",
+    # Transcendental (ln) -> rows-only by design, like q72/q73: a bit-exact
+    # cross-engine hash on log values would be dishonest. Value agreement
+    # is pinned at rtol=1e-12 in tests/test_minhash_estimate.py's sibling
+    # (tests/test_surprisal.py) against DuckDB's own ln().
+    oracle=None,
+    doc="Per-document mean unigram surprisal in nats: mean over tokens of "
+    "ln(N_corpus_tokens / corpus_count(token)) — the cross-entropy of the "
+    "document under the corpus unigram MLE. Out-of-distribution or "
+    "rare-token documents score high, degenerate/repetitive ones score "
+    "low; quality pipelines band on this next to q25's surface stats and "
+    "q65's repetition rules (the unigram stand-in for CCNet's KenLM "
+    "perplexity filter — same plan, heavier model, when an LM table is "
+    "available). Scale shape: token counts are a two-stage agg; the "
+    "(token -> count) model is vocab-sized and joins the token stream on "
+    "the token key (AQE broadcasts it when it fits); the corpus total is "
+    "one broadcast scalar; the per-doc rollup is one keyed agg. With a "
+    "REAL n-gram LM the model table is still the small side — the plan "
+    "does not change, only the join key (n-gram) and the lookup table.",
+    tags=("text", "quality", "log-form"),
+)
+def q88_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("n_total") / F.col("cnt")).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("surprisal").alias("mean_surprisal_nats"),
+    )
