@@ -51,6 +51,41 @@ NEARDUP_JACCARD = 0.3
 # dropped buckets stay observable via q59_lsh_bucket_stats: no silent cap).
 LSH_MAX_BUCKET = 64
 
+# --- SimHash hamming-pairing parameters (q84; blocks reported by q59) ----
+# 30-bit simhash: the token polynomial hashes live in [0, 1e9+7) ~ 2^30,
+# so 30 is the widest simhash whose every bit carries signal (bit 30+ of
+# the token hash is always 0 -> a constant-0 fingerprint bit).
+SIMHAM_BITS = 30
+SIMHAM_BAND_BITS = 10          # 3 blocks x 10 bits
+SIMHAM_BANDS = SIMHAM_BITS // SIMHAM_BAND_BITS
+SIMHAM_MAX_HAMMING = 2         # pigeonhole: <=2 flipped bits across 3
+#                                blocks => at least one block identical,
+#                                so block-equality candidate generation is
+#                                EXACT for this threshold (no recall loss).
+SIMHAM_MAX_BUCKET = 64         # hot-bucket cap, same convention as q22/q32
+
+_SIMHAM_DUCK = simhash_expr("text", SIMHAM_BITS)[1]
+_SIMHAM_BAND_MOD = 1 << SIMHAM_BAND_BITS
+
+
+def simham_block_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim, band_idx, bval): one row per document per simhash
+    block — the unpivot q84 joins on and q59 sizes. Fingerprints come
+    from the Arrow/numpy twin (same integers as the oracle's SQL form)."""
+    from ..operators.text import simhash_pandas
+
+    sims = simhash_pandas(docs, bits=SIMHAM_BITS)
+    return sims.selectExpr(
+        "doc_id",
+        "simhash AS sim",
+        f"stack({SIMHAM_BANDS}, "
+        + ", ".join(
+            f"{i}, CAST((simhash div {_SIMHAM_BAND_MOD ** i}) % {_SIMHAM_BAND_MOD} AS LONG)"
+            for i in range(SIMHAM_BANDS)
+        )
+        + ") AS (band_idx, bval)",
+    )
+
 
 @register(
     "q20_dedup_exact",
@@ -434,6 +469,19 @@ _RP_DUCK_BUCKETS = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
     ),
     rp_sizes AS (
       SELECT tbl, bucket, COUNT(*) AS n FROM rp_buckets GROUP BY tbl, bucket
+    ),
+    sh_sims AS (
+      SELECT doc_id, CAST({_SIMHAM_DUCK} AS BIGINT) AS sim FROM documents
+    ),
+    sh_blocks AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {i} AS band_idx, "
+          f"(sim // {_SIMHAM_BAND_MOD ** i}) % {_SIMHAM_BAND_MOD} AS bval FROM sh_sims"
+          for i in range(SIMHAM_BANDS)
+      )}
+    ),
+    sh_sizes AS (
+      SELECT band_idx, bval, COUNT(*) AS n FROM sh_blocks GROUP BY band_idx, bval
     )
     SELECT 'minhash' AS space, CAST(band_idx AS BIGINT) AS band,
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
@@ -452,13 +500,23 @@ _RP_DUCK_BUCKETS = [rp_bucket_pair("emb", t)[1] for t in range(RP_TABLES)]
            CAST(SUM(CASE WHEN n > {RP_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)
              AS rows_dropped
     FROM rp_sizes GROUP BY tbl
+    UNION ALL
+    SELECT 'simhash' AS space, CAST(band_idx AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(SUM(CASE WHEN n > {SIMHAM_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_dropped,
+           CAST(SUM(CASE WHEN n > {SIMHAM_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_dropped
+    FROM sh_sizes GROUP BY band_idx
     """,
-    doc="LSH bucket-size report for BOTH candidate-generation spaces "
-    "(MinHash bands over documents, RP tables over embeddings): per band/"
-    "table, the bucket count, the largest bucket, and how many buckets/"
-    "rows the hot-bucket caps (q22/q32) drop. This is the no-silent-caps "
-    "rule as a first-class oracle-checked query — capping is only "
-    "acceptable because its effect is observable here.",
+    doc="LSH bucket-size report for ALL THREE candidate-generation spaces "
+    "(MinHash bands over documents, RP tables over embeddings, SimHash "
+    "blocks over documents): per band/table/block, the bucket count, the "
+    "largest bucket, and how many buckets/rows the hot-bucket caps "
+    "(q22/q32/q84) drop. This is the no-silent-caps rule as a "
+    "first-class oracle-checked query — capping is only acceptable "
+    "because its effect is observable here.",
     tags=("dedup", "lsh", "observability"),
 )
 def q59_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,8 +543,15 @@ def q59_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return stats(mh_sizes, "minhash", "band_idx", LSH_MAX_BUCKET).unionByName(
-        stats(rp_sizes, "rp", "tbl", RP_MAX_BUCKET)
+    sh_sizes = (
+        simham_block_rows(docs)
+        .groupBy("band_idx", "bval")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        stats(mh_sizes, "minhash", "band_idx", LSH_MAX_BUCKET)
+        .unionByName(stats(rp_sizes, "rp", "tbl", RP_MAX_BUCKET))
+        .unionByName(stats(sh_sizes, "simhash", "band_idx", SIMHAM_MAX_BUCKET))
     )
 
 
@@ -709,22 +774,10 @@ def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash hamming-distance near-dup pairing (q84) — completes the SimHash
 # rung: q23 only EMITS fingerprints; this query actually pairs them, the
 # Manku/Jain/Sarma (WWW'07, Google web dedup) block-permutation scheme.
+# Parameters + the shared block-unpivot live at the top of this module
+# (SIMHAM_*, simham_block_rows) because q59's bucket report covers this
+# candidate space too.
 # ---------------------------------------------------------------------------
-
-# 30-bit simhash: the token polynomial hashes live in [0, 1e9+7) ~ 2^30,
-# so 30 is the widest simhash whose every bit carries signal (bit 30+ of
-# the token hash is always 0 -> a constant-0 fingerprint bit).
-SIMHAM_BITS = 30
-SIMHAM_BAND_BITS = 10          # 3 blocks x 10 bits
-SIMHAM_BANDS = SIMHAM_BITS // SIMHAM_BAND_BITS
-SIMHAM_MAX_HAMMING = 2         # pigeonhole: <=2 flipped bits across 3
-#                                blocks => at least one block identical,
-#                                so block-equality candidate generation is
-#                                EXACT for this threshold (no recall loss).
-SIMHAM_MAX_BUCKET = 64         # hot-bucket cap, same convention as q22/q32
-
-_SIMHAM_DUCK = simhash_expr("text", SIMHAM_BITS)[1]
-_SIMHAM_BAND_MOD = 1 << SIMHAM_BAND_BITS
 
 
 @register(
@@ -776,20 +829,8 @@ _SIMHAM_BAND_MOD = 1 << SIMHAM_BAND_BITS
     tags=("dedup", "simhash", "lsh"),
 )
 def q84_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import simhash_pandas
-
     docs = load_table(spark, sf_dir, "documents")
-    sims = simhash_pandas(docs, bits=SIMHAM_BITS)
-    bands = sims.selectExpr(
-        "doc_id",
-        "simhash AS sim",
-        f"stack({SIMHAM_BANDS}, "
-        + ", ".join(
-            f"{i}, CAST((simhash div {_SIMHAM_BAND_MOD ** i}) % {_SIMHAM_BAND_MOD} AS LONG)"
-            for i in range(SIMHAM_BANDS)
-        )
-        + ") AS (band_idx, bval)",
-    )
+    bands = simham_block_rows(docs)
     w = Window.partitionBy("band_idx", "bval")
     ok = (
         bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
