@@ -374,3 +374,112 @@ def q77_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (q90) — the embedding-space sibling
+# of q63's n-gram decontamination: paraphrased or translated benchmark
+# leakage carries no shared n-grams, but stays cosine-close in embedding
+# space. The published practice (e.g. phi-family "semantic dedup against
+# benchmarks", SemDeDup cross-set variant) is exactly a cross-set
+# cluster-then-pair scan.
+# ---------------------------------------------------------------------------
+
+DECON_SEM_COS = 0.35  # same threshold family as SEMDEDUP_COS
+
+
+@register(
+    "q90_semantic_decontamination",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT * FROM v WHERE vec_id < {SEM_K}),
+    assign AS (
+      SELECT a.vec_id, a.emb, a.nrm, b.vec_id AS centroid_id
+      FROM (
+        SELECT a.vec_id, b.vec_id AS bid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a CROSS JOIN cents b
+      ) r JOIN v a USING (vec_id) JOIN cents b ON b.vec_id = r.bid
+      WHERE r.rnk = 1
+    ),
+    bench AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY centroid_id ORDER BY vec_id) AS mrank
+      FROM assign WHERE vec_id % 20 = 0
+    ),
+    train AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY centroid_id ORDER BY vec_id) AS mrank
+      FROM assign WHERE vec_id % 20 <> 0
+    )
+    SELECT a.vec_id AS bench_vec, b.vec_id AS train_vec,
+           CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           {_DOT_D} / (a.nrm * b.nrm) AS cosine
+    FROM bench a JOIN train b ON a.centroid_id = b.centroid_id
+    WHERE a.mrank <= {SEM_MAX_CLUSTER} AND b.mrank <= {SEM_MAX_CLUSTER}
+      AND {_DOT_D} / (a.nrm * b.nrm) >= {DECON_SEM_COS}
+    """,
+    doc="Semantic benchmark decontamination — q63's embedding-space "
+    "sibling: paraphrased/translated benchmark leakage shares no "
+    "n-grams but stays cosine-close, so (benchmark, training) pairs "
+    f"with cosine >= {DECON_SEM_COS} are flagged for removal from the "
+    "training split. Benchmark split = vec_id % 20 (q63's convention). "
+    "Scale shape: both sides are assigned to the broadcast "
+    f"{SEM_K}-centroid set map-side (no N*K window shuffle on the "
+    "engine side), the cross-set pair join keys on centroid_id — work "
+    "is sum(b_i * t_i), never |bench| * |train| — and each side is "
+    f"capped at {SEM_MAX_CLUSTER} members per cluster (vec_id-ranked, "
+    "mirrored in the oracle; the q74 convention, so one degenerate "
+    "cluster can never go quadratic). Dots are index-ordered folds — "
+    "bit-identical cross-engine, fully hash-checked.",
+    tags=("similarity", "decontamination", "dedup"),
+)
+def q90_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S).alias("nrm"),
+    )
+    cents = v.filter(F.col("vec_id") < SEM_K)
+    a, b = v.alias("a"), F.broadcast(cents).alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a.join(b).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("cid"),
+        cos.alias("cos_c"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nid")))
+        .alias("centroid_id")
+    )
+    member = assign.join(v, "vec_id")
+    wm = Window.partitionBy("centroid_id").orderBy("vec_id")
+
+    def side(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("mrank", F.row_number().over(wm))
+            .filter(F.col("mrank") <= SEM_MAX_CLUSTER)
+            .drop("mrank")
+        )
+
+    bench = side(member.filter(F.col("vec_id") % 20 == 0))
+    train = side(member.filter(F.col("vec_id") % 20 != 0))
+    pair_cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        bench.alias("a")
+        .join(train.alias("b"), F.col("a.centroid_id") == F.col("b.centroid_id"))
+        .filter(pair_cos >= DECON_SEM_COS)
+        .select(
+            F.col("a.vec_id").alias("bench_vec"),
+            F.col("b.vec_id").alias("train_vec"),
+            F.col("a.centroid_id").cast("long").alias("centroid_id"),
+            pair_cos.alias("cosine"),
+        )
+    )

@@ -176,6 +176,17 @@ def _bm25_oracle() -> str:
 )
 def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document containing >= 1 query term —
+    q68's scoring subtree (rational-idf core, fixed-order per-term sums),
+    shared with the hybrid-retrieval fusion (q89)."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -210,11 +221,7 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(BM25_TERMS)):
         col = F.col(f"s_{i}")
         total = col if total is None else total + col
-    return (
-        per_doc.select("doc_id", total.alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(BM25_TOP_K)
-    )
+    return per_doc.select("doc_id", total.alias("bm25"))
 
 
 @register(
@@ -509,4 +516,167 @@ def q73_bm25_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.select("doc_id", total.alias("bm25_log"))
         .orderBy(F.col("bm25_log").desc(), "doc_id")
         .limit(BM25_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (q89) — the production RAG
+# retrieval shape: a lexical ranking (BM25, q68) and a semantic ranking
+# (embedding cosine, q30's machinery) fused by RRF (Cormack et al.,
+# SIGIR'09): rrf(d) = sum over systems of 1/(K + rank_d), K=60.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_POOL = 50       # per-system candidate pool fed into the fusion
+HYBRID_TOP_K = 20
+HYBRID_QUERY_VEC = 0  # the query embedding: vec_id 0 (deterministic convention)
+
+
+def _hybrid_oracle() -> str:
+    from ..operators.similarity import dot_pair, norm_pair
+
+    terms_sql = ", ".join(_sql_str(t) for t in BM25_TERMS)
+    per_term = ", ".join(
+        f"COALESCE(SUM(CASE WHEN term = {_sql_str(t)} THEN score END), "
+        f"CAST(0 AS DOUBLE)) AS s_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(BM25_TERMS)))
+    norm_d = norm_pair("embedding")[1]
+    dot_d = dot_pair("a.emb", "b.emb")[1]
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, {_BM25_TERM_SCORE} AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+    ),
+    text_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY {total} DESC, doc_id) AS r_text
+      FROM per_doc
+      QUALIFY r_text <= {RRF_POOL}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {norm_d} AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT * FROM v WHERE vec_id = {HYBRID_QUERY_VEC}),
+    vec_rank AS (
+      SELECT a.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY {dot_d} / (a.nrm * b.nrm) DESC, a.vec_id
+             ) AS r_vec
+      FROM v a CROSS JOIN qv b
+      WHERE a.vec_id <> {HYBRID_QUERY_VEC}
+      QUALIFY r_vec <= {RRF_POOL}
+    )
+    SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(t.r_text, 0) AS BIGINT) AS r_text,
+           CAST(COALESCE(s.r_vec, 0) AS BIGINT) AS r_vec,
+           (CASE WHEN t.r_text IS NULL THEN CAST(0 AS DOUBLE)
+                 ELSE 1.0 / ({RRF_K} + t.r_text) END
+            + CASE WHEN s.r_vec IS NULL THEN CAST(0 AS DOUBLE)
+                   ELSE 1.0 / ({RRF_K} + s.r_vec) END) AS rrf
+    FROM text_rank t FULL OUTER JOIN vec_rank s ON t.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {HYBRID_TOP_K}
+    """
+
+
+@register(
+    "q89_hybrid_rrf_retrieval",
+    oracle=_hybrid_oracle(),
+    doc=f"Hybrid retrieval with reciprocal-rank fusion (RRF, K={RRF_K}): "
+    f"the BM25 lexical ranking (q68's rational core) and the embedding "
+    f"cosine ranking against query vector vec_id={HYBRID_QUERY_VEC} each "
+    f"contribute a top-{RRF_POOL} pool; fused score = sum of "
+    f"1/({RRF_K}+rank) over the systems that retrieved the doc (absent "
+    f"rank reported as 0 — an explicit sentinel, not NULL, so the "
+    f"output is engine-portable). The doc<->vector identity join uses "
+    f"doc_id == vec_id. Scale shape: each pool is selected by "
+    f"TakeOrderedAndProject (per-partition top-k, never a global sort) "
+    f"and only THEN ranked — the rank window runs on {RRF_POOL} rows "
+    f"regardless of corpus size; the fusion is a {RRF_POOL}x{RRF_POOL} "
+    f"outer join. Ranks are ints, so 1/(K+rank) is bit-exact "
+    f"cross-engine — fusion stays hash-checked.",
+    tags=("text", "search", "similarity", "fusion"),
+)
+def q89_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot_pair, norm_pair
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # text pool: TakeOrdered(POOL) first, then rank the tiny pool — the
+    # no-global-sort form of ROW_NUMBER ... QUALIFY
+    text_pool = (
+        _bm25_scores(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    text_rank = text_pool.select(
+        "doc_id", F.row_number().over(wt).cast("long").alias("r_text")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_s = norm_pair("embedding")[0]
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(norm_s).alias("nrm"),
+    )
+    qv = v.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
+    dot_s = dot_pair("a.emb", "b.emb")[0]
+    vec_pool = (
+        v.alias("a")
+        .filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv).alias("b"))
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            (F.expr(dot_s) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    vec_rank = vec_pool.select(
+        "doc_id", F.row_number().over(wv).cast("long").alias("r_vec")
+    )
+
+    fused = text_rank.join(vec_rank, "doc_id", "full_outer")
+    rrf = F.when(
+        F.col("r_text").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_text"))) + F.when(
+        F.col("r_vec").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_text", F.lit(0)).cast("long").alias("r_text"),
+            F.coalesce("r_vec", F.lit(0)).cast("long").alias("r_vec"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_TOP_K)
     )
