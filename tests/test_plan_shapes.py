@@ -227,3 +227,69 @@ def test_shard_packing_is_one_partial_then_final_agg(spark):
     plan = _formatted_plan(REGISTRY["q76_shard_packing"].spark_fn(spark, SMOKE_SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 2  # join key + final agg
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_simhash_pair_join_is_equi_keyed_not_cartesian(spark):
+    """q84: candidate pairs must come from a (band_idx, bval) equi-join —
+    a cartesian over fingerprints would be the quadratic scan the blocking
+    exists to avoid."""
+    plan = _formatted_plan(
+        REGISTRY["q84_simhash_hamming_pairs"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"band_idx", plan)
+
+
+def test_passage_duplication_is_inverted_index_join(spark):
+    """q85: the coverage join keys on the passage string (inverted index —
+    shuffles shingles, never doc pairs) and both aggs are partial-then-
+    final so the explode fan-out is absorbed map-side."""
+    plan = _formatted_plan(
+        REGISTRY["q85_passage_duplication"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_prototypicality_broadcasts_centroids_single_rank_shuffle(spark):
+    """q87: centroid scoring broadcasts the K-centroid side; the corpus
+    sees the max_by partial agg and ONE rank shuffle keyed on
+    centroid_id — no N*K window."""
+    plan = _formatted_plan(
+        REGISTRY["q87_prototypicality_pruning"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan  # map-side max_by before any shuffle
+    # rank + cluster-count are two Window nodes but must SHARE one
+    # centroid_id partitioning; assignment must NOT be a window
+    assert _op_count(plan, "Window") <= 2
+    # formatted mode puts the partitioning on the Arguments line
+    assert len(re.findall(r"hashpartitioning\(centroid_id", plan)) == 1
+
+
+def test_hybrid_rrf_pools_are_take_ordered(spark):
+    """q89: both candidate pools must be TakeOrderedAndProject (per-
+    partition top-k) — a global Sort feeding the rank would not survive a
+    100 TB corpus."""
+    plan = _formatted_plan(
+        REGISTRY["q89_hybrid_rrf_retrieval"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "TakeOrderedAndProject") >= 2
+    # the rank windows run on the POOL-sized results, fed by a single
+    # partition — acceptable because the input is <= RRF_POOL rows by
+    # construction; what must NOT appear is a corpus-wide global sort
+    assert _op_count(plan, "Sort") <= 4  # window-local sorts over pool rows
+
+
+def test_semantic_decon_pair_join_keyed_on_centroid(spark):
+    """q90: cross-set pairing is an equi-join on centroid_id (work =
+    sum over clusters of bench_i * train_i), with the centroid set
+    broadcast for assignment."""
+    plan = _formatted_plan(
+        REGISTRY["q90_semantic_decontamination"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"centroid_id", plan)
