@@ -458,3 +458,116 @@ def q88_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.avg("surprisal").alias("mean_surprisal_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed quality gate (q91) — the Gopher/FineWeb rule-stack form: every
+# surface rule as an observable per-document flag plus the fused keep
+# verdict. The published pipelines (Gopher table A1, FineWeb, RefinedWeb)
+# all ship exactly this shape: N independent cheap rules, each tracked,
+# composed with OR — so filter attrition is auditable rule by rule.
+# ---------------------------------------------------------------------------
+
+GATE_MIN_TOKENS = 5
+GATE_DUP_TRIGRAM_MAX = 0.3   # Gopher: high duplicate-n-gram fraction
+GATE_TOP_TOKEN_MAX = 0.2     # Gopher: most common word > 20% of doc
+GATE_SPAN_MIN, GATE_SPAN_MAX = 3.0, 12.0  # mean token span (chars/token)
+
+
+@register(
+    "q91_quality_gate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS span,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+               / CAST(len(tg) AS DOUBLE) AS dup_frac,
+             CAST(max_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_frac
+      FROM (
+        SELECT b.doc_id, b.tg, b.n_tok, mt.max_tok
+        FROM (
+          SELECT doc_id, {_REP_TG_DUCK} AS tg,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ) b JOIN (
+          SELECT doc_id, MAX(c) AS max_tok FROM (
+            SELECT doc_id, t, COUNT(*) AS c FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE len(string_split(text, ' ')) >= 3
+            ) GROUP BY doc_id, t
+          ) GROUP BY doc_id
+        ) mt USING (doc_id)
+      )
+    )
+    SELECT b.doc_id,
+           (b.n_tokens < {GATE_MIN_TOKENS}) AS r_too_short,
+           (b.n_punct > b.n_tokens) AS r_punct_heavy,
+           (b.span < {GATE_SPAN_MIN} OR b.span > {GATE_SPAN_MAX}) AS r_span,
+           (COALESCE(r.dup_frac, CAST(0 AS DOUBLE)) > {GATE_DUP_TRIGRAM_MAX})
+             AS r_dup_trigrams,
+           (COALESCE(r.top_frac, CAST(0 AS DOUBLE)) > {GATE_TOP_TOKEN_MAX})
+             AS r_top_token,
+           NOT ((b.n_tokens < {GATE_MIN_TOKENS})
+                OR (b.n_punct > b.n_tokens)
+                OR (b.span < {GATE_SPAN_MIN} OR b.span > {GATE_SPAN_MAX})
+                OR (COALESCE(r.dup_frac, CAST(0 AS DOUBLE)) > {GATE_DUP_TRIGRAM_MAX})
+                OR (COALESCE(r.top_frac, CAST(0 AS DOUBLE)) > {GATE_TOP_TOKEN_MAX}))
+             AS keep
+    FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id
+    """,
+    doc=f"Composed quality gate — the Gopher/FineWeb rule-stack shape: "
+    f"five surface rules, EACH an observable per-document flag "
+    f"(min-length {GATE_MIN_TOKENS} tokens, punctuation-heavy, mean "
+    f"token span outside [{GATE_SPAN_MIN},{GATE_SPAN_MAX}], duplicate-"
+    f"trigram fraction > {GATE_DUP_TRIGRAM_MAX}, top-token dominance > "
+    f"{GATE_TOP_TOKEN_MAX} — Gopher table-A1 thresholds), composed with "
+    f"OR into the keep verdict. Per-rule flags make filter attrition "
+    f"auditable rule by rule — the no-silent-caps principle applied to "
+    f"quality filtering. Scale shape: q25's stats are map-only; the "
+    f"repetition scores reuse q65's Arrow pass (one (doc,token) count "
+    f"agg); the compose is a doc-keyed left join. All signals are "
+    f"integer-ratio doubles — fused verdict stays hash-exact.",
+    tags=("text", "quality", "composition"),
+)
+def q91_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_scores_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tokens.cast("double")).alias("span"),
+        n_punct.alias("n_punct"),
+    )
+    rep = repetition_scores_pandas(docs).select(
+        "doc_id",
+        F.col("dup_trigram_frac").alias("dup_frac"),
+        F.col("top_token_frac").alias("top_frac"),
+    )
+    j = base.join(rep, "doc_id", "left")
+    r_short = F.col("n_tokens") < GATE_MIN_TOKENS
+    r_punct = F.col("n_punct") > F.col("n_tokens")
+    r_span = (F.col("span") < GATE_SPAN_MIN) | (F.col("span") > GATE_SPAN_MAX)
+    r_dup = F.coalesce("dup_frac", F.lit(0.0)) > GATE_DUP_TRIGRAM_MAX
+    r_top = F.coalesce("top_frac", F.lit(0.0)) > GATE_TOP_TOKEN_MAX
+    return j.select(
+        "doc_id",
+        r_short.alias("r_too_short"),
+        r_punct.alias("r_punct_heavy"),
+        r_span.alias("r_span"),
+        r_dup.alias("r_dup_trigrams"),
+        r_top.alias("r_top_token"),
+        (~(r_short | r_punct | r_span | r_dup | r_top)).alias("keep"),
+    )
