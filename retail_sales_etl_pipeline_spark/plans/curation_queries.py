@@ -293,3 +293,41 @@ def q61_curation_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(keep, "doc_id", "left_semi").select(
         "doc_id", "predicted_lang", "content_fp"
     )
+
+
+SOURCE_DOC_CAP = 50
+
+
+@register(
+    "q93_source_doc_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {SOURCE_DOC_CAP}
+    """,
+    doc="Per-source document cap: keep at most N documents per source, "
+    "preferring longer ones (n_chars DESC, doc_id tiebreak) — the "
+    "host-level cap Common-Crawl-style pipelines apply so no single "
+    "domain dominates the training mix (the provenance analogue of "
+    "q75's language temperature mixing). One window shuffle keyed on "
+    "source; output is bounded at sources x cap regardless of input "
+    "size. Hot-source skew makes the per-partition sort the cost "
+    "center at 100 TB — the same observability/capping discipline as "
+    "q59 applies, and a two-phase form (per-partition top-N, then "
+    "merge) drops in via the same rank semantics if a source outgrows "
+    "an executor.",
+    tags=("curation", "mixing"),
+)
+def q93_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= SOURCE_DOC_CAP)
+    )

@@ -397,3 +397,197 @@ def q83_user_gap_stats_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_gaps long, min_gap_us long, max_gap_us long, "
         "median_gap_us double",
     )
+
+
+FUNNEL_WINDOW_DAYS = 7
+RETENTION_MAX_OFFSET = 14
+WINSOR_LO_PCT = 5  # p05 / p95 winsorization bounds
+
+
+@register(
+    "q95_event_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= s.signup_ts
+       AND p.ts <= s.signup_ts + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY s.user_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+      CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+      CAST(SUM(converted) AS BIGINT) AS n_converted_7d
+    FROM conv
+    """,
+    doc="Conversion funnel: of all users, how many signed up, and how "
+    "many of those purchased within 7 days of their FIRST signup. Scale "
+    "shape: one groupBy(user_id) for first-signup timestamps, one "
+    "co-partitioned left join against the purchase slice (same user_id "
+    "shuffle key — no second repartition under AQE), one bounded "
+    "aggregate; the all-users distinct count is an independent "
+    "partial-agg branch crossJoined as a 1-row literal. No window "
+    "functions, no per-user state on the driver.",
+    tags=("events", "funnel"),
+)
+def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("signup_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+        ),
+        "left",
+    )
+    conv = joined.groupBy("user_id").agg(
+        F.max(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("converted")
+    )
+    funnel = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signup_users"),
+        F.sum("converted").cast("long").alias("n_converted_7d"),
+    )
+    totals = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    return totals.crossJoin(funnel).select(
+        "n_users", "n_signup_users", "n_converted_7d"
+    )
+
+
+@register(
+    "q96_retention_cohorts",
+    oracle=f"""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date_iso,
+           CAST(date_diff('day', f.cohort_date, a.active_date) AS INTEGER)
+               AS offset_days,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_date, a.active_date)
+          <= {RETENTION_MAX_OFFSET}
+    GROUP BY cohort_date_iso, offset_days
+    """,
+    doc="Retention cohorts: users grouped by first-seen date; for each "
+    "cohort, distinct active users at day offsets 0..14. The standard "
+    "product-analytics rollup (D1/D7 retention reads directly off the "
+    "result). Scale shape: both the first-seen aggregate and the "
+    "distinct-activity projection shuffle on user_id (one exchange, "
+    "reused for the join under AQE); the final aggregate's key space is "
+    "bounded by dates x 15 offsets. The offset cap keeps the output "
+    "cohort-triangle-sized regardless of history length.",
+    tags=("events", "retention"),
+)
+def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("active_date")
+    ).distinct()
+    offset = F.datediff(F.col("active_date"), F.col("cohort_date"))
+    return (
+        activity.join(first_day, "user_id")
+        .filter(offset <= RETENTION_MAX_OFFSET)
+        .groupBy(
+            # ISO string per the registry's date-rendering convention
+            F.col("cohort_date").cast("string").alias("cohort_date_iso"),
+            offset.cast("int").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@register(
+    "q97_value_winsorize",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, b.n, b.p05, b.p95,
+           CAST(SUM(CAST(FLOOR(
+             CASE WHEN e.value < b.p05 THEN b.p05
+                  WHEN e.value > b.p95 THEN b.p95
+                  ELSE e.value END * 1000000) AS BIGINT)) AS BIGINT)
+               AS clipped_sum_micros
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.n, b.p05, b.p95
+    """,
+    doc="Winsorization (outlier clipping) of event values at exact "
+    "p05/p95 per event type: percentile = value at integer rank "
+    "ceil(p*n) computed with pure integer arithmetic ((n+19) DIV 20 — "
+    "no 0.05*n float), so both engines select the identical row even "
+    "with duplicate values (the value at a rank is tie-order-invariant "
+    "when ordered by value). Clipped sums go through floor-micro "
+    "integers per the module convention. This is the exact, "
+    "sort-per-group form (partition key = event_type, bounded "
+    "cardinality); the mergeable-sketch alternative for unbounded "
+    "groups is q82's percentile_approx pattern. Bounds join back via "
+    "broadcast (group-count rows).",
+    tags=("events", "profiling"),
+)
+def q97_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.expr("(n + 19) DIV 20")
+    hi = F.expr("(19 * n + 19) DIV 20")
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == lo, F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("rn") == hi, F.col("value"))).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("clipped"),
+    )
+    return clipped.groupBy("event_type", "n", "p05", "p95").agg(
+        F.sum(F.floor(F.col("clipped") * 1000000).cast("long"))
+        .cast("long")
+        .alias("clipped_sum_micros")
+    )

@@ -63,6 +63,7 @@ QUERY_MODULES = (
     "event_queries",
     "multimodal_queries",
     "mixing_queries",
+    "tokenizer_queries",
     "analytic_queries",
     "window_queries",
     "composite_queries",

@@ -1,0 +1,251 @@
+"""Tokenizer-training / text-normalization operators: PII-shape pattern
+redaction, BPE pair counting (the first merge step of byte-pair-encoding
+training), vocabulary building with OOV rates, and a bigram language
+model — the ops a tokenizer-and-LM-prep stage runs over a cleaned corpus
+before training data is packaged.
+
+Extensions beyond the reference surface (the reference's scalar functions
+stop at COALESCE/CASE/EXTRACT — SURVEY.md §2.8); these follow the same
+oracle discipline as the rest of the registry.
+
+Hash-parity notes: all scores are exact-integer counts or single IEEE
+divisions of integers (bit-deterministic cross-engine). Top-k cuts are
+always ordered by (count DESC, key ASC) so boundary ties are
+deterministic. Regexes use only constructs with identical semantics in
+Java regex (Spark) and RE2 (DuckDB): literal classes, `+`, `{2,}`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+NUM_PATTERN = "[0-9]+"
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+BPE_TOP_PAIRS = 50
+VOCAB_K = 20
+BIGRAM_TOP_K = 100
+
+
+@register(
+    "q92_pattern_redaction",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(props, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{NUM_PATTERN}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '{NUM_PATTERN}')) AS INTEGER)
+               AS n_num,
+           CAST(len(regexp_extract_all(props, '{EMAIL_PATTERN}')) AS INTEGER)
+               AS n_email
+    FROM events
+    """,
+    doc="PII-shape pattern redaction over raw payloads (events.props): "
+    "replace email-shaped spans with <EMAIL> then digit runs with <NUM>, "
+    "reporting per-row match counts for audit. This is the exact plan "
+    "shape of a production PII scrub (swap in phone/SSN/IP patterns — "
+    "same regexp_replace chain, same counters); order matters (emails "
+    "first, since they contain digits). Map-only: no shuffle, fully "
+    "pushdown-friendly, whole-stage codegen on the JVM regex engine. "
+    "Patterns restricted to the Java-regex/RE2 common subset so the "
+    "DuckDB oracle matches bit-for-bit.",
+    tags=("text", "normalization", "pii"),
+)
+def q92_pattern_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", EMAIL_PATTERN, "<EMAIL>"),
+            NUM_PATTERN,
+            "<NUM>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit(NUM_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("n_num"),
+        F.size(F.regexp_extract_all("props", F.lit(EMAIL_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("n_email"),
+    )
+
+
+@register(
+    "q94_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    counts AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+      FROM counts
+    )
+    WHERE rnk <= {BPE_TOP_PAIRS}
+    """,
+    doc="BPE pair counting — the first merge step of byte-pair-encoding "
+    "tokenizer training: corpus-wide counts of adjacent character pairs "
+    "within words, top-50 by frequency. Scale shape: word explode -> "
+    "in-word pair expansion (transform over sequence, JVM-side, no "
+    "Python) -> two-stage hash aggregate on a ~alphabet^2-sized key "
+    "space -> TakeOrderedAndProject top-k (no global sort); the rank "
+    "column is added by a window over only the k survivors. Iterating "
+    "merges = re-running this plan over the re-paired corpus; each "
+    "iteration is the same bounded-key aggregate.",
+    tags=("text", "tokenizer"),
+)
+def q94_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    # rank over the k survivors only (tiny), never over the full key space
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "q98_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM counts
+      ) WHERE rnk <= {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Vocabulary coverage / OOV rate: build the top-K corpus vocabulary "
+    "(count DESC, token ASC — deterministic boundary), then score every "
+    "document's out-of-vocabulary token fraction against it. The vocab is "
+    "k rows by construction -> explicit broadcast join (no shuffle of the "
+    "token stream beyond the one groupBy); per-doc aggregation shuffles "
+    "on doc_id once. This is the tokenizer-eval loop (does the vocab "
+    "cover held-out text?) and doubles as a quality signal (high OOV = "
+    "gibberish) — same rule family as the q91 quality gate.",
+    tags=("text", "tokenizer"),
+)
+def q98_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count(F.lit(1)).cast("double")).alias("oov_frac"),
+    )
+
+
+@register(
+    "q99_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bigrams AS (
+      SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bigrams GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_total FROM bc GROUP BY w1
+    )
+    SELECT w1, w2, cnt, w1_total,
+           CAST(cnt AS DOUBLE) / CAST(w1_total AS DOUBLE) AS cond_p,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT bc.*, t.w1_total,
+             ROW_NUMBER() OVER (ORDER BY bc.cnt DESC, bc.w1, bc.w2) AS rnk
+      FROM bc JOIN totals t USING (w1)
+    )
+    WHERE rnk <= {BIGRAM_TOP_K}
+    """,
+    doc="Bigram language model over the corpus: adjacent-token pair "
+    "counts and conditional probabilities P(w2|w1) = c(w1,w2)/c(w1,*), "
+    "top-100 bigrams. The n-gram LM is the classic corpus-quality scorer "
+    "(KenLM-style perplexity filters are trained exactly this way; q88's "
+    "unigram surprisal is the order-1 special case). Scale shape: "
+    "in-document bigram expansion via arrays_zip of two slices (JVM-side, "
+    "guarded for 1-token docs — Spark's sequence(1,0) would descend), "
+    "two-stage aggregate on (w1,w2), denominator aggregate on w1 reusing "
+    "the same shuffle side, vocab-sized join (AQE broadcasts), "
+    "TakeOrdered top-k. cond_p is one IEEE division of exact integers.",
+    tags=("text", "tokenizer", "lm"),
+)
+def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = bc.groupBy("w1").agg(F.sum("cnt").cast("long").alias("w1_total"))
+    scored = bc.join(totals, "w1").select(
+        "w1",
+        "w2",
+        "cnt",
+        "w1_total",
+        (F.col("cnt").cast("double") / F.col("w1_total").cast("double")).alias(
+            "cond_p"
+        ),
+    )
+    top = scored.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2")).limit(
+        BIGRAM_TOP_K
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
