@@ -293,3 +293,45 @@ def test_semantic_decon_pair_join_keyed_on_centroid(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"centroid_id", plan)
+
+
+def test_q92_redaction_is_map_only(spark):
+    """PII redaction must be a pure map: no exchange anywhere — a shuffle
+    in a regexp_replace projection would be a planning bug."""
+    plan = _formatted_plan(
+        REGISTRY["q92_pattern_redaction"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Exchange") == 0
+    assert "codegen id" in plan  # projection runs inside whole-stage codegen
+
+
+def test_q94_top_pairs_uses_take_ordered_not_global_sort(spark):
+    """The BPE top-k must be TakeOrderedAndProject over the aggregate —
+    a global Sort of the full pair-count table would serialize the key
+    space through one partition at scale."""
+    plan = _formatted_plan(
+        REGISTRY["q94_bpe_pair_counts"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "TakeOrderedAndProject") >= 1
+    # partial+final hash aggregate on the pair key (map-side combine)
+    assert _op_count(plan, "HashAggregate") >= 2
+
+
+def test_q98_vocab_join_is_broadcast(spark):
+    """The K-row vocabulary must broadcast; a sort-merge join here would
+    shuffle the full token stream a second time."""
+    plan = _formatted_plan(
+        REGISTRY["q98_vocab_oov_rate"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "BroadcastHashJoin") >= 1
+    assert _op_count(plan, "SortMergeJoin") == 0
+
+
+def test_q97_bounds_join_is_broadcast(spark):
+    """The per-type percentile bounds frame (one row per event type) must
+    broadcast back onto the event stream."""
+    plan = _formatted_plan(
+        REGISTRY["q97_value_winsorize"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "BroadcastHashJoin") >= 1
+    assert _op_count(plan, "SortMergeJoin") == 0
