@@ -591,3 +591,47 @@ def q97_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clipped_sum_micros")
     )
+
+
+DEBOUNCE_SECONDS = 600
+
+
+@register(
+    "q100_event_debounce",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM seq
+    WHERE gap_us IS NULL OR gap_us > {DEBOUNCE_SECONDS} * 1000000
+    """,
+    doc="Event debouncing (burst collapse): drop any event arriving "
+    "within 10 minutes of the user's previous event — the standard "
+    "telemetry noise-reduction step before sessionization or funnel "
+    "analysis. This is the lag-form (gap to the previous RAW event): one "
+    "window over the same (user_id, ts) shuffle q34 already uses, fully "
+    "parallel. The alternative kept-relative semantics (gap to the "
+    "previous SURVIVOR) is inherently sequential per key — that form "
+    "belongs to the stateful streaming operator "
+    "(applyInPandasWithState, streaming/stateful.py), not a batch "
+    "window.",
+    tags=("events", "dedup"),
+)
+def q100_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .filter(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") > DEBOUNCE_SECONDS * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )

@@ -938,3 +938,68 @@ def q87_prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruned"
         ),
     )
+
+
+HARD_NEG_K = 5
+
+
+@register(
+    "q101_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm
+      FROM embeddings
+    )
+    SELECT query_id, label, neighbor_id, neighbor_label, cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT a.vec_id AS query_id, a.label AS label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+             ) AS rnk
+      FROM v a JOIN v b
+        ON a.vec_id < {N_QUERIES} AND b.label <> a.label
+    ) WHERE rnk <= {HARD_NEG_K}
+    """,
+    doc="Hard-negative mining for contrastive training: for each query "
+    "vector, the top-5 most cosine-similar vectors with a DIFFERENT "
+    "label — the highest-loss negatives a retrieval/embedding trainer "
+    "wants in each batch (in-batch negatives are mostly easy; mined "
+    "hard negatives drive the gradient). Same scale shape as q30's "
+    "brute-force scorer with the label-mismatch predicate pushed into "
+    "the join (scores only cross-label pairs); the production path at "
+    "corpus scale swaps the scorer for the q64 ANN stack and keeps "
+    "this exact form as its recall oracle.",
+    tags=("similarity", "training"),
+)
+def q101_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S).alias("nrm"),
+    )
+    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        a.join(b, F.col("b.label") != F.col("a.label"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+    )

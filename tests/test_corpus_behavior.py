@@ -137,3 +137,33 @@ def test_bigram_lm_probabilities_consistent(spark):
     assert (out["cnt"] <= out["w1_total"]).all()
     # P(w2|w1) summed over the observed w2 for a fixed w1 never exceeds 1
     assert (out.groupby("w1")["cond_p"].sum() <= 1.0 + 1e-12).all()
+
+
+def test_debounce_matches_pandas_recount(spark, events_pd):
+    out = REGISTRY["q100_event_debounce"].spark_fn(spark, SMOKE_SF_DIR).toPandas()
+    kept = set()
+    for _, g in events_pd.sort_values(["ts", "event_id"]).groupby("user_id"):
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() > 600:
+                kept.add(r["event_id"])
+            prev = r["ts"]  # lag-form: gap measured to the previous RAW event
+    assert set(out["event_id"]) == kept
+
+
+def test_hard_negatives_cross_label_and_top(spark):
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    out = (
+        REGISTRY["q101_hard_negative_mining"].spark_fn(spark, SMOKE_SF_DIR).toPandas()
+    )
+    assert (out["label"] != out["neighbor_label"]).all()
+    assert set(out.groupby("query_id")["rank"].max()) == {5}
+    # numpy recount of the rank-1 hard negative for query 0
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    q = 0
+    cos = (M @ M[q]) / (np.linalg.norm(M, axis=1) * np.linalg.norm(M[q]))
+    mask = labels != labels[q]
+    best = emb["vec_id"].to_numpy()[mask][np.argmax(cos[mask])]
+    got = out[(out.query_id == q) & (out["rank"] == 1)].iloc[0]["neighbor_id"]
+    assert got == best
