@@ -483,3 +483,108 @@ def q90_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_cos.alias("cosine"),
         )
     )
+
+
+# Epoch upsampling (UniMax-style): repeat small sources up to MAX_EPOCHS
+# so every source approaches the largest source's row count; the
+# fractional last epoch is a salted content-hash sample (q58/q75
+# convention, its own salt so it composes uncorrelated with both).
+MAX_EPOCHS = 4
+EPOCH_SALT_A, EPOCH_SALT_B = 980411887, 271828183
+
+
+@register(
+    "q102_epoch_upsampling",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_HASH_DUCK} AS key_hash FROM documents
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n) AS max_n FROM counts),
+    rates AS (
+      SELECT lang, n,
+             (LEAST({MAX_EPOCHS} * n, max_n) // n) AS full_copies,
+             (100 * (LEAST({MAX_EPOCHS} * n, max_n) % n)) // n AS resid_pct
+      FROM counts CROSS JOIN mx
+    ),
+    copies AS (
+      SELECT h.lang, r.n, r.full_copies, r.resid_pct,
+             r.full_copies
+             + CASE WHEN ({EPOCH_SALT_A} * key_hash + {EPOCH_SALT_B}) % 100
+                         < r.resid_pct
+                    THEN 1 ELSE 0 END AS c
+      FROM h JOIN rates r USING (lang)
+    )
+    SELECT lang, n AS n_before,
+           CAST(full_copies AS BIGINT) AS full_copies,
+           CAST(resid_pct AS BIGINT) AS resid_pct,
+           CAST(SUM(c) AS BIGINT) AS n_after
+    FROM copies GROUP BY lang, n, full_copies, resid_pct
+    """,
+    doc="Epoch upsampling (the UniMax epoch-capped mixing rule): repeat "
+    "each language floor(target/n) times plus a hash-sampled fractional "
+    "epoch, where target = min(MAX_EPOCHS*n, max-lang-n) — small "
+    "languages approach parity with the largest without exceeding 4 "
+    "epochs (repeating data past a few epochs hurts, per the "
+    "data-constrained-scaling literature). The repeat is a real "
+    "explode(sequence(1, copies)) — the materialized multi-epoch corpus "
+    "a trainer consumes — then a per-lang rollup; the oracle computes "
+    "the identical counts as SUM(copies). Deterministic: the fractional "
+    "keep is a salted affine transform of the content hash, "
+    "partition-independent. Scale shape: counts agg is vocab-sized and "
+    "broadcast back; the corpus is never shuffled, only fanned out "
+    "map-side by at most MAX_EPOCHS+1.",
+    tags=("text", "mixing"),
+)
+def q102_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "lang").join(
+        fingerprint_pandas(docs).select(
+            "doc_id", F.col("content_fp").alias("key_hash")
+        ),
+        "doc_id",
+    )
+    counts = h.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n",
+        F.expr(f"least({MAX_EPOCHS} * n, max_n) div n").cast("long").alias(
+            "full_copies"
+        ),
+        F.expr(f"(100 * (least({MAX_EPOCHS} * n, max_n) % n)) div n")
+        .cast("long")
+        .alias("resid_pct"),
+    )
+    expanded = (
+        h.join(F.broadcast(rates), "lang")
+        .withColumn(
+            "copies",
+            F.col("full_copies")
+            + F.when(
+                (EPOCH_SALT_A * F.col("key_hash") + EPOCH_SALT_B) % 100
+                < F.col("resid_pct"),
+                1,
+            ).otherwise(0),
+        )
+        # full_copies >= 1 for every non-empty source, but guard anyway:
+        # sequence(1, 0) would DESCEND, not produce an empty array
+        .filter(F.col("copies") >= 1)
+        .select(
+            "lang",
+            "n",
+            "full_copies",
+            "resid_pct",
+            F.explode(F.expr("sequence(1, copies)")).alias("epoch"),
+        )
+    )
+    return expanded.groupBy(
+        F.col("lang"),
+        F.col("n").alias("n_before"),
+        "full_copies",
+        "resid_pct",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_after"))

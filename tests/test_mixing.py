@@ -111,3 +111,34 @@ def test_sequence_packing_reconstructs(spark):
         max_doc = shard_rows[sid]["max_doc_tokens"]
         for a, b in zip(seqs, seqs[1:]):
             assert (b - a - 1) * mq.SEQ_LEN <= max_doc, (sid, a, b)
+
+
+def test_epoch_upsampling_converges_to_cap(spark):
+    import pandas as pd
+
+    from retail_sales_etl_pipeline_spark.plans.mixing_queries import MAX_EPOCHS
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+    from .conftest import SMOKE_SF_DIR
+
+    out = (
+        load_all()["q102_epoch_upsampling"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .toPandas()
+    )
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    counts = docs.groupby("lang").size()
+    max_n = counts.max()
+    assert set(out["lang"]) == set(counts.index)
+    for _, r in out.iterrows():
+        n = counts[r["lang"]]
+        target = min(MAX_EPOCHS * n, max_n)
+        assert r["n_before"] == n
+        assert r["full_copies"] == target // n
+        assert r["resid_pct"] == (100 * (target % n)) // n
+        # materialized count lands between the full-copy floor and ceiling
+        assert r["full_copies"] * n <= r["n_after"] <= (r["full_copies"] + 1) * n
+    # the dominant language is never upsampled
+    top = out[out["lang"] == counts.idxmax()].iloc[0]
+    assert top["full_copies"] == 1 and top["resid_pct"] == 0
+    assert top["n_after"] == top["n_before"]
