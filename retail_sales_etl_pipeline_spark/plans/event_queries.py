@@ -635,3 +635,56 @@ def q100_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@register(
+    "q104_event_gap_fill",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, MIN(hour_start) AS lo, MAX(hour_start) AS hi
+      FROM counts GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(h AS TIMESTAMP) AS hour_start
+      FROM spans, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    )
+    SELECT g.user_id, g.hour_start, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.user_id = g.user_id AND c.hour_start = g.hour_start
+    """,
+    doc="Time-series gap filling: per-user hourly event counts with "
+    "missing hours zero-filled across each user's own [first, last] "
+    "hour span — the densification step before any rolling-window or "
+    "forecasting consumer (sparse counts silently skew moving "
+    "averages). Scale shape: one (user, hour) aggregate; the dense "
+    "hour grid is generated by explode(sequence(lo, hi, interval)) "
+    "from the per-user span — a map-side fan-out proportional to the "
+    "OUTPUT, never a calendar cross join; the left join back is "
+    "co-partitioned on user_id. All timestamps stay NTZ so hour "
+    "boundaries are session-TZ-independent.",
+    tags=("events", "window"),
+)
+def q104_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spans = counts.groupBy("user_id").agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+            "hour_start"
+        ),
+    )
+    return grid.join(counts, ["user_id", "hour_start"], "left").select(
+        "user_id",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )

@@ -1003,3 +1003,67 @@ def q101_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= HARD_NEG_K)
     )
+
+
+@register(
+    "q103_embedding_standardize",
+    oracle="""
+    WITH el AS (
+      SELECT CAST(i AS INTEGER) AS pos,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x_micros
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_micros) AS BIGINT) AS s1,
+           CAST(SUM(x_micros * x_micros) AS BIGINT) AS s2,
+           CAST(SUM(x_micros) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_micros,
+           sqrt((CAST(SUM(x_micros * x_micros) AS DOUBLE)
+                 - CAST(SUM(x_micros) AS DOUBLE)
+                   * CAST(SUM(x_micros) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE))
+                / CAST(COUNT(*) AS DOUBLE)) AS std_micros
+    FROM el GROUP BY pos
+    """,
+    doc="Per-dimension standardization statistics for the embedding "
+    "corpus (the 'fit' of a z-score scaler): mean and population std of "
+    "every dimension, computed from exact integer micro-unit sums (s1, "
+    "s2 fit comfortably in int64 at any realistic corpus size per "
+    "partition-merge step) so the aggregation is shuffle-order-"
+    "independent and both engines agree bit-for-bit; mean/std are then "
+    "IEEE expressions of those exact integers (sqrt is correctly "
+    "rounded). Scale shape: one posexplode (64x fan-out, map-side) + "
+    "one bounded-key aggregate; the 64-row result broadcasts back as "
+    "the normalization model — the 'transform' step is a pure map. "
+    "This is the preprocessing stage quantization (q39) and k-means "
+    "(q38) assume when dimensions are badly scaled.",
+    tags=("similarity", "profiling"),
+)
+def q103_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos0", "x"
+        )
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("x_micros"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    s1 = F.sum("x_micros").cast("long")
+    s2 = F.sum(F.col("x_micros") * F.col("x_micros")).cast("long")
+    return el.groupBy("pos").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (s1.cast("double") / n.cast("double")).alias("mean_micros"),
+        F.sqrt(
+            (
+                s2.cast("double")
+                - s1.cast("double") * s1.cast("double") / n.cast("double")
+            )
+            / n.cast("double")
+        ).alias("std_micros"),
+    )

@@ -167,3 +167,38 @@ def test_hard_negatives_cross_label_and_top(spark):
     best = emb["vec_id"].to_numpy()[mask][np.argmax(cos[mask])]
     got = out[(out.query_id == q) & (out["rank"] == 1)].iloc[0]["neighbor_id"]
     assert got == best
+
+
+def test_embedding_standardize_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = np.floor(M * 1_000_000).astype(np.int64)
+    out = (
+        REGISTRY["q103_embedding_standardize"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .set_index("pos")
+        .sort_index()
+    )
+    assert list(out.index) == list(range(1, M.shape[1] + 1))
+    assert (out["n"] == len(M)).all()
+    assert (out["s1"].to_numpy() == X.sum(axis=0)).all()
+    assert (out["s2"].to_numpy() == (X.astype(object) ** 2).sum(axis=0)).all()
+    np.testing.assert_allclose(
+        out["mean_micros"].to_numpy(), X.mean(axis=0), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out["std_micros"].to_numpy(), X.std(axis=0), rtol=1e-9
+    )
+
+
+def test_gap_fill_grid_contiguous_and_sums(spark, events_pd):
+    out = REGISTRY["q104_event_gap_fill"].spark_fn(spark, SMOKE_SF_DIR).toPandas()
+    assert out["n"].sum() == len(events_pd)  # zero-fill adds no events
+    for uid, g in out.groupby("user_id"):
+        hours = g["hour_start"].sort_values().reset_index(drop=True)
+        # contiguous hourly grid from first to last active hour
+        assert (hours.diff().dropna() == pd.Timedelta(hours=1)).all()
+        raw = events_pd[events_pd.user_id == uid]["ts"].dt.floor("h")
+        assert hours.iloc[0] == raw.min() and hours.iloc[-1] == raw.max()
+    assert (out["n"] >= 0).all() and (out["n"] == 0).any()  # gaps exist
