@@ -224,3 +224,88 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "q107_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                     THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    seg AS (
+      SELECT *, SUM(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS version
+      FROM flagged
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority AS priority,
+             CAST(version AS INTEGER) AS version,
+             MIN(o_orderdate) AS valid_from
+      FROM seg GROUP BY o_custkey, o_orderpriority, version
+    )
+    SELECT o_custkey, priority, version,
+           CAST(valid_from AS VARCHAR) AS valid_from_iso,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY version
+           ) AS VARCHAR) AS valid_to_iso,
+           lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY version
+           ) IS NULL AS is_current
+    FROM hist
+    """,
+    doc="Slowly-changing-dimension Type-2 history build: per customer, "
+    "collapse the order stream into contiguous runs of o_orderpriority "
+    "and emit one versioned row per run with [valid_from, valid_to) "
+    "effective-date bounds and an is_current flag — the standard "
+    "warehouse pattern for tracking attribute history (reference "
+    "dim upserts are Type-1 overwrite, operators/dims.py; this is the "
+    "history-preserving sibling). Plan: change-point detection via lag, "
+    "run ids via a running sum, run collapse via groupBy, bounds via "
+    "lead — ALL on the same (custkey, date, key) sort within one "
+    "partitioning, so Spark plans a single exchange and reuses its sort "
+    "for every window. Scale: state per key is its run count; no "
+    "driver-side anything; ties broken by o_orderkey so versions are "
+    "deterministic under any partitioning.",
+    tags=("warehouse", "window", "scd2"),
+)
+def q107_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(seq).isNull()
+            | (F.lag("o_orderpriority").over(seq) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    seg = flagged.withColumn(
+        "version",
+        F.sum("chg").over(seq.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    hist = seg.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("priority"), "version"
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    by_ver = Window.partitionBy("o_custkey").orderBy("version")
+    valid_to = F.lead("valid_from").over(by_ver)
+    return hist.select(
+        "o_custkey",
+        "priority",
+        "version",
+        F.col("valid_from").cast("string").alias("valid_from_iso"),
+        valid_to.cast("string").alias("valid_to_iso"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -1011,3 +1011,47 @@ def q86_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ta, "doc_a").join(tb, "doc_b")
     )
     return est.join(exact, ["doc_a", "doc_b"])
+
+
+@register(
+    "q110_dedup_provenance",
+    oracle="""
+    SELECT sha256(lower(substring(text, 1, 100))) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS member_ids
+    FROM documents
+    GROUP BY sha256(lower(substring(text, 1, 100)))
+    HAVING COUNT(*) > 1
+    """,
+    doc="Normalized dedup with a provenance audit trail: documents keyed "
+    "by a case-folded leading-content fingerprint (first 100 chars — the "
+    "cheap normalization that catches retitled/resuffixed copies exact "
+    "hashing misses); for every duplicated key, the surviving doc_id "
+    "plus the full sorted member list — the lineage record a curation "
+    "pipeline must keep so drops are explainable and reversible "
+    "(takedown of one copy must find the survivor; contamination audits "
+    "trace which shards a dup came from). The member list is a sorted, "
+    "comma-joined string so both engines render it identically. Scale "
+    "note: member lists are only materialized for GROUPS WITH DUPLICATES "
+    "(the HAVING prunes the unique ~99%), and a pathological "
+    "viral-content group caps at its copy count — bounded by the dedup "
+    "itself; the 64-hex key shuffles, never the bodies.",
+    tags=("dedup", "provenance"),
+)
+def q110_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.sha2(F.lower(F.substring("text", 1, 100)), 256).alias("content_hash")
+        )
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("long"))), ","
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -688,3 +688,63 @@ def q104_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )
+
+
+ANOMALY_Z = 3  # flag hours beyond 3 population std-devs
+
+
+@register(
+    "q109_event_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS s1,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, CAST(h.hour AS VARCHAR) AS hour_iso, h.cnt,
+           s.n_hours,
+           (s.n_hours * h.cnt - s.s1) * (s.n_hours * h.cnt - s.s1)
+             > {ANOMALY_Z * ANOMALY_Z} * (s.n_hours * s.s2 - s.s1 * s.s1)
+             AS is_anomaly
+    FROM hourly h JOIN stats s USING (event_type)
+    """,
+    doc=f"Time-series anomaly flagging: hourly event counts per type, "
+    f"flagged when the count sits more than {ANOMALY_Z} population "
+    "standard deviations from that type's mean — the monitoring rule "
+    "every ingest pipeline runs over its own throughput. The z-test is "
+    "evaluated in EXACT integer arithmetic: z^2 > 9 rewritten as "
+    "(n*cnt - s1)^2 > 9*(n*s2 - s1^2), so there is no sqrt, no division, "
+    "no float rounding at the decision boundary, and both engines agree "
+    "on every borderline hour (int64 holds up to ~3e9 events/type with "
+    "hourly counts to ~40k; past that, promote to DECIMAL — same plan). "
+    "Scale shape: one (type, hour) aggregate, one type-sized stats "
+    "aggregate broadcast back; the hour grid is observed hours (q104 is "
+    "the densified twin if silent-zero hours must alarm too).",
+    tags=("events", "anomaly", "window"),
+)
+def q109_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    dev = F.col("n_hours") * F.col("cnt") - F.col("s1")
+    var_n2 = F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.col("hour").cast("string").alias("hour_iso"),
+        "cnt",
+        "n_hours",
+        (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_n2).alias("is_anomaly"),
+    )

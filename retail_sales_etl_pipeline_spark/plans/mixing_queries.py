@@ -588,3 +588,75 @@ def q102_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_copies",
         "resid_pct",
     ).agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+
+
+# Token-mass importance sampling: keep probability proportional to doc
+# length (capped), so sampling docs approximates a UNIFORM sample of
+# tokens. Own salt pair — composes with q58/q75/q76 without correlation.
+TOKMASS_CAP_TOKENS = 120
+TOKMASS_SALT_A, TOKMASS_SALT_B = 614_889_281, 112_272_535
+
+
+@register(
+    "q106_token_mass_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_HASH_DUCK} AS key_hash
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT *,
+             CASE WHEN n_tokens >= {TOKMASS_CAP_TOKENS} THEN 1000000
+                  ELSE (n_tokens * 1000000) // {TOKMASS_CAP_TOKENS}
+             END AS keep_ppm
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, keep_ppm
+    FROM w
+    WHERE ({TOKMASS_SALT_A} * key_hash + {TOKMASS_SALT_B}) % 1000000
+          < keep_ppm
+    """,
+    doc="Importance sampling by token mass: each document is kept with "
+    "probability proportional to its token count (capped at "
+    f"{TOKMASS_CAP_TOKENS}), which makes the document sample an unbiased "
+    "approximation of a UNIFORM TOKEN sample — the estimand most corpus "
+    "statistics (vocab growth, token-level quality rates) actually need; "
+    "uniform doc sampling over-weights short docs' tokens. The keep "
+    "decision is a salted affine transform of the content hash against an "
+    "integer ppm threshold — deterministic, partition-independent, "
+    "integer-exact in both engines, and downstream estimators reweight by "
+    "1/keep_ppm (Horvitz-Thompson). Scale shape: pure map-side filter, "
+    "no shuffle at all; the same plan at 100 TB is a single scan.",
+    tags=("text", "mixing", "sampling"),
+)
+def q106_token_mass_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(
+            fingerprint_pandas(docs).select(
+                "doc_id", F.col("content_fp").alias("key_hash")
+            ),
+            "doc_id",
+        )
+    )
+    keep_ppm = F.when(
+        F.col("n_tokens") >= TOKMASS_CAP_TOKENS, F.lit(1_000_000).cast("long")
+    ).otherwise(F.expr(f"(n_tokens * 1000000) div {TOKMASS_CAP_TOKENS}"))
+    return (
+        d.withColumn("keep_ppm", keep_ppm)
+        .filter(
+            (F.lit(TOKMASS_SALT_A) * F.col("key_hash") + F.lit(TOKMASS_SALT_B))
+            % 1_000_000
+            < F.col("keep_ppm")
+        )
+        .select("doc_id", "source", "n_tokens", "keep_ppm")
+    )

@@ -249,3 +249,86 @@ def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+PPL_LOW_SCORE_PPM = 50_000  # docs whose mean bigram prob < 5% are "odd"
+
+
+@register(
+    "q105_bigram_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bigrams GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_total FROM bc GROUP BY w1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             (bc.cnt * 1000000) // t.w1_total AS p_ppm
+      FROM bigrams b
+      JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN totals t ON b.w1 = t.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+           (SUM(p_ppm) // COUNT(*)) < {PPL_LOW_SCORE_PPM} AS is_low_score
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document bigram-LM scoring — the KenLM-style perplexity "
+    "filter composed end-to-end: train the bigram model on the corpus "
+    "(q99's count tables, un-truncated), then score every document by "
+    "the mean conditional probability of its own bigrams, flagging "
+    "low-scoring (incoherent / boilerplate / wrong-language) docs. "
+    "Probabilities are held as exact integer micro-units "
+    "(cnt*1e6 div total) so per-doc sums are order-independent and both "
+    "engines agree bit-for-bit; a production filter swaps in log-probs "
+    "and a held-out LM but keeps this exact plan. Scale shape: bigram "
+    "expansion is map-side; the model (vocab^2-bounded, tokens that "
+    "co-occur only) is far smaller than the corpus, so the score join "
+    "broadcasts at realistic vocab sizes and otherwise hash-joins on "
+    "(w1,w2); one final groupBy(doc_id). Nothing touches the driver.",
+    tags=("text", "tokenizer", "lm", "quality"),
+)
+def q105_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = bc.groupBy("w1").agg(F.sum("cnt").cast("long").alias("w1_total"))
+    model = bc.join(totals, "w1").select(
+        "w1", "w2", F.expr("(cnt * 1000000) div w1_total").alias("p_ppm")
+    )
+    scored = bigrams.join(model, ["w1", "w2"])
+    mean_ppm = F.expr("sum(p_ppm) div count(1)")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p_ppm").cast("long").alias("sum_p_ppm"),
+        mean_ppm.cast("long").alias("mean_p_ppm"),
+        (mean_ppm < PPL_LOW_SCORE_PPM).alias("is_low_score"),
+    )
