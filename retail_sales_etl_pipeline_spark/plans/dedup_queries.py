@@ -1055,3 +1055,114 @@ def q110_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# Planted-pair recall probe: every 10th doc gets a perturbed twin planted
+# into the corpus; recall = fraction of planted (orig, twin) pairs the
+# production candidate generator recovers. doc_id + _PLANT_OFFSET keeps
+# planted ids disjoint from (and greater than) every real id.
+LSH_PROBE_MOD = 10
+_PLANT_OFFSET = 1_000_000_000
+# Perturbation: drop every 4th token — damage spread through the whole
+# document (trigram overlap ~ 1/2), hard enough that banding loss shows.
+_PERTURB_SPARK = (
+    "array_join(filter(split(text, ' '), (x, i) -> (i + 1) % 4 != 0), ' ')"
+)
+_PERTURB_DUCK = (
+    "array_to_string(list_select(string_split(text, ' '), "
+    "list_filter(range(1, len(string_split(text, ' ')) + 1), "
+    "i -> i % 4 <> 0)), ' ')"
+)
+
+
+@register(
+    "q112_lsh_recall_probe",
+    # _DUCK_CAND_CTE is defined over `documents`; the probe runs the same
+    # generator over the corpus-plus-planted relation, so repoint its one
+    # FROM. sigs is the only place the CTE reads a table.
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PERTURB_DUCK} AS text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE doc_id % {LSH_PROBE_MOD} = 0
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFFSET}, text FROM planted
+    ),
+    {_DUCK_CAND_CTE.replace("FROM documents", "FROM corpus")},
+    probe AS (
+      SELECT p.doc_id,
+             CASE WHEN p.n_tokens < 30 THEN 'short'
+                  WHEN p.n_tokens < 60 THEN 'mid'
+                  ELSE 'long' END AS len_bucket,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS recovered
+      FROM planted p
+      LEFT JOIN cand c
+        ON c.doc_a = p.doc_id AND c.doc_b = p.doc_id + {_PLANT_OFFSET}
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(SUM(recovered) AS BIGINT) AS n_recovered,
+           CAST((SUM(recovered) * 1000000) // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM probe GROUP BY len_bucket
+    """,
+    doc="LSH recall probe with PLANTED near-duplicates: every 10th "
+    "document gets a twin with its last 2 tokens dropped, planted into "
+    "the corpus under an offset id; the production MinHash-LSH candidate "
+    "generator (q22's plan — caps, banding and all) runs over "
+    "corpus+planted, and recall = the fraction of planted (orig, twin) "
+    "pairs it recovers, bucketed by document length (banding recall "
+    "degrades on short docs — this makes that visible). Planting is the "
+    "scale-honest way to measure near-dup recall: true pairs are too "
+    "rare (~1e-4 of pairs) for uniform pair-sampling to estimate, and "
+    "exhaustive ground truth is quadratic — planted probes keep the "
+    "whole eval LINEAR (one extra 10% scan through the generator) at "
+    "any corpus size. Ratios are exact integer ppm.",
+    tags=("dedup", "lsh", "eval"),
+)
+def q112_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(
+            (F.col("doc_id") % LSH_PROBE_MOD == 0)
+            & (F.size(F.split("text", " ")) >= 8)
+        )
+        .select(
+            "doc_id",
+            F.expr(_PERTURB_SPARK).alias("text"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    corpus = docs.unionByName(
+        planted.select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    cand = minhash_candidates(corpus).select("doc_a", "doc_b")
+    probe = planted.join(
+        cand,
+        (F.col("doc_a") == F.col("doc_id"))
+        & (F.col("doc_b") == F.col("doc_id") + _PLANT_OFFSET),
+        "left",
+    )
+    bucket = (
+        F.when(F.col("n_tokens") < 30, "short")
+        .when(F.col("n_tokens") < 60, "mid")
+        .otherwise("long")
+    )
+    recovered = F.sum(
+        F.when(F.col("doc_a").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return probe.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        recovered.alias("n_recovered"),
+        F.expr(
+            "(sum(CASE WHEN doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        ).alias("recall_ppm"),
+    )

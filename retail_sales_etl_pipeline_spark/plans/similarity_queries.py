@@ -1067,3 +1067,57 @@ def q103_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")
         ).alias("std_micros"),
     )
+
+
+def _registered_oracle(name: str) -> str:
+    from .registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+@register(
+    "q111_ann_recall_eval",
+    # The ground-truth and candidate sides are the ALREADY-REGISTERED
+    # oracle SQL of q30/q31, spliced in verbatim — the eval can never
+    # drift from the queries it evaluates.
+    oracle=f"""
+    WITH exact AS ({_registered_oracle("q30_ann_bruteforce")}),
+    approx AS ({_registered_oracle("q31_ann_ivf")})
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           (COUNT(a.neighbor_id) * 1000000) // {TOP_K} AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc=f"ANN recall evaluation, in-engine: recall@{TOP_K} of the IVF "
+    "index (q31's plan) against the exact brute-force ground truth "
+    "(q30's plan), per query — the measurement loop every ANN deployment "
+    "must run before trusting its index (nprobe/K tuning reads directly "
+    "off this number; q52/q62/q64 swap in as the candidate side "
+    "unchanged). Both retrievals run as their production plans and meet "
+    "in one (query_id, neighbor_id) join; recall is held as exact "
+    "integer ppm so both engines agree bit-for-bit. Scale shape: ground "
+    "truth on a FIXED query panel (Q constant, not corpus-sized), so the "
+    "brute-force side stays O(N*Q) map-side work even at 100 TB — "
+    "eval-on-panel is the production form.",
+    tags=("similarity", "eval"),
+)
+def q111_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q30_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        q31_ann_ivf(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.expr(f"(count(hit) * 1000000) div {TOP_K}").alias("recall_ppm"),
+        )
+    )
