@@ -309,3 +309,48 @@ def q107_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.cast("string").alias("valid_to_iso"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+N_SALTS = 16
+
+
+@register(
+    "q108_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=f"Salted two-phase aggregation for pathologically skewed group "
+    "keys: events carry only ~5 distinct event_types, so a naive "
+    "groupBy(event_type) funnels the whole table through 5 reducers — "
+    "the classic hot-key straggler at 100 TB. Phase 1 aggregates on "
+    f"(event_type, salt) with salt = pmod(hash(event_id), {N_SALTS}), "
+    "spreading each hot key across "
+    f"{N_SALTS} reducers; phase 2 merges the {N_SALTS}x5 partials — "
+    "COUNTs add, and the per-row DECIMAL cast makes the value SUM "
+    "associative (order-independent), which is exactly the property "
+    "that licenses split-and-merge. The oracle runs the PLAIN GROUP BY: "
+    "hash parity proves the salted plan computes the identical result. "
+    "(Spark's partial/final hash agg does this automatically for "
+    "built-in aggregates; the explicit form is the pattern for "
+    "algebraic aggregates the optimizer can't split — and the one to "
+    "reach for when AQE skew handling can't see the key.)",
+    tags=("scale", "aggregate", "skew"),
+)
+def q108_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        decimal_str(F.sum("pv"), 38, 6).alias("total_value"),
+    )

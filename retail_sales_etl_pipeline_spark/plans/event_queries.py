@@ -748,3 +748,100 @@ def q109_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
         (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_n2).alias("is_anomaly"),
     )
+
+
+PATH_TOP_K = 25
+PATH_MAX_LEN = 12  # truncate very long sessions: path space must stay bounded
+
+
+@register(
+    "q113_session_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, session_id ORDER BY ts, event_id
+             ) AS pos
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY pos) AS path
+      FROM numbered WHERE pos <= {PATH_MAX_LEN}
+      GROUP BY user_id, session_id
+    ),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+      FROM counts
+    ) WHERE rnk <= {PATH_TOP_K}
+    """,
+    doc="Session path mining: sessionize (q34's gap rule), render each "
+    "session as its ordered event-type path (first "
+    f"{PATH_MAX_LEN} events — truncation keeps the path key space "
+    "bounded no matter how long a bot session runs), count identical "
+    f"paths corpus-wide, top-{PATH_TOP_K}. The product-analytics "
+    "workhorse ('what do users actually do?') and, for agent/chat logs, "
+    "the trajectory-frequency profile a behavior-cloning dataset is "
+    "curated against. Plan: the sessionize windows, the position "
+    "window, and the path aggregate all share the (user_id) shuffle; "
+    "path counting is a two-stage hash agg on a bounded key space; "
+    "top-k is TakeOrdered, never a full sort. Ordered string_agg / "
+    "sorted array_join render identically in both engines.",
+    tags=("events", "window", "funnel"),
+)
+def q113_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    ts_ms = (epoch_us("ts") / 1000).cast("long")
+    prev_ms = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    pos_w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    numbered = sess.withColumn("pos", F.row_number().over(pos_w)).filter(
+        F.col("pos") <= PATH_MAX_LEN
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("event_type")))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(PATH_TOP_K)
+    rank_w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))

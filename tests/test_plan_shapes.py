@@ -335,3 +335,57 @@ def test_q97_bounds_join_is_broadcast(spark):
     )
     assert _op_count(plan, "BroadcastHashJoin") >= 1
     assert _op_count(plan, "SortMergeJoin") == 0
+
+
+def test_q108_salted_agg_exchanges_on_salted_key(spark):
+    """The salted aggregate's first exchange must partition on
+    (event_type, salt) — if a refactor drops the salt, the plan regresses
+    to the 5-reducer hot-key funnel the query exists to avoid."""
+    plan = _formatted_plan(
+        REGISTRY["q108_salted_skew_agg"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert re.search(r"hashpartitioning\(event_type[^\n]*salt", plan), plan[:2000]
+    # two-phase on top of the salt: >= 2 aggregate layers (partial+final x2)
+    assert _op_count(plan, "HashAggregate") >= 4
+
+
+def test_q113_session_windows_share_one_user_shuffle(spark):
+    """Sessionize windows, position window, and the per-session path agg
+    must all ride ONE user_id exchange; the only other exchanges are the
+    bounded path-count agg and the k-row rank."""
+    plan = _formatted_plan(
+        REGISTRY["q113_session_paths"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    user_exchanges = len(
+        re.findall(r"hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges == 1, plan[:3000]
+
+
+def test_q105_score_join_and_doc_agg(spark):
+    """q105's doc scoring must keep the LM-model join on (w1, w2) hash
+    keys and finish with a partial+final agg on doc_id — no cartesian,
+    no window over the full bigram stream."""
+    plan = _formatted_plan(
+        REGISTRY["q105_bigram_doc_score"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "CartesianProduct") == 0
+    assert _op_count(plan, "Window") == 0
+    # model side is broadcast at smoke scale (the desired plan — the LM is
+    # vocab-bounded); a shuffled equi-join is the acceptable big-vocab form
+    equi_joins = (
+        _op_count(plan, "BroadcastHashJoin")
+        + _op_count(plan, "SortMergeJoin")
+        + _op_count(plan, "ShuffledHashJoin")
+    )
+    assert equi_joins >= 1
+
+
+def test_q106_token_mass_sample_no_shuffle_beyond_fingerprint_join(spark):
+    """The keep-decision is a map-side filter; the only join is doc_id ->
+    fingerprint (same source, co-partitioned). No aggregate at all."""
+    plan = _formatted_plan(
+        REGISTRY["q106_token_mass_sample"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "HashAggregate") == 0
+    assert _op_count(plan, "Window") == 0
