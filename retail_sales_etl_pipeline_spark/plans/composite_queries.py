@@ -115,3 +115,65 @@ def q50_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@register(
+    "q114_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN customer ON c_nationkey = s_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey AND l_suppkey = s_suppkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H-Q5-shaped six-way join: revenue by nation for orders "
+    "where the supplier and customer share the nation, restricted to "
+    "one region. The join-planning stress test: region/nation are "
+    "row-scale (broadcast without being asked), supplier and customer "
+    "are dimension-scale (explicit broadcast), and the one genuinely "
+    "big join — lineitem to orders — is the only shuffle; the "
+    "(l_suppkey = s_suppkey) AND (c_nationkey = s_nationkey) cycle is "
+    "expressed as equi-keys so Catalyst never falls back to a "
+    "cartesian+filter. Region filter prunes at the region scan and "
+    "cascades through the broadcasts before any big table moves. "
+    "Decimal revenue for order-independent exactness.",
+    tags=("composite", "join", "aggregate"),
+)
+def q114_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(38,6)")
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey)
+            & (cust.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            rev.cast("string").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )

@@ -845,3 +845,64 @@ def q113_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(PATH_TOP_K)
     rank_w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+
+
+LABEL_WINDOW_MIN = 30
+
+
+@register(
+    "q115_conversion_labels",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           next_purchase_us IS NOT NULL
+             AND next_purchase_us - epoch_us(ts)
+                 <= {LABEL_WINDOW_MIN} * 60 * 1000000 AS label,
+           CASE WHEN next_purchase_us - epoch_us(ts)
+                     <= {LABEL_WINDOW_MIN} * 60 * 1000000
+                THEN next_purchase_us - epoch_us(ts) END AS ttc_us
+    FROM seq WHERE event_type = 'click'
+    """,
+    doc=f"Supervised label generation: every click labeled by whether the "
+    f"same user purchased within {LABEL_WINDOW_MIN} minutes AFTER it, "
+    "plus the exact time-to-conversion in integer microseconds — the "
+    "standard positive/negative builder for conversion models, and the "
+    "forward-looking sibling of q40's backward as-of join. The 'next "
+    "purchase' is a CONDITIONAL window min over a forward frame "
+    "(1 FOLLOWING..UNBOUNDED) on the same (user_id, ts, event_id) sort "
+    "every other event query uses — one shuffle, no self-join, no range "
+    "explosion; per-row state during the scan is a single running min. "
+    "Timestamps stay NTZ epoch-µs integers end-to-end, so label "
+    "boundaries are exact and TZ-independent.",
+    tags=("events", "window", "training"),
+)
+def q115_conversion_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_us = F.min(
+        F.when(F.col("event_type") == "purchase", epoch_us("ts"))
+    ).over(fwd)
+    window_us = LABEL_WINDOW_MIN * 60 * 1_000_000
+    seq = ev.withColumn("next_purchase_us", next_us)
+    ttc = F.col("next_purchase_us") - epoch_us("ts")
+    return seq.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        (F.col("next_purchase_us").isNotNull() & (ttc <= window_us)).alias(
+            "label"
+        ),
+        F.when(ttc <= window_us, ttc).alias("ttc_us"),
+    )
