@@ -241,3 +241,45 @@ def q57_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+N_BINS = 4
+
+
+@register(
+    "q116_quantile_binning",
+    oracle=f"""
+    WITH binned AS (
+      SELECT source, n_chars,
+             ntile({N_BINS}) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS bin
+      FROM documents
+    )
+    SELECT source, CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS hi_chars
+    FROM binned GROUP BY source, bin
+    """,
+    doc=f"Equi-depth quantile binning: each source's documents split into "
+    f"{N_BINS} equal-count length bins (NTILE), with per-bin bounds — "
+    "the binning step behind length-balanced batch construction and "
+    "per-stratum quality audits (equal-WIDTH bins hide the long tail "
+    "that dominates token mass). Ties broken by doc_id so bin edges are "
+    "deterministic under any partitioning; the window and the bin "
+    "aggregate share the (source) shuffle. Scale note: NTILE needs its "
+    "partition sorted — per-SOURCE partitions; for a single giant "
+    "stratum switch to percentile_approx edges + a map-side bin lookup "
+    "(q78/q82's pattern), trading exact equal counts for no sort.",
+    tags=("text", "window", "profiling"),
+)
+def q116_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    binned = docs.withColumn("bin", F.ntile(N_BINS).over(w))
+    return binned.groupBy("source", F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("lo_chars"),
+        F.max("n_chars").cast("long").alias("hi_chars"),
+    )

