@@ -1166,3 +1166,47 @@ def q112_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("recall_ppm"),
     )
+
+
+def _registered_oracle(name: str) -> str:
+    from .registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+@register(
+    "q117_component_size_histogram",
+    # Splice q60's full oracle (its WITH RECURSIVE reachability twin) as
+    # the component relation — the histogram can't drift from the
+    # clustering it summarizes.
+    oracle=f"""
+    WITH comp AS ({_registered_oracle("q60_neardup_components")}),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size histogram over the verified near-dup "
+    "components (q60's clustering): how many clusters of each size, and "
+    "how many documents they hold — the first thing to look at after "
+    "any dedup run (a single giant component means the threshold or a "
+    "boilerplate family collapsed the corpus; mass in size-1 means the "
+    "pipeline is mostly a no-op). Scale shape: two bounded aggregates "
+    "on top of the component frame; sizes are component-count-bounded "
+    "and the histogram key space is tiny. Observability sibling of "
+    "q59's bucket report, one rung later in the ladder.",
+    tags=("dedup", "graph", "profiling"),
+)
+def q117_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q60_neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )

@@ -660,3 +660,63 @@ def q106_token_mass_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tokens", "keep_ppm")
     )
+
+
+MINK_K = 20
+MINK_SALT_A, MINK_SALT_B = 217_645_199, 964_666_103
+
+
+@register(
+    "q119_min_k_group_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ({MINK_SALT_A} * ({_HASH_DUCK}) + {MINK_SALT_B})
+               % 1000000007 AS rank_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY rank_key, doc_id
+             ) AS rnk
+      FROM h
+    )
+    WHERE rnk <= {MINK_K}
+    """,
+    doc=f"Min-k per-group sampling: each source's {MINK_K} documents with "
+    "the smallest salted content-hash rank — the distributed form of "
+    "'uniform K docs per stratum' that is deterministic, content-stable "
+    "(same docs survive a corpus rebuild or repartition), and mergeable: "
+    "min-k sets union-then-truncate across increments, so the sample "
+    "maintains itself incrementally (the bottom-k sketch identity). One "
+    "shuffle on source; per-group state during the rank is K rows. The "
+    "go-to for building fixed-size per-source eval panels and spot-check "
+    "samples at 100 TB.",
+    tags=("text", "mixing", "sampling"),
+)
+def q119_min_k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source").join(
+        fingerprint_pandas(docs).select(
+            "doc_id", F.col("content_fp").alias("key_hash")
+        ),
+        "doc_id",
+    )
+    ranked = h.select(
+        "doc_id",
+        "source",
+        (
+            (F.lit(MINK_SALT_A) * F.col("key_hash") + F.lit(MINK_SALT_B))
+            % F.lit(1_000_000_007)
+        ).alias("rank_key"),
+    )
+    w = Window.partitionBy("source").orderBy("rank_key", "doc_id")
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= MINK_K)
+        .select("doc_id", "source", "rnk")
+    )

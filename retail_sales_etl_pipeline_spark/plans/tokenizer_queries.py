@@ -332,3 +332,115 @@ def q105_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_ppm.cast("long").alias("mean_p_ppm"),
         (mean_ppm < PPL_LOW_SCORE_PPM).alias("is_low_score"),
     )
+
+
+COOC_MAX_DIST = 3
+COOC_TOP_K = 100
+
+
+@register(
+    "q118_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT least(t[CAST(i AS INTEGER)], t[CAST(i AS INTEGER) + {d}]) AS x,
+               greatest(t[CAST(i AS INTEGER)], t[CAST(i AS INTEGER) + {d}]) AS y
+        FROM toks, unnest(range(1, len(t) + 1 - {d})) AS r(i)
+        WHERE len(t) >= {d + 1}'''
+        for d in range(1, COOC_MAX_DIST + 1)
+      )}
+    ),
+    pc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM pairs GROUP BY x, y
+    ),
+    tc AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM tc GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT x, y, c_xy, a.c_w AS c_x, b.c_w AS c_y,
+           CAST((c_xy * n_pairs * 1000000) // (a.c_w * b.c_w) AS BIGINT)
+               AS pmi_ratio_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT pc.*, row_number() OVER (ORDER BY pc.c_xy DESC, pc.x, pc.y)
+                 AS rnk
+      FROM pc
+    ) pc
+    JOIN uc a ON a.w = pc.x
+    JOIN uc b ON b.w = pc.y
+    CROSS JOIN n
+    WHERE rnk <= {COOC_TOP_K}
+    """,
+    doc=f"Token co-occurrence counts with PMI-ratio scores — the GloVe/"
+    "word2vec-style statistic table an embedding-training prep stage "
+    f"builds: unordered token pairs within distance {COOC_MAX_DIST} "
+    "inside each document, counted corpus-wide, with the PMI ratio "
+    "N*c(x,y)/(c(x)*c(y)) held as exact integer ppm (PMI itself is the "
+    "log of this; the rational core is the cross-engine-hashable form, "
+    "the q67/q72 convention). Scale shape: pair expansion is map-side "
+    f"(x{COOC_MAX_DIST} fan-out via slice+zip, JVM-only), counts are "
+    "two-stage hash aggs on vocab-bounded keys, the unigram join is "
+    "vocab-sized (AQE broadcasts), top-k is TakeOrdered over the pair "
+    "counts and the rank window touches only the k survivors.",
+    tags=("text", "tokenizer", "embedding"),
+)
+def q118_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    streams = []
+    for d in range(1, COOC_MAX_DIST + 1):
+        pair = (
+            toks.filter(F.size("t") >= d + 1)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr(f"slice(t, 1, size(t) - {d})").alias("a"),
+                        F.expr(f"slice(t, {d + 1}, size(t) - {d})").alias("b"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.least(F.col("p.a"), F.col("p.b")).alias("x"),
+                F.greatest(F.col("p.a"), F.col("p.b")).alias("y"),
+            )
+        )
+        streams.append(pair)
+    pairs = streams[0]
+    for s in streams[1:]:
+        pairs = pairs.unionByName(s)
+    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    top = pc.orderBy(F.desc("c_xy"), F.asc("x"), F.asc("y")).limit(COOC_TOP_K)
+    rank_w = Window.orderBy(F.desc("c_xy"), F.asc("x"), F.asc("y"))
+    ranked = top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+    a = uc.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
+    b = uc.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
+    return (
+        ranked.join(F.broadcast(a), "x")
+        .join(F.broadcast(b), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(c_xy * n_pairs * 1000000) div (c_x * c_y)")
+            .cast("long")
+            .alias("pmi_ratio_ppm"),
+            "rnk",
+        )
+    )
