@@ -354,3 +354,74 @@ def q108_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("long").alias("n_events"),
         decimal_str(F.sum("pv"), 38, 6).alias("total_value"),
     )
+
+
+@register(
+    "q120_cdc_merge",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             o_totalprice AS new_bal
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderkey DESC
+        ) AS rn FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, chg.custkey) AS c_custkey,
+           CAST(CAST(CASE WHEN chg.op = 'upsert' THEN chg.new_bal
+                          ELSE c.c_acctbal END AS DECIMAL(18,2)) AS VARCHAR)
+               AS acctbal,
+           CASE WHEN chg.custkey IS NULL THEN 'kept'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change_kind
+    FROM customer c
+    FULL OUTER JOIN chg ON chg.custkey = c.c_custkey
+    WHERE chg.op IS NULL OR chg.op <> 'delete'
+    """,
+    doc="CDC changelog application — MERGE INTO semantics as one "
+    "declarative plan: collapse the change stream to the LAST operation "
+    "per key (row_number / max_by over the change sequence — upserts "
+    "carry a new balance, 'P'-status rows act as deletes), then a full "
+    "outer join against the snapshot applies upsert/delete/keep in a "
+    "single pass, labeling each surviving row kept/updated/inserted. "
+    "This is the batch form of the reference's Type-1 upsert "
+    "(operators/dims.py) extended with deletes — and exactly what "
+    "Delta/Iceberg MERGE compiles to underneath. Scale shape: one "
+    "shuffle per side on the merge key; the change collapse and the "
+    "join share the custkey partitioning; no driver-side state. The "
+    "snapshot is never rewritten in place — the result IS the new "
+    "snapshot (rename-aside swap on write, sources/fs.py pattern).",
+    tags=("warehouse", "cdc", "join"),
+)
+def q120_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    chg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max_by(
+            F.struct(
+                F.when(F.col("o_orderstatus") == "P", "delete")
+                .otherwise("upsert")
+                .alias("op"),
+                F.col("o_totalprice").alias("new_bal"),
+            ),
+            F.col("o_orderkey"),
+        ).alias("last")
+    ).select("custkey", F.col("last.op").alias("op"), F.col("last.new_bal").alias("new_bal"))
+    merged = cust.join(chg, cust.c_custkey == chg.custkey, "full_outer").filter(
+        F.col("op").isNull() | (F.col("op") != "delete")
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "custkey").alias("c_custkey"),
+        F.when(F.col("op") == "upsert", F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("acctbal"),
+        F.when(F.col("custkey").isNull(), "kept")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("change_kind"),
+    )

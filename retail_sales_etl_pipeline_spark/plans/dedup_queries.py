@@ -1210,3 +1210,59 @@ def q117_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_components"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "q122_threshold_sweep",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    scored AS (
+      SELECT CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+               / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE) AS jaccard
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+    )
+    SELECT CAST(k AS INTEGER) AS threshold_tenths,
+           CAST(COUNT(CASE WHEN jaccard >= CAST(k AS DOUBLE) / 10
+                           THEN 1 END) AS BIGINT) AS n_pairs
+    FROM scored CROSS JOIN unnest(range(1, 10)) AS t(k)
+    GROUP BY k
+    """,
+    doc="Dedup threshold sweep: for every Jaccard cutoff 0.1..0.9, how "
+    "many candidate pairs would verify — the tuning curve that picks "
+    "NEARDUP_JACCARD from evidence instead of folklore (a cliff in the "
+    "curve separates the near-dup population from background "
+    "similarity; a flat curve says the threshold barely matters). One "
+    "pass: the capped LSH candidates are scored ONCE (q21's exact "
+    "Jaccard machinery), then a 9x bounded fan-out buckets each pair "
+    "under every threshold — never nine executions of the candidate "
+    "subtree. Threshold compares are IEEE-exact in both engines "
+    "(identical division, identical k/10 literals).",
+    tags=("dedup", "eval", "profiling"),
+)
+def q122_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import jaccard_pairs_pandas
+
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "text")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    scored = jaccard_pairs_pandas(cand.join(a, "doc_a").join(b, "doc_b"))
+    swept = scored.select(
+        F.explode(F.expr("sequence(1, 9)")).alias("k"), "jaccard"
+    )
+    return swept.groupBy(F.col("k").cast("int").alias("threshold_tenths")).agg(
+        F.count(
+            F.when(F.col("jaccard") >= F.col("k").cast("double") / 10, 1)
+        )
+        .cast("long")
+        .alias("n_pairs")
+    )

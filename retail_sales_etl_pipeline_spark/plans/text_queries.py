@@ -571,3 +571,67 @@ def q91_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_top.alias("r_top_token"),
         (~(r_short | r_punct | r_span | r_dup | r_top)).alias("keep"),
     )
+
+
+from ..operators.text import token_ngrams_expr  # noqa: E402
+
+NOVELTY_N = 5
+_NOV_SPARK, _NOV_DUCK = token_ngrams_expr("text", NOVELTY_N)
+
+
+@register(
+    "q121_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NOV_DUCK} AS gs
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {NOVELTY_N}
+    ),
+    shingles AS (
+      SELECT doc_id, unnest(gs) AS g FROM d
+    ),
+    df AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST((SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM shingles s JOIN df ON df.g = s.g
+    GROUP BY s.doc_id
+    """,
+    doc=f"Leave-one-out n-gram novelty: per document, the fraction of its "
+    f"distinct {NOVELTY_N}-gram shingles that appear NOWHERE else in the "
+    "corpus (document frequency 1 — since shingles are distinct within a "
+    "doc, df=1 means only this doc has it). The diversity/memorization "
+    "signal: low novelty marks template text already covered elsewhere "
+    "(a dedup-adjacent drop candidate); high novelty marks unique "
+    "content worth keeping — and the same statistic against a TRAINING "
+    "corpus estimates how much of a candidate doc is already memorized. "
+    "Scale shape: the q63 decontamination inverted index turned on the "
+    "corpus itself — shingle explode (map-side), df aggregate on the "
+    "shingle key, one co-partitioned join back, one doc aggregate; "
+    "shuffles carry shingle strings, never doc pairs. Ratios exact "
+    "integer ppm.",
+    tags=("text", "dedup", "profiling"),
+)
+def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= NOVELTY_N
+    )
+    shingles = docs.select(
+        "doc_id", F.explode(F.expr(_NOV_SPARK)).alias("g")
+    )
+    df = shingles.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    joined = shingles.join(df, "g")
+    n_novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        n_novel.alias("n_novel"),
+        F.expr(
+            "CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1) AS LONG)"
+        ).alias("novelty_ppm"),
+    )
