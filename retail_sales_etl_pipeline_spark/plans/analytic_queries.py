@@ -425,3 +425,89 @@ def q120_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("change_kind"),
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "q123_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, grp_n,
+           grp_n < {K_ANON} AS at_risk
+    FROM g
+    """,
+    doc=f"k-anonymity audit over quasi-identifiers (market segment x "
+    f"nation): every combination's population, flagged when fewer than "
+    f"k={K_ANON} individuals share it — records in such groups are "
+    "re-identifiable by the combination alone, the check privacy review "
+    "runs before any customer-derived dataset is released for training. "
+    "Scale shape: one hash aggregate on the quasi-identifier tuple "
+    "(bounded key space = product of attribute cardinalities); the "
+    "flagged rows drive suppression or generalization downstream (drop "
+    "the group, or coarsen nation to region and re-run the same plan). "
+    "Pure integer decision — no float boundary.",
+    tags=("governance", "aggregate"),
+)
+def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("grp_n"))
+        .withColumn("at_risk", F.col("grp_n") < K_ANON)
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "q124_table_profile",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS col_name,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM orders'''
+        for c in _PROFILE_COLS
+    )}
+    """,
+    doc="One-statement table profile (the ANALYZE/data-quality summary): "
+    "per column, null count, exact distinct count, and min/max rendered "
+    "as strings — the stats sheet every ingest gate and query planner "
+    "wants, over all columns in one submitted job. Spark computes the "
+    "six per-column branches from ONE cached scan with partial-agg "
+    "pushdown per branch; exact COUNT(DISTINCT) is the honest audit "
+    "form (swap approx_count_distinct for the sketch form at 100 TB — "
+    "same plan, mergeable, see q82's pattern). Timestamps/decimals "
+    "render through ISO/fixed-scale strings so both engines hash "
+    "identically.",
+    tags=("governance", "profiling", "aggregate"),
+)
+def q124_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for c in _PROFILE_COLS:
+        branch = orders.agg(
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias("n_null"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_str"),
+            F.max(c).cast("string").alias("max_str"),
+        ).select(
+            F.lit(c).alias("col_name"), "n_null", "n_distinct", "min_str", "max_str"
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
