@@ -1266,3 +1266,64 @@ def q122_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs")
     )
+
+
+CONTAINMENT_MIN = 0.5
+
+
+@register(
+    "q126_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_common,
+           CAST(len(a.tg) AS BIGINT) AS n_a,
+           CAST(len(b.tg) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+             / CAST(LEAST(len(a.tg), len(b.tg)) AS DOUBLE) AS containment
+    FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+            / CAST(LEAST(len(a.tg), len(b.tg)) AS DOUBLE)
+          >= {CONTAINMENT_MIN}
+    """,
+    doc="Containment scoring over the capped LSH candidates: "
+    "|A∩B| / min(|A|,|B|) of distinct trigram sets — the asymmetric "
+    "near-dup measure that catches PARTIAL COPIES (a short doc quoted "
+    "wholesale inside a long one scores near 1.0 here but low on "
+    "Jaccard, because the union is dominated by the long doc). The "
+    "standard second verifier next to q21 in curation: Jaccard for "
+    "same-size twins, containment for quote/excerpt inclusion. Same "
+    "bounded pair set as q21 (LSH candidates only, hot-bucket caps "
+    "inherited), set sizes are exact integers, one IEEE division.",
+    tags=("dedup", "join"),
+)
+def q126_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.expr(_TG_SPARK).alias("tg"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect("tg_a", "tg_b")).cast("long")
+    containment = n_common.cast("double") / F.least(
+        F.size("tg_a"), F.size("tg_b")
+    ).cast("double")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.size("tg_a").cast("long").alias("n_a"),
+            F.size("tg_b").cast("long").alias("n_b"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )

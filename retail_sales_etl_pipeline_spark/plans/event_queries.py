@@ -906,3 +906,65 @@ def q115_conversion_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(ttc <= window_us, ttc).alias("ttc_us"),
     )
+
+
+LATE_THRESHOLD_MIN = 10
+
+
+@register(
+    "q125_lateness_profile",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING
+             ) - epoch_us(ts) AS lateness_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN lateness_us > 0 THEN 1 END) AS BIGINT)
+               AS n_disordered,
+           CAST(COUNT(CASE WHEN lateness_us
+                                > {LATE_THRESHOLD_MIN} * 60 * 1000000
+                           THEN 1 END) AS BIGINT) AS n_late,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM seq GROUP BY event_type
+    """,
+    doc="Event-time lateness profile: treating event_id as arrival order, "
+    "each event's lateness = how far its timestamp sits behind the "
+    "running event-time high-water mark of its user's stream; per type, "
+    "the disordered count, the count beyond "
+    f"{LATE_THRESHOLD_MIN} minutes, and the worst case. This is the "
+    "measurement that SETS a streaming watermark: the q71/streaming "
+    "ladder's withWatermark delay should cover ~max observed lateness, "
+    "and this query is the evidence (run it before picking the delay, "
+    "re-run it to detect drift). Scale shape: one running-max window on "
+    "the (user_id, event_id) partitioning the event family already "
+    "uses, one bounded aggregate; lateness stays in exact integer "
+    "microseconds.",
+    tags=("events", "streaming", "profiling"),
+)
+def q125_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lateness = F.max(epoch_us("ts")).over(w) - epoch_us("ts")
+    seq = ev.select("event_type", lateness.alias("lateness_us"))
+    late_us = LATE_THRESHOLD_MIN * 60 * 1_000_000
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("lateness_us") > 0, 1))
+        .cast("long")
+        .alias("n_disordered"),
+        F.count(F.when(F.col("lateness_us") > late_us, 1))
+        .cast("long")
+        .alias("n_late"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+    )
