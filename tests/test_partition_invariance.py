@@ -29,6 +29,21 @@ SENSITIVE = [
     "q60_neardup_components",
     "q71_sliding_event_windows",
     "q77_sequence_packing",
+    # round-4 additions with plausible order sensitivity: integer-division
+    # micro-unit sums (q105), hash-threshold sampling (q106/q119), SCD2
+    # run numbering (q107), salted split-merge (q108), path/pair top-k
+    # tiebreaks (q113/q118), NTILE edges (q116), planted-probe recall
+    # (q112), forward-frame labels (q115)
+    "q105_bigram_doc_score",
+    "q106_token_mass_sample",
+    "q107_scd2_history",
+    "q108_salted_skew_agg",
+    "q112_lsh_recall_probe",
+    "q113_session_paths",
+    "q115_conversion_labels",
+    "q116_quantile_binning",
+    "q118_cooccurrence_pmi",
+    "q119_min_k_group_sample",
 ]
 
 
