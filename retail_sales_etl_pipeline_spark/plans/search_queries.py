@@ -680,3 +680,94 @@ def q89_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(HYBRID_TOP_K)
     )
+
+
+SPARSE_DF_CAP = 50  # terms in more than 50 docs don't pair (stopword-ish)
+SPARSE_TOP_PAIRS = 20
+
+
+@register(
+    "q127_sparse_tfidf_similarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    contrib AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (a.tf * b.tf * 1000000 * (n_docs + 1) * (n_docs + 1))
+               // ((df.df + 1) * (df.df + 1)) AS c_ppm
+      FROM tf a
+      JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+      JOIN df ON df.term = a.term
+      CROSS JOIN n
+      WHERE df.df <= {SPARSE_DF_CAP}
+    ),
+    pair_scores AS (
+      SELECT doc_a, doc_b, CAST(SUM(c_ppm) AS BIGINT) AS score_ppm
+      FROM contrib GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, score_ppm, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY score_ppm DESC, doc_a, doc_b) AS rnk
+      FROM pair_scores
+    ) WHERE rnk <= {SPARSE_TOP_PAIRS}
+    """,
+    doc="Sparse TF-IDF document similarity — the sparse-vector twin of "
+    "the dense ANN stack: each document is its TF-IDF bag, and the "
+    "unnormalized dot product between documents is computed through the "
+    "INVERTED INDEX (posting-list self-join per term), never through "
+    "document pairs directly. Terms appearing in more than "
+    f"{SPARSE_DF_CAP} docs are excluded from pairing (the q63 DF-cap "
+    "rule: stopword-grade postings would make the self-join quadratic "
+    "AND contribute ~zero idf weight — the cap is explicit, mirrored in "
+    "the oracle, not silent). Per-term contributions use the rational "
+    "idf squared, held in exact integer ppm (floor-division before the "
+    "sum, so partial sums merge exactly); top-20 pairs by score with "
+    "total-order tiebreaks. Scale shape: shuffles carry (term, posting) "
+    "rows and pair partials — bounded by cap^2 per term.",
+    tags=("text", "search", "similarity"),
+)
+def q127_sparse_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rare = df.filter(F.col("df") <= SPARSE_DF_CAP)
+    a = tf.select("term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a"))
+    b = tf.select("term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
+    contrib = (
+        a.join(b, ["term"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(rare, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(tf_a * tf_b * 1000000 * (n_docs + 1) * (n_docs + 1))"
+                " div ((df + 1) * (df + 1))"
+            ).alias("c_ppm"),
+        )
+    )
+    scores = contrib.groupBy("doc_a", "doc_b").agg(
+        F.sum("c_ppm").cast("long").alias("score_ppm")
+    )
+    top = scores.orderBy(
+        F.desc("score_ppm"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(SPARSE_TOP_PAIRS)
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_a"), F.asc("doc_b"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
