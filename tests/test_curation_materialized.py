@@ -74,3 +74,41 @@ def test_curation_pipeline_driver(spark, tmp_path):
     assert len(runs) == 1
     assert runs[0]["status"] == "success"
     assert runs[0]["total_rows_loaded"] == res.final_docs
+
+
+def test_export_training_shards_manifest_attests_files(spark, tmp_path):
+    """The release layout: curated corpus -> partitionBy(shard_id) parquet
+    + manifest. The manifest must equal a recount of the written files,
+    the export must contain exactly the curated doc_ids, and a one-shard
+    read must prune to that partition's rows."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_pipeline_spark.plans import curation_pipeline as cp
+    from retail_sales_etl_pipeline_spark.plans.curation_queries import curate
+    from .conftest import SMOKE_SF_DIR
+
+    out = str(tmp_path / "release")
+    corpus_path = str(tmp_path / "corpus")
+    curate(spark, SMOKE_SF_DIR).write.mode("overwrite").parquet(corpus_path)
+    manifest = cp.export_training_shards(spark, SMOKE_SF_DIR, corpus_path, out)
+
+    shards = spark.read.parquet(out + "/shards")
+    corpus_ids = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    export_ids = {r.doc_id for r in shards.select("doc_id").collect()}
+    assert export_ids == corpus_ids
+
+    recount = {
+        (r.shard_id, r.n_docs, r.n_tokens)
+        for r in shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    got = {(r.shard_id, r.n_docs, r.n_tokens) for r in manifest.collect()}
+    assert got == recount and len(got) >= 2
+
+    one = manifest.collect()[0]
+    pruned = shards.filter(F.col("shard_id") == one.shard_id)
+    assert pruned.count() == one.n_docs
