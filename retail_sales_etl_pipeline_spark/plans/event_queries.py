@@ -968,3 +968,58 @@ def q125_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late"),
         F.max("lateness_us").cast("long").alias("max_lateness_us"),
     )
+
+
+CHURN_CUTOFF = "2024-01-16 00:00:00"
+CHURN_WINDOW_DAYS = 7
+
+
+@register(
+    "q128_churn_labels",
+    oracle=f"""
+    WITH active AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '{CHURN_CUTOFF}' - INTERVAL {CHURN_WINDOW_DAYS} DAY
+        AND ts < TIMESTAMP '{CHURN_CUTOFF}'
+    ),
+    retained AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '{CHURN_CUTOFF}'
+        AND ts < TIMESTAMP '{CHURN_CUTOFF}' + INTERVAL {CHURN_WINDOW_DAYS} DAY
+    )
+    SELECT a.user_id, r.user_id IS NULL AS churned
+    FROM active a LEFT JOIN retained r ON r.user_id = a.user_id
+    """,
+    doc=f"Churn label generation at a fixed cutoff: users active in the "
+    f"{CHURN_WINDOW_DAYS} days before {CHURN_CUTOFF} are labeled churned "
+    f"when they have NO event in the {CHURN_WINDOW_DAYS} days after — "
+    "the standard point-in-time label builder for retention models, and "
+    "the disciplined form that avoids label leakage: both windows are "
+    "anchored to one cutoff, never to per-user 'last seen' (which leaks "
+    "the answer into the feature window). q115's conversion labels are "
+    "the event-anchored sibling; this is the snapshot-anchored one. "
+    "Scale shape: two pre-aggregated DISTINCT projections (both pushed-"
+    "down date filters on the scan) met by one co-partitioned left "
+    "join; label cardinality = active users, not events. Timestamps "
+    "NTZ so the cutoff is TZ-independent.",
+    tags=("events", "training"),
+)
+def q128_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CHURN_CUTOFF).cast("timestamp_ntz")
+    lo = cutoff - F.expr(f"INTERVAL {CHURN_WINDOW_DAYS} DAYS")
+    hi = cutoff + F.expr(f"INTERVAL {CHURN_WINDOW_DAYS} DAYS")
+    active = (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < cutoff))
+        .select("user_id")
+        .distinct()
+    )
+    retained = (
+        ev.filter((F.col("ts") >= cutoff) & (F.col("ts") < hi))
+        .select("user_id")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return active.join(retained, "user_id", "left").select(
+        "user_id", F.col("seen").isNull().alias("churned")
+    )

@@ -635,3 +635,98 @@ def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) AS LONG)"
         ).alias("novelty_ppm"),
     )
+
+
+from pyspark.sql import Window  # noqa: E402
+
+MAD_K = 3  # flag docs beyond 3 MADs from their source's median
+
+
+@register(
+    "q129_robust_length_outliers",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM d
+    ),
+    med AS (
+      SELECT source,
+             CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+                 AS BIGINT) AS med
+      FROM r GROUP BY source, n
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM d JOIN med m ON m.source = d.source
+    ),
+    rd AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY adev, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT source,
+             CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN adev END)
+                 AS BIGINT) AS mad
+      FROM rd GROUP BY source, n
+    )
+    SELECT v.doc_id, v.source, v.n_chars, v.med, md.mad,
+           v.adev > {MAD_K} * md.mad AS is_outlier
+    FROM dev v JOIN mad md ON md.source = v.source
+    """,
+    doc=f"Robust length-outlier detection: per source, flag documents "
+    f"whose length sits more than {MAD_K} median-absolute-deviations "
+    "from the source median — the outlier rule that survives the very "
+    "outliers it hunts (mean/std, q109's rule, gets dragged by a single "
+    "giant doc; median/MAD has a 50% breakdown point — the right tool "
+    "for длина-skewed web sources). Both the median and the MAD use the "
+    "exact lower-median rank convention (q78), so every quantity is an "
+    "integer and the flag decision has no float boundary. Scale shape: "
+    "two rank windows on the SAME source partitioning (one exchange, "
+    "sort reused), two source-sized aggregates broadcast back; the "
+    "production swap for a single giant stratum is approx_percentile "
+    "edges (q82's documented trade).",
+    tags=("text", "profiling", "anomaly"),
+)
+def q129_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cnt = Window.partitionBy("source")
+    r = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt).cast("long")
+    )
+    med = r.groupBy("source", "n").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_chars")))
+        .cast("long")
+        .alias("med")
+    ).select("source", "med")
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    wd = Window.partitionBy("source").orderBy("adev", "doc_id")
+    rd = dev.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt).cast("long")
+    )
+    mad = rd.groupBy("source", "n").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("adev")))
+        .cast("long")
+        .alias("mad")
+    ).select("source", "mad")
+    return dev.join(F.broadcast(mad), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        "mad",
+        (F.col("adev") > MAD_K * F.col("mad")).alias("is_outlier"),
+    )
