@@ -1327,3 +1327,79 @@ def q126_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_MIN)
     )
+
+
+# Deterministic synthetic "next release" for the snapshot-diff operator:
+# every 13th doc removed, every 7th doc's text perturbed, every 11th doc
+# re-added under an offset id. The TRANSFORM is synthetic (the testdata has
+# only one corpus version); the DIFF is the real operator.
+DIFF_REMOVE_MOD = 13
+DIFF_CHANGE_MOD = 7
+DIFF_ADD_MOD = 11
+
+
+@register(
+    "q131_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {DIFF_CHANGE_MOD} = 0
+                  THEN sha256(text || ' v2') ELSE sha256(text) END AS h
+      FROM documents WHERE doc_id % {DIFF_REMOVE_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFFSET}, sha256(text)
+      FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    GROUP BY 1
+    """,
+    doc="Dataset snapshot diff — the release audit between two corpus "
+    "versions: full outer join on doc_id, content hashes deciding "
+    "added/removed/changed/unchanged, rolled up to a 4-row changelog "
+    "summary (the per-doc detail is the same plan without the final "
+    "GROUP BY). Every training-data release should ship this next to "
+    "its manifest: silent upstream drift (a loader change re-extracting "
+    "text) shows up as a 'changed' count nobody expected. The 'new' "
+    "snapshot here is a deterministic synthetic transform of the corpus "
+    "(testdata has one version); the diff itself is the production "
+    "operator. Scale shape: one co-partitioned full outer join on the "
+    "id; hashes computed map-side; only 64-hex keys shuffle.",
+    tags=("dedup", "governance", "provenance"),
+)
+def q131_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.sha2("text", 256).alias("h"))
+    changed = F.when(
+        F.col("doc_id") % DIFF_CHANGE_MOD == 0,
+        F.sha2(F.concat(F.col("text"), F.lit(" v2")), 256),
+    ).otherwise(F.sha2("text", 256))
+    new = (
+        docs.filter(F.col("doc_id") % DIFF_REMOVE_MOD != 0)
+        .select("doc_id", changed.alias("h"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+                (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+                F.sha2("text", 256).alias("h"),
+            )
+        )
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -1023,3 +1023,70 @@ def q128_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.join(retained, "user_id", "left").select(
         "user_id", F.col("seen").isNull().alias("churned")
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "q130_wau_dau",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    contrib AS (
+      SELECT CAST(day + CAST(o AS INTEGER) AS DATE) AS target_day, user_id
+      FROM du, unnest(range(0, {WAU_WINDOW_DAYS})) AS t(o)
+    ),
+    wau AS (
+      SELECT target_day AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY target_day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day_iso, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    doc=f"Rolling {WAU_WINDOW_DAYS}-day distinct actives (WAU) next to "
+    "daily actives (DAU) and the DAU/WAU stickiness ratio — the product "
+    "dashboard staple, and the representative SLIDING-WINDOW-DISTINCT "
+    "problem: COUNT(DISTINCT) does not merge across window panes, so "
+    "the scalable exact form dedups to (day, user) grain first, then "
+    f"fans each active-day out to the {WAU_WINDOW_DAYS} windows it "
+    "contributes to (bounded x{WAU_WINDOW_DAYS}, map-side) and counts "
+    "distinct per target day — never a per-day re-scan of raw events. "
+    "The sketch alternative at extreme scale is mergeable HLL per day "
+    "unioned across the window (approx_count_distinct — the q82 trade). "
+    "Days only (no user windows), ratio exact integer ppm. Output "
+    "includes partial leading windows (days with < "
+    f"{WAU_WINDOW_DAYS} days of history), matching dashboard practice.",
+    tags=("events", "window", "analytics"),
+)
+def q130_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = du.select(
+        F.explode(F.expr(f"sequence(0, {WAU_WINDOW_DAYS - 1})")).alias("o"),
+        "day",
+        "user_id",
+    ).select(F.expr("date_add(day, o)").alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day_iso"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 div wau AS LONG)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
