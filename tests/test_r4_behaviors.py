@@ -172,3 +172,88 @@ def test_lsh_probe_monotone_in_bands(spark):
     ).count()
     n_planted = planted.count()
     assert 0 < full <= n_planted
+
+
+def test_component_histogram_accounts_for_every_doc(spark):
+    """q117: sum over (cluster_size * n_components) must equal the doc
+    population that entered the clustering (all docs — singletons form
+    size-1 components)."""
+    import pandas as pd
+
+    got = _run(spark, "q117_component_size_histogram")
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert (
+        got["n_docs"] == got["cluster_size"] * got["n_components"]
+    ).all()
+
+
+def test_wau_at_least_dau_and_window_superset(spark):
+    """q130: WAU >= DAU for every day (the 7-day window contains the
+    day), and stickiness_ppm <= 1e6."""
+    got = _run(spark, "q130_wau_dau")
+    assert (got["wau"] >= got["dau"]).all()
+    assert (got["stickiness_ppm"] <= 1_000_000).all()
+    assert (got["stickiness_ppm"] > 0).all()
+
+
+def test_snapshot_diff_counts_reconcile(spark):
+    """q131: removed+changed+unchanged = old corpus size; added+changed+
+    unchanged = new corpus size (computed independently)."""
+    import pandas as pd
+
+    got = _run(spark, "q131_snapshot_diff").set_index("status")["n_docs"]
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    n_old = len(docs)
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        DIFF_ADD_MOD,
+        DIFF_REMOVE_MOD,
+    )
+
+    n_new = int((docs["doc_id"] % DIFF_REMOVE_MOD != 0).sum()) + int(
+        (docs["doc_id"] % DIFF_ADD_MOD == 0).sum()
+    )
+    get = lambda s: int(got.get(s, 0))  # noqa: E731
+    assert get("removed") + get("changed") + get("unchanged") == n_old
+    assert get("added") + get("changed") + get("unchanged") == n_new
+
+
+def test_cdc_merge_drops_deletes_and_keeps_untouched(spark):
+    """q120: customers whose LAST order is 'P' are absent; customers with
+    no orders at all appear as 'kept' with their original balance."""
+    import pandas as pd
+
+    got = _run(spark, "q120_cdc_merge")
+    orders = pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SMOKE_SF_DIR}/customer.parquet")
+    last = orders.sort_values("o_orderkey").groupby("o_custkey").last()
+    deleted = set(last[last["o_orderstatus"] == "P"].index)
+    assert deleted.isdisjoint(set(got["c_custkey"]))
+    no_orders = set(cust["c_custkey"]) - set(orders["o_custkey"])
+    kept = got[got["change_kind"] == "kept"]
+    assert set(kept["c_custkey"]) == no_orders
+
+
+def test_novelty_of_duplicated_doc_is_zero(spark):
+    """q121 semantics probe: if a doc's text also exists under another
+    doc_id, every one of its shingles has df >= 2 -> novelty 0. Build the
+    duplicated corpus in-memory and run the same plan."""
+    from pyspark.sql import functions as F
+    from retail_sales_etl_pipeline_spark.plans.text_queries import (  # noqa: F401
+        NOVELTY_N,
+        _NOV_SPARK,
+    )
+
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingles = docs.filter(
+        F.size(F.split("text", " ")) >= NOVELTY_N
+    ).select("doc_id", F.explode(F.expr(_NOV_SPARK)).alias("g"))
+    df = shingles.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        shingles.join(df, "g")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"))
+    )
+    out = {r.doc_id: r.n_novel for r in nov.collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] > 0
