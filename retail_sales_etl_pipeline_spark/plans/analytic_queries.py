@@ -511,3 +511,84 @@ def q124_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+RARE_MIN_COUNT = 15
+HIST_BIN_WIDTH = 10  # events.value histogram bin width
+
+
+@register(
+    "q133_rare_category_collapse",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment || '/' || CAST(c_nationkey AS VARCHAR) AS cat
+      FROM customer
+    ),
+    counts AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY cat
+    )
+    SELECT CASE WHEN c.n >= {RARE_MIN_COUNT} THEN b.cat
+                ELSE 'OTHER' END AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM base b JOIN counts c ON c.cat = b.cat
+    GROUP BY 1
+    """,
+    doc=f"Long-tail category collapse over the (segment x nation) "
+    f"composite key: values occurring fewer than {RARE_MIN_COUNT} times "
+    "fold into 'OTHER' — the feature-engineering step before "
+    "one-hot/embedding encoding (unbounded categorical vocabularies "
+    "leak memory and overfit; the collapse bounds them), and the same "
+    "shape as privacy suppression of small groups (q123's remediation "
+    "— q123 finds the risky combos, this query erases them). Scale "
+    "shape: the category-count aggregate is vocab-sized and broadcasts "
+    "back onto a map-side CASE — the fact table is never shuffled "
+    "twice; the final aggregate key space is bounded by construction.",
+    tags=("warehouse", "aggregate", "training"),
+)
+def q133_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string"))
+        .alias("cat")
+    )
+    counts = cust.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cust.join(F.broadcast(counts), "cat")
+        .groupBy(
+            F.when(F.col("n") >= RARE_MIN_COUNT, F.col("cat"))
+            .otherwise("OTHER")
+            .alias("category")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+@register(
+    "q134_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(FLOOR(value / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH}
+               AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, FLOOR(value / {HIST_BIN_WIDTH})
+    """,
+    doc=f"Fixed-width value histogram per event type (bin width "
+    f"{HIST_BIN_WIDTH}): the distribution fingerprint monitoring "
+    "compares release-over-release to catch drift (a shifted mode or a "
+    "new spike at zero is invisible in mean/std but obvious here). "
+    "floor(x/w) of an IEEE double is bit-deterministic cross-engine, so "
+    "bin edges are exact; the aggregate key space is types x occupied "
+    "bins — bounded by the data's range, not its row count. One "
+    "partial+final hash agg; equi-depth sibling = q116.",
+    tags=("events", "profiling", "aggregate"),
+)
+def q134_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_col = F.floor(F.col("value") / HIST_BIN_WIDTH)
+    return ev.groupBy(
+        "event_type",
+        bin_col.cast("long").alias("bin"),
+        (bin_col * HIST_BIN_WIDTH).cast("double").alias("bin_lo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -444,3 +444,90 @@ def q118_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+MERGE_MARK = "~"  # merged-pair placeholder (absent from the corpus alphabet)
+
+
+@register(
+    "q132_bpe_second_merge",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    top1 AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 1
+      )
+    ),
+    merged AS (
+      SELECT replace(w, (SELECT pair FROM top1), '{MERGE_MARK}') AS w
+      FROM words
+    ),
+    pairs2 AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM merged, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT (SELECT pair FROM top1) AS merged_pair, pair,
+           CAST(c2 AS BIGINT) AS cnt,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT pair, COUNT(*) AS c2,
+             row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+      FROM pairs2 GROUP BY pair
+    )
+    WHERE rnk <= {BPE_TOP_PAIRS}
+    """,
+    doc="The SECOND iteration of BPE training, end-to-end: find the "
+    "corpus's top character pair (q94's count), apply the merge by "
+    f"rewriting every occurrence to the single symbol '{MERGE_MARK}', "
+    "re-count adjacent pairs over the REWRITTEN corpus, and emit the "
+    "new top pairs — the proof that the iterative tokenizer loop is one "
+    "repeated Spark plan (greedy merge -> rewrite -> recount), with the "
+    "data-dependent merge flowing through a scalar subquery / broadcast "
+    "single-row join rather than a driver round trip. Scale shape per "
+    "iteration: map-side rewrite (replace is codegen'd), bounded "
+    "alphabet^2 aggregate, TakeOrdered; full training = this plan in a "
+    "loop with localCheckpoint per round (the q38/graph.py iterative "
+    "discipline).",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q132_bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        "merged_pair",
+        F.expr(f"replace(w, merged_pair, '{MERGE_MARK}')").alias("w"),
+    )
+    pairs2 = merged.filter(F.length("w") >= 2).select(
+        "merged_pair",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs2.groupBy("merged_pair", "pair").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
