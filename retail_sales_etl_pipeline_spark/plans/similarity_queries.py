@@ -1121,3 +1121,103 @@ def q111_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(count(hit) * 1000000) div {TOP_K}").alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q135_triplet_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN v b
+          ON a.vec_id < {N_QUERIES} AND b.label = a.label
+         AND b.vec_id <> a.vec_id
+      ) WHERE rnk = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS negative_id, cosine AS neg_cosine
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DOT_D} / (a.nrm * b.nrm) AS cosine,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND b.label <> a.label
+      ) WHERE rnk = 1
+    )
+    SELECT p.query_id, p.positive_id, n.negative_id,
+           p.pos_cosine, n.neg_cosine,
+           p.pos_cosine - n.neg_cosine AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    """,
+    doc="Contrastive-training triplet builder: for each anchor, the most "
+    "similar SAME-label vector (the easiest positive — reverse the rank "
+    "order for hard-positive mining, same plan) and the most similar "
+    "CROSS-label vector (the hardest negative, q101's top-1), "
+    "plus the margin the triplet loss will see — margins near zero mark "
+    "the pairs that drive gradient, and a NEGATIVE margin is a label "
+    "error candidate (a cross-label vector closer than every same-label "
+    "one), which makes this double as a label-noise audit. Scale shape: "
+    "two label-predicated scorers over the fixed anchor panel (O(N*Q) "
+    "map-side), each collapsed by a per-anchor top-1 window, joined on "
+    "the anchor id; production swaps the scorer for the q64 ANN stack.",
+    tags=("similarity", "training"),
+)
+def q135_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S).alias("nrm"),
+    )
+    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+    def top1(pred, id_alias, cos_alias):
+        return (
+            a.join(b, pred)
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias(id_alias),
+                F.col("cosine").alias(cos_alias),
+            )
+        )
+
+    pos = top1(
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+        "positive_id",
+        "pos_cosine",
+    )
+    neg = top1(F.col("b.label") != F.col("a.label"), "negative_id", "neg_cosine")
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "positive_id",
+        "negative_id",
+        "pos_cosine",
+        "neg_cosine",
+        (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+    )

@@ -730,3 +730,58 @@ def q129_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         (F.col("adev") > MAD_K * F.col("mad")).alias("is_outlier"),
     )
+
+
+@register(
+    "q136_token_mass_gini",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT source, x,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY x, doc_id) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM d
+    )
+    SELECT source, n,
+           CAST(SUM(x) AS BIGINT) AS total_tokens,
+           CAST((1000000 * (2 * SUM(i * x) - (n + 1) * SUM(x)))
+               // (n * SUM(x)) AS BIGINT) AS gini_ppm
+    FROM r GROUP BY source, n
+    """,
+    doc="Token-mass inequality per source (Gini coefficient): how "
+    "concentrated a source's token budget is in its longest documents — "
+    "gini 0 = every doc contributes equally, near 1 = a few giants "
+    "dominate (which silently turns doc-level sampling and per-doc "
+    "quality decisions into TOKEN-level biases; q106's token-mass "
+    "sampling exists precisely for high-gini sources). Computed from "
+    "the rank form Gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
+    "over the per-source ascending sort — every term an exact integer, "
+    "one floor-division at the end, so both engines agree bit-for-bit. "
+    "Scale shape: one rank window per source (the q78 exact-order-stat "
+    "shuffle, reused) + a bounded aggregate.",
+    tags=("text", "profiling", "mixing"),
+)
+def q136_token_mass_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    cnt = Window.partitionBy("source")
+    r = d.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(cnt).cast("long")
+    )
+    return r.groupBy("source", "n").agg(
+        F.sum("x").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST((1000000 * (2 * sum(i * x) - (n + 1) * sum(x)))"
+            " div (n * sum(x)) AS LONG)"
+        ).alias("gini_ppm"),
+    )
