@@ -1090,3 +1090,64 @@ def q130_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q137_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type <> 'purchase'
+                      THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {ATTRIB_WINDOW_MIN} * 60 * 1000000
+                           PRECEDING AND 1 PRECEDING)
+               AS last_touch_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(last_touch_us AS BIGINT) AS last_touch_us,
+           CAST(us - last_touch_us AS BIGINT) AS touch_gap_us
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    doc=f"Last-touch attribution through a time-bounded RANGE-frame "
+    "window: for each purchase, the timestamp of the most recent "
+    f"NON-purchase event by the same user within the trailing "
+    f"{ATTRIB_WINDOW_MIN} minutes — the marketing-attribution primitive, "
+    "expressed as a conditional window max over a RANGE frame on epoch "
+    "microseconds (value-bounded, not row-bounded: the frame holds "
+    "exactly the 30-minute neighborhood regardless of event density). "
+    "This is the third form of the same trailing-window family: q53 "
+    "solves it as a bin-and-refine equi-join (counts), q40 as an as-of "
+    "join (nearest only, unbounded), this one as a RANGE window — one "
+    "user_id shuffle, per-row state a single running extremum, ties on "
+    "identical timestamps resolved identically in both engines by the "
+    "window's value ordering. NULL last_touch = organic purchase.",
+    tags=("events", "window", "range"),
+)
+def q137_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").withColumn("us", epoch_us("ts"))
+    window_us = ATTRIB_WINDOW_MIN * 60 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-window_us, -1)
+    )
+    last_touch = F.max(
+        F.when(F.col("event_type") != "purchase", F.col("us"))
+    ).over(w)
+    return (
+        ev.withColumn("last_touch_us", last_touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last_touch_us").cast("long").alias("last_touch_us"),
+            (F.col("us") - F.col("last_touch_us"))
+            .cast("long")
+            .alias("touch_gap_us"),
+        )
+    )

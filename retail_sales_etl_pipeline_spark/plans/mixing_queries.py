@@ -720,3 +720,76 @@ def q119_min_k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= MINK_K)
         .select("doc_id", "source", "rnk")
     )
+
+
+@register(
+    "q138_packing_efficiency",
+    oracle=f"""
+    WITH d AS (
+      SELECT ({SHARD_A} * ({_HASH_DUCK}) + {SHARD_B}) % {N_SHARDS}
+                 AS shard_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT shard_id, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM d GROUP BY shard_id
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, total_tokens,
+           CAST((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+               AS n_sequences,
+           CAST(((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN}) * {SEQ_LEN}
+               - total_tokens AS BIGINT) AS padding_tokens,
+           CAST((total_tokens * 1000000)
+               // (((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN})
+                   * {SEQ_LEN}) AS BIGINT) AS efficiency_ppm
+    FROM s
+    """,
+    doc=f"Packing-efficiency report for the q77 concat-and-split scheme: "
+    f"per shard, how many {SEQ_LEN}-token training sequences the token "
+    "mass fills, how many pad tokens the final partial sequence costs, "
+    "and the fill ratio in exact integer ppm — pad tokens are wasted "
+    "FLOPs at training time, so this number is the direct efficiency "
+    "bound of the packing stage (dense concatenation wastes only the "
+    "final tail per shard; per-DOC padding, the naive alternative, is "
+    "what this report exists to argue against). Scale shape: one "
+    "shard-keyed aggregate over map-side token counts; output is "
+    "shard-count-sized.",
+    tags=("text", "mixing", "profiling"),
+)
+def q138_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(
+            fingerprint_pandas(docs).select(
+                "doc_id", F.col("content_fp").alias("key_hash")
+            ),
+            "doc_id",
+        )
+        .select(
+            ((F.lit(SHARD_A) * F.col("key_hash") + F.lit(SHARD_B)) % N_SHARDS)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    s = d.groupBy("shard_id").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    n_seq = F.expr(f"(total_tokens + {SEQ_LEN} - 1) div {SEQ_LEN}")
+    return s.select(
+        "shard_id",
+        "total_tokens",
+        n_seq.cast("long").alias("n_sequences"),
+        (n_seq * SEQ_LEN - F.col("total_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.expr(
+            f"CAST((total_tokens * 1000000) div "
+            f"(((total_tokens + {SEQ_LEN} - 1) div {SEQ_LEN}) * {SEQ_LEN}) "
+            f"AS LONG)"
+        ).alias("efficiency_ppm"),
+    )
