@@ -331,3 +331,83 @@ def q93_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= SOURCE_DOC_CAP)
     )
+
+
+def _q29_oracle() -> str:
+    from .registry import QUERIES
+
+    return QUERIES["q29_corpus_curation"].oracle
+
+
+@register(
+    "q140_curation_mix_shift",
+    # q29's full oracle is spliced in as the survivor set — the mix report
+    # audits the exact curation it ships with, not a re-derivation.
+    oracle=f"""
+    WITH survivors AS ({_q29_oracle()}),
+    before AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM documents GROUP BY source
+    ),
+    after AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n_before) FROM before) AS t_before,
+             (SELECT SUM(n_after) FROM after) AS t_after
+    )
+    SELECT b.source, b.n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           CAST((b.n_before * 1000000) // t.t_before AS BIGINT)
+               AS share_before_ppm,
+           CAST((COALESCE(a.n_after, 0) * 1000000) // t.t_after AS BIGINT)
+               AS share_after_ppm,
+           CAST((COALESCE(a.n_after, 0) * 1000000) // t.t_after
+                - (b.n_before * 1000000) // t.t_before AS BIGINT)
+               AS shift_ppm
+    FROM before b LEFT JOIN after a ON a.source = b.source
+    CROSS JOIN tot t
+    """,
+    doc="Curation mix-shift report: each source's share of the corpus "
+    "BEFORE and AFTER the full curation pipeline (q29's survivors, "
+    "oracle spliced verbatim), with the shift in exact integer ppm — "
+    "the audit that catches a quality/dedup stack quietly reweighting "
+    "the data mixture (a filter that's 'neutral' per document but "
+    "correlates with source kills diversity silently; mixture design "
+    "(q75/q102) assumes this report is flat unless chosen otherwise). "
+    "Scale shape: two source-keyed aggregates (the after-side joins "
+    "survivors back to source on co-partitioned doc_id), totals as "
+    "1-row broadcasts; output is source-count-sized.",
+    tags=("text", "curation", "governance", "profiling"),
+)
+def q140_curation_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = curate(spark, sf_dir).select("doc_id")
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = (
+        survivors.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    t_before = before.agg(F.sum("n_before").alias("t_before"))
+    t_after = after.agg(F.sum("n_after").alias("t_after"))
+    joined = (
+        before.join(after, "source", "left")
+        .na.fill({"n_after": 0})
+        .crossJoin(F.broadcast(t_before))
+        .crossJoin(F.broadcast(t_after))
+    )
+    share_b = F.expr("(n_before * 1000000) div t_before")
+    share_a = F.expr("(n_after * 1000000) div t_after")
+    return joined.select(
+        "source",
+        "n_before",
+        "n_after",
+        share_b.cast("long").alias("share_before_ppm"),
+        share_a.cast("long").alias("share_after_ppm"),
+        (share_a - share_b).cast("long").alias("shift_ppm"),
+    )

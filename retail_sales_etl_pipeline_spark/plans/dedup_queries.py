@@ -1403,3 +1403,89 @@ def q131_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# q58's registered oracle is spliced verbatim into q139's oracle; import
+# its module here (idempotent — load_all() imports it later anyway) so the
+# splice can't drift from the split it audits.
+from . import text_queries as _text_queries  # noqa: E402,F401
+
+
+def _q58_oracle() -> str:
+    from .registry import QUERIES
+
+    return QUERIES["q58_stratified_sample_split"].oracle
+
+
+@register(
+    "q139_split_leakage_audit",
+    # The split side is q58's registered oracle verbatim; the pair side is
+    # the q21 verified-near-dup pipeline — the audit composes the two
+    # production artifacts it audits.
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    ),
+    splits AS ({_q58_oracle()})
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM verified v
+    JOIN splits sa ON sa.doc_id = v.doc_a
+    JOIN splits sb ON sb.doc_id = v.doc_b
+    GROUP BY sa.split, sb.split
+    """,
+    doc="Train/test split leakage audit: every VERIFIED near-dup pair "
+    "(q21's capped-LSH + Jaccard pipeline) classified by which splits "
+    "its two documents landed in (q58's deterministic split, spliced "
+    "verbatim) — any pair straddling train and val/test is evaluation "
+    "contamination by near-duplication, the leak that inflates held-out "
+    "scores even after exact dedup. The fix this audit motivates: "
+    "split by near-dup COMPONENT (q60's component_id as the split key) "
+    "instead of per-document. Scale shape: the pair pipeline's existing "
+    "cost plus two doc_id-keyed join probes into the split assignment; "
+    "output is a <=9-cell matrix. Only pairs where BOTH docs survived "
+    "q58's sampling appear — unsampled docs can't leak.",
+    tags=("dedup", "eval", "governance"),
+)
+def q139_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import QUERIES
+    from .text_queries import q58_stratified_sample_split
+
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "text")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    from ..operators.text import jaccard_pairs_pandas
+
+    verified = (
+        jaccard_pairs_pandas(cand.join(a, "doc_a").join(b, "doc_b"))
+        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    splits = q58_stratified_sample_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
