@@ -1151,3 +1151,56 @@ def q137_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("touch_gap_us"),
         )
     )
+
+
+AB_SALT_A, AB_SALT_B = 354_817_327, 777_767_777
+
+
+@register(
+    "q142_ab_uplift",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             ({AB_SALT_A} * user_id + {AB_SALT_B}) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(arm AS INTEGER) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+               AS conv_ppm
+    FROM users GROUP BY arm
+    """,
+    doc="A/B experiment readout with deterministic hash randomization: "
+    "users assigned to arms by a salted affine transform of user_id "
+    "(the production assignment rule — stable across sessions and "
+    "re-runs, uncorrelated with any user attribute, and auditable: "
+    "re-running the query reproduces the exact assignment), per-arm "
+    "converter counts and conversion rate in exact integer ppm. The "
+    "readout every experimentation pipeline computes; significance "
+    "testing consumes these four integers directly. Scale shape: one "
+    "user-grain aggregate (partial max over the purchase flag), then a "
+    "2-row arm rollup — events are scanned once, never joined.",
+    tags=("events", "analytics", "sampling"),
+)
+def q142_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        ((F.lit(AB_SALT_A) * F.col("user_id") + F.lit(AB_SALT_B)) % 2)
+        .cast("int")
+        .alias("arm"),
+        "converted",
+    )
+    return users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST((sum(converted) * 1000000) div count(1) AS LONG)").alias(
+            "conv_ppm"
+        ),
+    )

@@ -124,3 +124,51 @@ def q51_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize_payload(attach_payload(docs))
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+PAYLOAD_PREFIX_BYTES = 100
+
+
+@register(
+    "q141_payload_dedup",
+    oracle=f"""
+    SELECT sha256(substring(hex(encode(text)), 1, {PAYLOAD_PREFIX_BYTES * 2}))
+               AS payload_digest,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_held
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    doc=f"Multimodal payload dedup: binary payloads keyed by a digest of "
+    f"their first {PAYLOAD_PREFIX_BYTES} bytes (leading-content "
+    "fingerprint — headers plus initial content; re-encoded or "
+    "re-suffixed copies of the same asset share it while full-file "
+    "hashes differ), reporting survivor, copy count, and the bytes a "
+    "dedup would reclaim. The binary sibling of q110's text provenance: "
+    "for image/audio/video lakes this digest-of-prefix pass is the "
+    "cheap first rung before perceptual hashing. The payload rides as "
+    "opaque binary (q37's column); both engines hash the identical hex "
+    "prefix, so the digest parity proves the binary path end-to-end. "
+    "Scale shape: digests computed map-side; only 64-hex keys and "
+    "per-group byte totals shuffle — never payloads.",
+    tags=("multimodal", "dedup"),
+)
+def q141_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    digest = F.sha2(
+        F.expr(f"substring(hex(payload), 1, {PAYLOAD_PREFIX_BYTES * 2})"), 256
+    )
+    return (
+        with_payload.groupBy(digest.alias("payload_digest"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.sum(F.length("payload")).cast("long").alias("bytes_held"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
