@@ -592,3 +592,65 @@ def q134_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col.cast("long").alias("bin"),
         (bin_col * HIST_BIN_WIDTH).cast("double").alias("bin_lo"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "q143_join_key_skew",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM k
+    )
+    SELECT t.l_orderkey, t.n, s.n_keys, s.n_rows,
+           CAST((t.n * n_keys * 1000000) // n_rows AS BIGINT)
+               AS skew_x_mean_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, l_orderkey) AS rnk
+      FROM k
+    ) t CROSS JOIN stats s
+    WHERE rnk <= {SKEW_TOP_K}
+    """,
+    doc="Join-key skew diagnostic: the hottest join keys on the fact "
+    "side, each with its multiple of the mean key frequency in exact "
+    "integer ppm — the report to run BEFORE a big join ships, because "
+    "skew decides the strategy (broadcast the other side, salt the hot "
+    "keys (q108), or lean on AQE skew-join splitting, which only "
+    "triggers past its thresholds). A key at 10^6x mean is one straggler "
+    "task holding the whole stage. Scale shape: one key-count aggregate "
+    "(two-stage), a 1-row stats broadcast, TakeOrdered top-k; the rank "
+    "window touches only the k survivors.",
+    tags=("scale", "profiling", "join"),
+)
+def q143_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    top = k.orderBy(F.desc("n"), F.asc("l_orderkey")).limit(SKEW_TOP_K)
+    w = Window.orderBy(F.desc("n"), F.asc("l_orderkey"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "n",
+            "n_keys",
+            "n_rows",
+            F.expr("CAST((n * n_keys * 1000000) div n_rows AS LONG)").alias(
+                "skew_x_mean_ppm"
+            ),
+            "rnk",
+        )
+    )

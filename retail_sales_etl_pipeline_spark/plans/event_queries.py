@@ -1204,3 +1204,118 @@ def q142_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_ppm"
         ),
     )
+
+
+@register(
+    "q144_seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, dow, hod, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type, dow, hod
+    ),
+    totals AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.hod, c.n,
+           CAST((c.n * 1000000) // t.total AS BIGINT) AS share_ppm
+    FROM cells c JOIN totals t ON t.event_type = c.event_type
+    """,
+    doc="Seasonality fingerprint: each event type's activity profile over "
+    "the (day-of-week x hour-of-day) grid with shares in exact integer "
+    "ppm — the temporal twin of q134's value histogram, and the "
+    "reference profile drift monitoring diffs release-over-release (a "
+    "traffic source changing timezone mix or a bot ramping at 3am moves "
+    "cells no aggregate rate shows). Postgres DOW convention (0=Sunday, "
+    "the C2 parity rule) on NTZ timestamps so the grid is "
+    "TZ-independent. Scale shape: one aggregate on a <= types x 168 "
+    "key space, type-sized totals broadcast back.",
+    tags=("events", "profiling", "scalar"),
+)
+def q144_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import pg_dayofweek
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        pg_dayofweek("ts").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.expr("CAST((n * 1000000) div total AS LONG)").alias("share_ppm"),
+    )
+
+
+@register(
+    "q145_three_step_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+               AS n_view_click_purchase
+    """,
+    doc="Strictly-ordered three-step funnel: users who viewed, then "
+    "clicked AFTER their first view, then purchased AFTER that first "
+    "qualifying click — the ordered-sequence semantics that separate a "
+    "real funnel from three independent existence checks (q95 is the "
+    "two-step time-windowed form; unordered counts overstate every "
+    "step). Each step is one conditional min-aggregate joined to the "
+    "previous step's first-completion time — k steps = k co-partitioned "
+    "(user_id) aggregate+join rounds on one shuffle key, never a "
+    "per-user sequence scan on the driver. First-completion (MIN) "
+    "semantics make the count monotone non-increasing by construction.",
+    tags=("events", "funnel"),
+)
+def q145_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type, prev, prev_t, out_t):
+        joined = ev.filter(F.col("event_type") == step_type).join(
+            prev, "user_id"
+        )
+        return (
+            joined.filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_view_click_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
