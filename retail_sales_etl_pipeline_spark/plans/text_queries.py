@@ -618,18 +618,34 @@ _NOV_SPARK, _NOV_DUCK = token_ngrams_expr("text", NOVELTY_N)
     tags=("text", "dedup", "profiling"),
 )
 def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow shingle twin (q63's convention): the SQL transform-expression
+    # form re-splits the text once PER ARRAY ELEMENT (5 splits x positions
+    # — it benched 10x slower at sf0.1); token_shingles_pandas emits
+    # byte-identical shingles in one pass per Arrow batch.
+    from ..operators.text import token_shingles_pandas
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= NOVELTY_N
     )
-    shingles = docs.select(
-        "doc_id", F.explode(F.expr(_NOV_SPARK)).alias("g")
+    shingles = token_shingles_pandas(docs, NOVELTY_N).select("doc_id", "g")
+    # Single pass: fold the doc list into the df aggregate and explode it
+    # back, instead of joining the shingle stream against its own df table
+    # (which executes the shingle subtree twice — measured 1.4x slower at
+    # sf0.1 even with the Arrow twin). The list is bounded by each
+    # shingle's df, and 5-gram df is near-dup-family-sized by nature
+    # (max 4 at sf0.1) — never a hot-bucket hazard like unigrams.
+    per_g = shingles.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.collect_list("doc_id").alias("docs"),
     )
-    df = shingles.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    joined = shingles.join(df, "g")
-    n_novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
-    return joined.groupBy("doc_id").agg(
+    exploded = per_g.select(
+        "df", F.explode("docs").alias("doc_id")
+    )
+    return exploded.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        n_novel.alias("n_novel"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
         F.expr(
             "CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)"
             " div count(1) AS LONG)"
