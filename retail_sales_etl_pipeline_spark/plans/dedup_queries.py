@@ -1307,7 +1307,18 @@ def q126_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.expr(_TG_SPARK).alias("tg"))
+        # split once into an array column, THEN build shingles over it:
+        # token_ngrams_expr's inline form re-splits the text per array
+        # element (the q121 lesson) — projecting toks first lets codegen
+        # materialize the split once per row
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+            ).alias("tg"),
+        )
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b"))
