@@ -1319,3 +1319,47 @@ def q145_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
     np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_view_click_purchase"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "q146_props_key_profile",
+    oracle="""
+    WITH keys AS (
+      SELECT unnest(json_keys(props)) AS key FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM events)
+    SELECT k.key, CAST(COUNT(*) AS BIGINT) AS n_present,
+           t.n_events,
+           CAST((COUNT(*) * 1000000) // t.n_events AS BIGINT)
+               AS presence_ppm
+    FROM keys k CROSS JOIN tot t
+    GROUP BY k.key, t.n_events
+    """,
+    doc="Semi-structured schema discovery: which keys the JSON payload "
+    "column actually carries and in what fraction of events — the "
+    "profile that turns get_json_object probing (q36) into a committed "
+    "from_json schema (keys near 100% presence become typed columns; "
+    "long-tail keys stay in a variant/map). Run it before and after "
+    "producer releases: a key's presence dropping is an upstream "
+    "contract break no row count shows. Scale shape: map-side "
+    "json_object_keys explode, one aggregate on the key space (bounded "
+    "by payload vocabulary), 1-row total broadcast.",
+    tags=("events", "scalar", "profiling"),
+)
+def q146_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        keys.crossJoin(F.broadcast(tot))
+        .groupBy("key", "n_events")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        .select(
+            "key",
+            "n_present",
+            "n_events",
+            F.expr("CAST((n_present * 1000000) div n_events AS LONG)").alias(
+                "presence_ppm"
+            ),
+        )
+    )

@@ -801,3 +801,35 @@ def q136_token_mass_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sum(x)) AS LONG)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "q147_lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang,
+             {_predict_expr(_DUCK_SCORES)} AS predicted_lang
+      FROM documents
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix: q24's classifier (same argmax "
+    "expression, spliced from the shared constants) evaluated against "
+    "the labeled language — the eval harness that turns a heuristic "
+    "into a measured component (per-language precision/recall read "
+    "directly off the matrix; the off-diagonal mass tells you which "
+    "stopword lists to extend before trusting q75's language mixing, "
+    "which consumes these labels). Scale shape: map-side scoring (the "
+    "stopword arrays are constant-folded), one aggregate on a "
+    "languages^2-bounded key space.",
+    tags=("text", "eval"),
+)
+def q147_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.expr(_predict_expr(_SPARK_SCORES))
+    return docs.groupBy(
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
