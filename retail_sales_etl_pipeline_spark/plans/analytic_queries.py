@@ -654,3 +654,57 @@ def q143_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "q149_revenue_momentum",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, CAST(rev AS VARCHAR) AS revenue,
+           CAST(lag(rev) OVER (ORDER BY yr, mo) AS VARCHAR) AS prev_revenue,
+           -- exact integer cents: DECIMAL * 1e6 overflows precision 38 and
+           -- silently promotes to DOUBLE (off-by-one at ppm scale)
+           CAST(CAST(rev * 100 AS BIGINT) * 1000000
+                // CAST(lag(rev) OVER (ORDER BY yr, mo) * 100 AS BIGINT)
+               AS BIGINT) AS momentum_ppm
+    FROM monthly
+    """,
+    doc="Revenue momentum: monthly decimal-exact revenue with the "
+    "previous month and the month-over-month ratio in integer ppm — the "
+    "finance dashboard staple (q16 is the plain rollup; this adds the "
+    "trend). Exactness discipline: money aggregates through "
+    "DECIMAL(18,2) (order-independent), and the ratio divides two "
+    "integer micro-scaled decimals so the boundary is float-free; the "
+    "ordered window runs over the months-sized frame only. First month "
+    "has NULL prev/momentum by definition.",
+    tags=("warehouse", "window", "aggregate"),
+)
+def q149_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("string").alias("revenue"),
+        prev.cast("string").alias("prev_revenue"),
+        F.expr(
+            "CAST(CAST(rev * 100 AS BIGINT) * 1000000"
+            " div CAST(lag(rev) OVER (ORDER BY yr, mo) * 100 AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("momentum_ppm"),
+    )

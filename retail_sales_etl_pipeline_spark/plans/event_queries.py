@@ -1363,3 +1363,95 @@ def q146_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q148_session_concurrency",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id, ts
+      FROM seq
+    ),
+    bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS start_day,
+             CAST(MAX(ts) AS DATE) AS end_day
+      FROM sess GROUP BY user_id, session_id
+    ),
+    days AS (
+      SELECT CAST(start_day AS VARCHAR) AS day_iso,
+             CAST(COUNT(*) AS BIGINT) AS n_started
+      FROM bounds GROUP BY start_day
+    ),
+    ends AS (
+      SELECT CAST(end_day AS VARCHAR) AS day_iso,
+             CAST(COUNT(*) AS BIGINT) AS n_ended
+      FROM bounds GROUP BY end_day
+    )
+    SELECT COALESCE(d.day_iso, e.day_iso) AS day_iso,
+           COALESCE(d.n_started, 0) AS n_started,
+           COALESCE(e.n_ended, 0) AS n_ended,
+           CAST(SUM(COALESCE(d.n_started, 0) - COALESCE(e.n_ended, 0))
+               OVER (ORDER BY COALESCE(d.day_iso, e.day_iso)
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_at_eod
+    FROM days d FULL OUTER JOIN ends e ON e.day_iso = d.day_iso
+    """,
+    doc="Session load profile: per day, how many sessions started, how "
+    "many ended, and how many span past end-of-day (the running "
+    "start-minus-end balance) — the capacity-planning curve behind "
+    "'how much session state does the streaming job hold', i.e. the "
+    "measured input to sizing applyInPandasWithState memory and "
+    "watermark retention. Scale shape: sessionization rides the usual "
+    "(user_id) shuffle; boundaries aggregate to DAY grain before the "
+    "running sum, so the only ordered window runs over a days-sized "
+    "frame — never the event stream (a global ordered window over raw "
+    "events would be the single-partition trap).",
+    tags=("events", "window", "profiling"),
+)
+def q148_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    ts_ms = (epoch_us("ts") / 1000).cast("long")
+    prev_ms = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.col("ts").cast("date")).alias("start_day"),
+        F.max(F.col("ts").cast("date")).alias("end_day"),
+    )
+    days = bounds.groupBy(
+        F.col("start_day").cast("string").alias("day_iso")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_started"))
+    ends = bounds.groupBy(
+        F.col("end_day").cast("string").alias("day_iso")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ended"))
+    joined = days.join(ends, "day_iso", "full_outer").select(
+        "day_iso",
+        F.coalesce("n_started", F.lit(0)).alias("n_started"),
+        F.coalesce("n_ended", F.lit(0)).alias("n_ended"),
+    )
+    run = Window.orderBy("day_iso").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "open_at_eod",
+        F.sum(F.col("n_started") - F.col("n_ended")).over(run).cast("long"),
+    )

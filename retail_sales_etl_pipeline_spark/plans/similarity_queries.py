@@ -1221,3 +1221,37 @@ def q135_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cosine",
         (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
     )
+
+
+NORM2_LO, NORM2_HI = 0.25, 400.0  # degenerate-embedding bounds on |v|^2
+
+
+@register(
+    "q150_embedding_hygiene",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE})
+    SELECT vec_id, nrm * nrm AS norm2,
+           nrm * nrm < {NORM2_LO} OR nrm * nrm > {NORM2_HI}
+               AS is_degenerate
+    FROM v
+    """,
+    doc="Embedding hygiene gate: flag vectors whose squared norm falls "
+    "outside sane bounds — near-zero norms are dead embeddings (an "
+    "encoder failure or padding row: their cosines are numerically "
+    "meaningless and they poison every centroid they touch), extreme "
+    "norms dominate un-normalized dot products. Run before ANY of the "
+    "similarity stack (q30+); k-means (q38) and SemDeDup (q74) assume "
+    "this gate already dropped the degenerates. norm2 is the "
+    "index-ordered double dot (the registry's deterministic-sum rule), "
+    "squared to avoid sqrt entirely; the flag compares doubles against "
+    "exact literals, bit-identical cross-engine. Map-only, no shuffle.",
+    tags=("similarity", "quality", "profiling"),
+)
+def q150_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vec_view_spark(spark, sf_dir)
+    norm2 = F.col("nrm") * F.col("nrm")
+    return v.select(
+        "vec_id",
+        norm2.alias("norm2"),
+        ((norm2 < NORM2_LO) | (norm2 > NORM2_HI)).alias("is_degenerate"),
+    )
