@@ -708,3 +708,119 @@ def q149_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("momentum_ppm"),
     )
+
+
+@register(
+    "q151_fulfillment_latency",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(MAX(l.l_shipdate) AS DATE)) AS BIGINT)
+                 AS days_to_full_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT days_to_full_ship // 7 AS latency_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days_to_full_ship) AS BIGINT) AS min_days,
+           CAST(MAX(days_to_full_ship) AS BIGINT) AS max_days
+    FROM per_order GROUP BY days_to_full_ship // 7
+    """,
+    doc="Order-fulfillment latency distribution: days from order "
+    "placement to the LAST lineitem shipment (an order isn't fulfilled "
+    "until its slowest line ships), bucketed into weeks — the "
+    "operational-SLA histogram the warehouse exists to answer, and the "
+    "max-aggregate-then-diff pattern every 'time to completion of a "
+    "multi-part job' metric uses (same shape for multi-shard export "
+    "completion or multi-file ingest latency). Scale shape: one "
+    "co-partitioned orderkey join + per-order max (partial map-side), "
+    "then a bounded week-bucket aggregate; date_diff of DATE-cast NTZ "
+    "values is exact integer days in both engines.",
+    tags=("warehouse", "aggregate", "join"),
+)
+def q151_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(
+                F.col("last_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days_to_full_ship")
+        )
+    )
+    return per_order.groupBy(
+        F.expr("days_to_full_ship div 7").alias("latency_week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("days_to_full_ship").cast("long").alias("min_days"),
+        F.max("days_to_full_ship").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "q152_balance_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(n AS BIGINT) AS n,
+           CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank,
+           CAST(le AS DOUBLE) / CAST(n AS DOUBLE) AS cume
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+             COUNT(*) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal
+               RANGE UNBOUNDED PRECEDING
+             ) AS le
+      FROM customer
+    )
+    """,
+    doc="Per-segment balance position statistics: each customer's exact "
+    "rank, percent-rank, and cumulative-distribution position within "
+    "its market segment — the rank-family completion next to q45 "
+    "(rank/dense_rank) and q44 (value percentiles). Both ratios are "
+    "expressed as single IEEE divisions of exact integers — "
+    "row_number with a total-order tiebreak for pct_rank, and a "
+    "RANGE-frame running count (ties share their cumulative count, "
+    "cume_dist's defining property) — rather than the built-in "
+    "percent_rank/cume_dist, whose tie semantics this form makes "
+    "explicit and cross-engine-exact. One segment-keyed sort serves "
+    "all three windows.",
+    tags=("warehouse", "window"),
+)
+def q152_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    seg = Window.partitionBy("c_mktsegment")
+    le_w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        cust.withColumn("rnk", F.row_number().over(by_bal).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(seg).cast("long"))
+        .withColumn("le", F.count(F.lit(1)).over(le_w).cast("long"))
+    )
+    return r.select(
+        "c_custkey",
+        "c_mktsegment",
+        "rnk",
+        "n",
+        ((F.col("rnk") - 1).cast("double") / (F.col("n") - 1).cast("double")).alias(
+            "pct_rank"
+        ),
+        (F.col("le").cast("double") / F.col("n").cast("double")).alias("cume"),
+    )
