@@ -389,3 +389,53 @@ def test_q106_token_mass_sample_no_shuffle_beyond_fingerprint_join(spark):
     )
     assert _op_count(plan, "HashAggregate") == 0
     assert _op_count(plan, "Window") == 0
+
+
+def test_q118_cooccurrence_no_cartesian_and_broadcast_unigrams(spark):
+    """PMI pair counting must stay equi-keyed: no cartesian anywhere, and
+    the vocab-sized unigram/total sides join as broadcasts."""
+    plan = _formatted_plan(
+        REGISTRY["q118_cooccurrence_pmi"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "CartesianProduct") == 0
+    assert _op_count(plan, "BroadcastHashJoin") >= 2
+
+
+def test_q127_sparse_similarity_joins_on_term_never_pairs(spark):
+    """The sparse dot product must flow through posting-list equi-joins on
+    the term key — a cartesian doc-pair plan would defeat the whole
+    inverted-index design."""
+    plan = _formatted_plan(
+        REGISTRY["q127_sparse_tfidf_similarity"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q130_wau_is_aggregate_not_window(spark):
+    """Sliding-window distinct must be the dedup+fan-out aggregate form —
+    a Window operator here would mean someone 'simplified' it into the
+    non-mergeable per-day distinct that re-scans events."""
+    plan = _formatted_plan(REGISTRY["q130_wau_dau"].spark_fn(spark, SMOKE_SF_DIR))
+    assert _op_count(plan, "Window") == 0
+    assert _op_count(plan, "HashAggregate") >= 4  # dedup, dau, wau partial+final
+
+
+def test_q151_latency_aggregates_partial_then_final(spark):
+    """Per-order max must partial-aggregate map-side before the orderkey
+    shuffle (the max-then-diff shape), and the week histogram is a second
+    two-stage agg."""
+    plan = _formatted_plan(
+        REGISTRY["q151_fulfillment_latency"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "HashAggregate") >= 4
+    assert _op_count(plan, "CartesianProduct") == 0
+
+
+def test_q152_single_sort_serves_all_windows(spark):
+    """percent-rank, count, and cume windows all partition on
+    c_mktsegment: exactly one exchange on that key."""
+    plan = _formatted_plan(
+        REGISTRY["q152_balance_percentiles"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert len(re.findall(r"hashpartitioning\(c_mktsegment", plan)) == 1

@@ -257,3 +257,85 @@ def test_novelty_of_duplicated_doc_is_zero(spark):
     )
     out = {r.doc_id: r.n_novel for r in nov.collect()}
     assert out[1] == 0 and out[2] == 0 and out[3] > 0
+
+
+def test_balance_percentiles_boundaries(spark):
+    """q152: per segment, pct_rank spans exactly [0, 1], cume ends at 1,
+    and cume is non-decreasing in rank order."""
+    got = _run(spark, "q152_balance_percentiles")
+    for seg, g in got.groupby("c_mktsegment"):
+        g = g.sort_values("rnk")
+        assert g.iloc[0]["pct_rank"] == 0.0
+        assert g.iloc[-1]["pct_rank"] == 1.0
+        assert g.iloc[-1]["cume"] == 1.0
+        assert (g["cume"].diff().dropna() >= 0).all(), seg
+
+
+def test_fulfillment_latency_accounts_for_all_orders(spark):
+    """q151: the week-bucket histogram's order counts sum to the number
+    of orders that have at least one lineitem."""
+    import pandas as pd
+
+    got = _run(spark, "q151_fulfillment_latency")
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+    with_lines = orders[orders["o_orderkey"].isin(set(li["l_orderkey"]))]
+    assert int(got["n_orders"].sum()) == len(with_lines)
+    # bucket bounds are consistent with the week index; both engines'
+    # integer division TRUNCATES toward zero (Python // floors — don't)
+    import math
+
+    for _, r in got.iterrows():
+        assert math.trunc(r["min_days"] / 7) == r["latency_week"]
+        assert math.trunc(r["max_days"] / 7) == r["latency_week"]
+
+
+def test_revenue_momentum_chains(spark):
+    """q149: each row's prev_revenue equals the previous month's revenue,
+    and exactly the first month has NULL momentum."""
+    got = _run(spark, "q149_revenue_momentum").sort_values(["yr", "mo"]).reset_index(drop=True)
+    assert pd.isna(got.iloc[0]["momentum_ppm"])
+    assert got["momentum_ppm"].isna().sum() == 1
+    for i in range(1, len(got)):
+        assert got.iloc[i]["prev_revenue"] == got.iloc[i - 1]["revenue"]
+
+
+def test_session_concurrency_balances_to_zero(spark):
+    """q148: every session that starts also ends, so the final running
+    open count is exactly zero and no day's open count is negative."""
+    got = _run(spark, "q148_session_concurrency").sort_values("day_iso")
+    assert int(got.iloc[-1]["open_at_eod"]) == 0
+    assert (got["open_at_eod"] >= 0).all()
+    assert int(got["n_started"].sum()) == int(got["n_ended"].sum())
+
+
+def test_props_key_presence_bounded(spark):
+    """q146: presence can't exceed one occurrence per event (flat JSON),
+    so presence_ppm <= 1e6 and n_present <= n_events."""
+    got = _run(spark, "q146_props_key_profile")
+    assert (got["n_present"] <= got["n_events"]).all()
+    assert (got["presence_ppm"] <= 1_000_000).all()
+
+
+def test_lang_confusion_diagonal_dominates(spark):
+    """q147: the matrix totals equal the corpus, and q24's measured
+    agreement rate equals the diagonal share."""
+    import pandas as pd
+
+    got = _run(spark, "q147_lang_id_confusion")
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    assert int(got["n_docs"].sum()) == len(docs)
+    q24 = _run(spark, "q24_lang_id")
+    diag = got[got["labeled_lang"] == got["predicted_lang"]]["n_docs"].sum()
+    assert int(diag) == int(q24["agree"].sum())
+
+
+def test_triplet_margin_consistent_with_hard_negatives(spark):
+    """q135: each anchor's negative side must equal q101's rank-1 hard
+    negative (same scorer, same tie-break)."""
+    got = _run(spark, "q135_triplet_mining").set_index("query_id")
+    q101 = _run(spark, "q101_hard_negative_mining")
+    top1 = q101[q101["rank"] == 1].set_index("query_id")
+    for qid in got.index:
+        assert int(got.loc[qid]["negative_id"]) == int(top1.loc[qid]["neighbor_id"])
+        assert got.loc[qid]["neg_cosine"] == top1.loc[qid]["cosine"]
