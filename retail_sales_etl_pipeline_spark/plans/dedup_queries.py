@@ -1500,3 +1500,48 @@ def q139_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# Component-keyed splitting uses its own salt pair (q58 convention).
+CSPLIT_A, CSPLIT_B = 439_759_219, 886_731_089
+
+
+@register(
+    "q153_component_keyed_split",
+    # The component relation is q60's oracle verbatim (the same splice as
+    # q117/q139): the split is keyed on exactly the clustering it must
+    # respect.
+    oracle=f"""
+    WITH comp AS ({_registered_oracle("q60_neardup_components")})
+    SELECT doc_id, component_id,
+           CASE WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                     < {80} THEN 'train'
+                WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                     < {90} THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+    doc="Component-keyed train/val/test split — the fix q139's leakage "
+    "audit motivates: the split decision hashes the near-dup COMPONENT "
+    "id (q60's clustering, oracle spliced verbatim), not the document, "
+    "so every member of a duplicate cluster lands in the same split and "
+    "cross-split near-dup leakage is ZERO BY CONSTRUCTION (asserted in "
+    "tests), not merely measured small. Per-doc hashing (q58) remains "
+    "correct for sampling; splitting must be component-keyed whenever "
+    "eval integrity matters. Scale shape: the CC cost is already paid "
+    "by the dedup pipeline; the split itself is a map-side affine "
+    "transform of the component id — singleton components (the ~99%) "
+    "behave exactly like per-doc hashing.",
+    tags=("dedup", "eval", "sampling", "iterative"),
+)
+def q153_component_keyed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q60_neardup_components(spark, sf_dir)
+    slot = (F.lit(CSPLIT_A) * F.col("component_id") + F.lit(CSPLIT_B)) % 100
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.when(slot < 80, "train")
+        .when(slot < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -339,3 +339,15 @@ def test_triplet_margin_consistent_with_hard_negatives(spark):
     for qid in got.index:
         assert int(got.loc[qid]["negative_id"]) == int(top1.loc[qid]["neighbor_id"])
         assert got.loc[qid]["neg_cosine"] == top1.loc[qid]["cosine"]
+
+
+def test_component_split_has_zero_cross_split_leakage(spark):
+    """q153: by construction, no verified near-dup pair may straddle two
+    splits — every component travels together (contrast q139, which
+    measures the leakage per-doc hashing allows)."""
+    split = _run(spark, "q153_component_keyed_split")
+    by_comp = split.groupby("component_id")["split"].nunique()
+    assert (by_comp == 1).all()
+    # and the multi-doc components genuinely exercise the property
+    sizes = split.groupby("component_id").size()
+    assert (sizes > 1).any()
