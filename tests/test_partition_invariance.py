@@ -44,6 +44,15 @@ SENSITIVE = [
     "q116_quantile_binning",
     "q118_cooccurrence_pmi",
     "q119_min_k_group_sample",
+    # later round-4 waves: data-dependent top-1 merge (q132), top-1 windows
+    # joined (q135), top-k with stats broadcast (q143), day-grain running
+    # sum (q148), rank/cume windows (q152), iterative CC + hash split (q153)
+    "q132_bpe_second_merge",
+    "q135_triplet_mining",
+    "q143_join_key_skew",
+    "q148_session_concurrency",
+    "q152_balance_percentiles",
+    "q153_component_keyed_split",
 ]
 
 
