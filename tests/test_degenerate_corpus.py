@@ -109,3 +109,45 @@ def test_curation_survives_degenerate_corpus(spark, degenerate_sf_dir):
     out = REGISTRY["q29_corpus_curation"].spark_fn(spark, degenerate_sf_dir).collect()
     assert len(out) == 1
     assert out[0]["doc_id"] == 0
+
+
+def test_novelty_all_zero_and_bounded_on_identical_corpus(spark, degenerate_sf_dir):
+    """q121 on 400 identical docs: every shingle's df is 400, so novelty
+    is zero everywhere — and the per-shingle doc list (the fold the
+    single-pass form carries) stays shingles-per-doc x N, completing
+    without incident."""
+    out = (
+        REGISTRY["q121_ngram_novelty"]
+        .spark_fn(spark, degenerate_sf_dir)
+        .collect()
+    )
+    assert len(out) == N_DOCS
+    assert all(r.n_novel == 0 and r.novelty_ppm == 0 for r in out)
+
+
+def test_sparse_similarity_df_cap_kills_degenerate_postings(spark, degenerate_sf_dir):
+    """q127 on identical docs: every term's df (400) exceeds the cap, so
+    the posting self-join generates ZERO pairs — the cap turning a
+    would-be 80k-pair quadratic into an empty result, loudly visible."""
+    out = (
+        REGISTRY["q127_sparse_tfidf_similarity"]
+        .spark_fn(spark, degenerate_sf_dir)
+        .collect()
+    )
+    assert out == []
+
+
+def test_component_split_survives_identical_corpus(spark, degenerate_sf_dir):
+    """q153 on identical docs: the capped candidate graph still yields a
+    valid clustering (CC converges) and every component maps to exactly
+    one split."""
+    rows = (
+        REGISTRY["q153_component_keyed_split"]
+        .spark_fn(spark, degenerate_sf_dir)
+        .collect()
+    )
+    assert len(rows) == N_DOCS
+    comp_splits = {}
+    for r in rows:
+        comp_splits.setdefault(r.component_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in comp_splits.values())
