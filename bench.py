@@ -58,6 +58,16 @@ def main() -> None:
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
+    # Queries tagged 'slow-twin' are deliberate anti-pattern demos kept
+    # only to pin hash-identity against their scalable twins (e.g. q154,
+    # the per-group applyInPandas form of q55/q83). They are NOT plans
+    # anyone should ship, so they are excluded from the benched set — the
+    # total measures the engine's recommended plans.
+    skipped = sorted(n for n, q in registry.items() if "slow-twin" in q.tags)
+    for n in skipped:
+        print(f"skip (slow-twin, identity-only): {n}", file=sys.stderr)
+        del registry[n]
+
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
         best = float("inf")

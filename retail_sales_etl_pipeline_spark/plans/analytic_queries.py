@@ -488,29 +488,41 @@ _PROFILE_COLS = [
     doc="One-statement table profile (the ANALYZE/data-quality summary): "
     "per column, null count, exact distinct count, and min/max rendered "
     "as strings — the stats sheet every ingest gate and query planner "
-    "wants, over all columns in one submitted job. Spark computes the "
-    "six per-column branches from ONE cached scan with partial-agg "
-    "pushdown per branch; exact COUNT(DISTINCT) is the honest audit "
-    "form (swap approx_count_distinct for the sketch form at 100 TB — "
-    "same plan, mergeable, see q82's pattern). Timestamps/decimals "
-    "render through ISO/fixed-scale strings so both engines hash "
-    "identically.",
+    "wants, over all columns in one submitted job. Spark computes ALL "
+    "six columns' stats in a single aggregate over ONE scan (24 "
+    "aggregate expressions in one pass; the multiple exact "
+    "COUNT(DISTINCT)s plan through one Expand — a bounded 6x row "
+    "fan-out inside the same stage, still one read of the table), then "
+    "unpivots the single stats row with stack(); exact COUNT(DISTINCT) "
+    "is the honest audit form (swap approx_count_distinct for the "
+    "sketch form at 100 TB — same plan, mergeable, and the Expand "
+    "disappears, see q82's pattern). Timestamps/decimals render "
+    "through ISO/fixed-scale strings so both engines hash identically.",
     tags=("governance", "profiling", "aggregate"),
 )
 def q124_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    out = None
+    aggs = []
     for c in _PROFILE_COLS:
-        branch = orders.agg(
-            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias("n_null"),
-            F.countDistinct(c).cast("long").alias("n_distinct"),
-            F.min(c).cast("string").alias("min_str"),
-            F.max(c).cast("string").alias("max_str"),
-        ).select(
-            F.lit(c).alias("col_name"), "n_null", "n_distinct", "min_str", "max_str"
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1))
+            .cast("long")
+            .alias(f"{c}__n_null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_str"),
+            F.max(c).cast("string").alias(f"{c}__max_str"),
+        ]
+    row = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min_str, {c}__max_str"
+        for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_str, max_str)"
         )
-        out = branch if out is None else out.unionByName(branch)
-    return out
+    )
 
 
 RARE_MIN_COUNT = 15

@@ -1112,8 +1112,10 @@ _PERTURB_DUCK = (
     FROM probe GROUP BY len_bucket
     """,
     doc="LSH recall probe with PLANTED near-duplicates: every 10th "
-    "document gets a twin with its last 2 tokens dropped, planted into "
-    "the corpus under an offset id; the production MinHash-LSH candidate "
+    "document gets a twin with every 4th token dropped (damage spread "
+    "through the whole document, trigram overlap ~1/2 — hard enough "
+    "that banding loss shows), planted into the corpus under an offset "
+    "id; the production MinHash-LSH candidate "
     "generator (q22's plan — caps, banding and all) runs over "
     "corpus+planted, and recall = the fraction of planted (orig, twin) "
     "pairs it recovers, bucketed by document length (banding recall "

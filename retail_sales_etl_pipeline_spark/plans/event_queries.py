@@ -252,44 +252,34 @@ def binned_attribution_counts(
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id
     """,
-    doc="Grouped-map operator (applyInPandas): per-user inter-event gap "
-    "stats, each user's full history delivered to one pandas function as "
-    "a sorted group — the API shape for per-entity feature engineering "
-    "that windowed SQL can't express cleanly (here median keeps it "
-    "oracle-checkable; real uses fit per-user models or embeddings). One "
-    "shuffle on user_id; group size is bounded by per-user history. "
-    "Median of an even count is the midpoint mean in both numpy and "
-    "DuckDB, and gaps are exact integer micros, so parity is exact.",
-    tags=("events", "pandas-udf"),
+    doc="Per-user inter-event gap stats — the CANONICAL all-JVM plan: "
+    "lag window over (user_id sort ts, event_id) for microsecond-exact "
+    "gaps, then one keyed aggregate with Spark's exact median. One "
+    "shuffle on user_id, whole-stage codegen end to end, zero Python — "
+    "the plan to copy for per-entity features that SQL CAN express. "
+    "The same semantics through the pandas APIs exist as deliberate "
+    "twins: q83 (batched mapInPandas, the scalable shape when per-group "
+    "Python is genuinely needed) and q154 (per-group applyInPandas, the "
+    "slow-twin demo of why one Python call per small group does not "
+    "scale — excluded from the bench total). Median of an even count is "
+    "the midpoint mean in Spark, numpy and DuckDB, and gaps are exact "
+    "integer micros, so parity is exact.",
+    tags=("events", "window"),
 )
 def q55_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-
-    def per_user(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values(["ts", "event_id"])
-        us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
-        gaps = np.diff(us)
-        if len(gaps) == 0:
-            return pd.DataFrame(
-                columns=["user_id", "n_gaps", "min_gap_us", "max_gap_us", "median_gap_us"]
-            )
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_gaps": [len(gaps)],
-                "min_gap_us": [int(gaps.min())],
-                "max_gap_us": [int(gaps.max())],
-                "median_gap_us": [float(np.median(gaps))],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        per_user,
-        "user_id long, n_gaps long, min_gap_us long, max_gap_us long, "
-        "median_gap_us double",
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.median("gap_us").alias("median_gap_us"),
     )
 
 
@@ -343,57 +333,144 @@ def q53_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     doc="q55's semantics through the BATCHED grouped-map shape: "
-    "repartition on user_id, then ONE mapInPandas call per Arrow batch "
-    "with a pandas groupby inside — versus applyInPandas's one Python "
-    "call per group. With many small groups the per-call overhead "
-    "dominates applyInPandas (bench shows the gap at sf0.1); the batched "
-    "form pays it once per partition. Same shuffle (hash on user_id "
-    "guarantees group locality), same results bit-for-bit (identical "
-    "oracle as q55) — the two shapes are the documented trade: "
-    "applyInPandas when per-group state must be a whole DataFrame, "
-    "batched mapInPandas for small-group fan-out.",
+    "repartition on user_id + sortWithinPartitions, then ONE mapInPandas "
+    "call per Arrow batch with a carry of the trailing (possibly "
+    "incomplete) user across batch boundaries — versus applyInPandas's "
+    "one Python call per group (q154). With many small groups the "
+    "per-call overhead dominates applyInPandas; the batched form pays "
+    "it once per Arrow batch. The within-partition SORT is load-bearing "
+    "for scale correctness: hash partitioning guarantees a user's rows "
+    "share a partition but NOT an Arrow batch (default 10k rows/batch — "
+    "any partition bigger than that splits, and an unsorted stream can "
+    "interleave a user across non-adjacent batches, silently splitting "
+    "their stats; invisible at sf<=0.1 where partitions fit one batch, "
+    "guaranteed at sf1+). Sorted + carried, memory is one batch plus "
+    "one user's history, never the whole partition. Same results "
+    "bit-for-bit (identical oracle as q55) — the documented trade: "
+    "batched mapInPandas for small-group fan-out, applyInPandas only "
+    "when per-group state must be a whole DataFrame.",
     tags=("events", "pandas-udf", "perf-twin"),
 )
 def q83_user_gap_stats_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
 
-    def per_batch(batches):
+    def stats_of(pdf):
         import numpy as np
+
+        # rows arrive sorted by (user_id, ts, event_id); users contiguous
+        us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        uid = pdf["user_id"].to_numpy()
+        rows = []
+        start = 0
+        n = len(pdf)
+        for i in range(1, n + 1):
+            if i == n or uid[i] != uid[start]:
+                gaps = np.diff(us[start:i])
+                if len(gaps):
+                    rows.append(
+                        {
+                            "user_id": int(uid[start]),
+                            "n_gaps": len(gaps),
+                            "min_gap_us": int(gaps.min()),
+                            "max_gap_us": int(gaps.max()),
+                            "median_gap_us": float(np.median(gaps)),
+                        }
+                    )
+                start = i
+        return rows
+
+    cols = ["user_id", "n_gaps", "min_gap_us", "max_gap_us", "median_gap_us"]
+
+    def per_batch(batches):
         import pandas as pd
 
+        carry = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-            us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
-            uid = pdf["user_id"].to_numpy()
-            rows = []
-            start = 0
-            n = len(pdf)
-            for i in range(1, n + 1):
-                if i == n or uid[i] != uid[start]:
-                    gaps = np.diff(us[start:i])
-                    if len(gaps):
-                        rows.append(
-                            {
-                                "user_id": int(uid[start]),
-                                "n_gaps": len(gaps),
-                                "min_gap_us": int(gaps.min()),
-                                "max_gap_us": int(gaps.max()),
-                                "median_gap_us": float(np.median(gaps)),
-                            }
-                        )
-                    start = i
-            yield pd.DataFrame(
-                rows,
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the last user: their rows may continue in the
+            # next batch of this (sorted) partition stream
+            last_uid = pdf["user_id"].iloc[-1]
+            mask = pdf["user_id"].to_numpy() == last_uid
+            carry = pdf[mask]
+            emit = pdf[~mask]
+            if not emit.empty:
+                yield pd.DataFrame(stats_of(emit), columns=cols)
+        if carry is not None and not carry.empty:
+            yield pd.DataFrame(stats_of(carry), columns=cols)
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            per_batch,
+            "user_id long, n_gaps long, min_gap_us long, max_gap_us long, "
+            "median_gap_us double",
+        )
+    )
+
+
+@register(
+    "q154_user_gap_stats_grouped",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           median(gap_us) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="q55's semantics through per-group applyInPandas — kept as the "
+    "SLOW TWIN and deliberately excluded from the bench total (tag "
+    "'slow-twin'): one Python roundtrip per user means per-call "
+    "overhead dominates when groups are small and numerous (10x slower "
+    "than q83's batched form at sf0.1, and the gap widens with user "
+    "count). It exists to pin the hash-identity of the three shapes "
+    "(q55 all-JVM, q83 batched, q154 grouped) and to document WHEN the "
+    "grouped-map API is right: per-group state that must be a whole "
+    "DataFrame (model fits, per-entity embeddings), groups large enough "
+    "that per-call overhead amortizes. Copy q55 or q83, not this.",
+    tags=("events", "pandas-udf", "slow-twin"),
+)
+def q154_user_gap_stats_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def per_user(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        gaps = np.diff(us)
+        if len(gaps) == 0:
+            return pd.DataFrame(
                 columns=[
                     "user_id", "n_gaps", "min_gap_us", "max_gap_us",
                     "median_gap_us",
-                ],
+                ]
             )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "min_gap_us": [int(gaps.min())],
+                "max_gap_us": [int(gaps.max())],
+                "median_gap_us": [float(np.median(gaps))],
+            }
+        )
 
-    return ev.repartition("user_id").mapInPandas(
-        per_batch,
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
         "user_id long, n_gaps long, min_gap_us long, max_gap_us long, "
         "median_gap_us double",
     )
@@ -1153,7 +1230,17 @@ def q137_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Arm assignment: Lehmer-style affine map modulo a Mersenne prime,
+# thresholded at half. An affine transform taken mod 2 is a trap — with
+# both salts odd it reduces to (user_id + 1) % 2, pure id parity, which
+# correlates with sequential allocation and sharded id ranges. Mod a
+# LARGE PRIME the map u -> (A*u + B) mod P is a bijection whose orbit
+# equidistributes over [0, P); thresholding at P/2 splits arms ~50/50
+# with no dependence on any low-order-bit structure of user_id. user_id
+# is reduced mod P first so (P-1)*A stays inside int64 on both engines.
 AB_SALT_A, AB_SALT_B = 354_817_327, 777_767_777
+AB_PRIME = 2_147_483_647  # 2^31 - 1
+AB_HALF = (AB_PRIME + 1) // 2
 
 
 @register(
@@ -1161,7 +1248,9 @@ AB_SALT_A, AB_SALT_B = 354_817_327, 777_767_777
     oracle=f"""
     WITH users AS (
       SELECT user_id,
-             ({AB_SALT_A} * user_id + {AB_SALT_B}) % 2 AS arm,
+             CASE WHEN ({AB_SALT_A} * (user_id % {AB_PRIME}) + {AB_SALT_B})
+                       % {AB_PRIME} >= {AB_HALF}
+                  THEN 1 ELSE 0 END AS arm,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  AS converted
       FROM events GROUP BY user_id
@@ -1174,27 +1263,31 @@ AB_SALT_A, AB_SALT_B = 354_817_327, 777_767_777
     FROM users GROUP BY arm
     """,
     doc="A/B experiment readout with deterministic hash randomization: "
-    "users assigned to arms by a salted affine transform of user_id "
+    "users assigned to arms by a salted Lehmer map of user_id — affine "
+    "transform modulo the Mersenne prime 2^31-1, thresholded at half "
     "(the production assignment rule — stable across sessions and "
-    "re-runs, uncorrelated with any user attribute, and auditable: "
-    "re-running the query reproduces the exact assignment), per-arm "
-    "converter counts and conversion rate in exact integer ppm. The "
-    "readout every experimentation pipeline computes; significance "
-    "testing consumes these four integers directly. Scale shape: one "
-    "user-grain aggregate (partial max over the purchase flag), then a "
-    "2-row arm rollup — events are scanned once, never joined.",
+    "re-runs, and auditable: re-running the query reproduces the exact "
+    "assignment; the mod-prime bijection equidistributes, so the split "
+    "does not inherit id parity or shard structure the way any mod-2 "
+    "affine rule would), per-arm converter counts and conversion rate "
+    "in exact integer ppm. The readout every experimentation pipeline "
+    "computes; significance testing consumes these four integers "
+    "directly. Scale shape: one user-grain aggregate (partial max over "
+    "the purchase flag), then a 2-row arm rollup — events are scanned "
+    "once, never joined.",
     tags=("events", "analytics", "sampling"),
 )
 def q142_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.lit(AB_SALT_A) * (F.col("user_id") % AB_PRIME) + F.lit(AB_SALT_B)
+    ) % AB_PRIME
     users = ev.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted")
     ).select(
-        ((F.lit(AB_SALT_A) * F.col("user_id") + F.lit(AB_SALT_B)) % 2)
-        .cast("int")
-        .alias("arm"),
+        F.when(h >= AB_HALF, 1).otherwise(0).cast("int").alias("arm"),
         "converted",
     )
     return users.groupBy("arm").agg(

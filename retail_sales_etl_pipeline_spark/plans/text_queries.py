@@ -417,26 +417,72 @@ def q82_source_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
+# Micro-nat fixed point (the q105 integer-micro-unit pattern applied to a
+# log statistic): per-token surprisal ln(N/cnt) is carried as
+# L(N) - L(cnt) where L(x) = floor(ln(x)*1e6 + 0.5), an integer
+# micro-nat. Why this is hash-safe across engines: L is applied only to
+# the ~vocab-many DISTINCT integer count values; Spark's Math.log and
+# DuckDB's ln differ by at most 1 ulp (~2e-9 micro-nats at these
+# magnitudes), so the floor can only disagree when 1e6*ln(cnt) sits
+# within 1 ulp of a .5 boundary — measured minimum distance on the test
+# corpora is 0.005 micro-nats (6 orders of magnitude of headroom), and
+# the per-value collision probability at any corpus is ~4e-9. All
+# downstream arithmetic (per-token difference, per-doc sum, integer-div
+# mean) is exact int64 and order-independent on both engines.
+_LN_MICRO_SPARK = lambda c: F.floor(  # noqa: E731
+    F.log(F.col(c).cast("double")) * 1e6 + F.lit(0.5)
+).cast("long")
+
+
 @register(
     "q88_unigram_surprisal",
-    # Transcendental (ln) -> rows-only by design, like q72/q73: a bit-exact
-    # cross-engine hash on log values would be dishonest. Value agreement
-    # is pinned at rtol=1e-12 in tests/test_minhash_estimate.py's sibling
-    # (tests/test_surprisal.py) against DuckDB's own ln().
-    oracle=None,
-    doc="Per-document mean unigram surprisal in nats: mean over tokens of "
-    "ln(N_corpus_tokens / corpus_count(token)) — the cross-entropy of the "
-    "document under the corpus unigram MLE. Out-of-distribution or "
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    total AS (
+      SELECT CAST(FLOOR(ln(CAST(SUM(cnt) AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS l_total
+      FROM counts
+    ),
+    model AS (
+      SELECT token,
+             CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS l_cnt
+      FROM counts
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tt.l_total - m.l_cnt) AS BIGINT)
+               AS sum_surprisal_micronat,
+           CAST(SUM(tt.l_total - m.l_cnt) // COUNT(*) AS BIGINT)
+               AS mean_surprisal_micronat
+    FROM tok t JOIN model m ON m.token = t.token CROSS JOIN total tt
+    GROUP BY t.doc_id
+    """,
+    doc="Per-document mean unigram surprisal in integer MICRO-NATS: mean "
+    "over tokens of ln(N_corpus_tokens / corpus_count(token)) — the "
+    "cross-entropy of the document under the corpus unigram MLE, held "
+    "in fixed point (1e-6 nat) so per-doc sums are order-independent "
+    "int64 and both engines agree bit-for-bit (the q105 micro-unit "
+    "pattern; ln is applied only to the vocab-many distinct counts, "
+    "where a 1-ulp engine difference is ~2e-9 micro-nats — see the "
+    "module comment for the boundary analysis). Out-of-distribution or "
     "rare-token documents score high, degenerate/repetitive ones score "
-    "low; quality pipelines band on this next to q25's surface stats and "
-    "q65's repetition rules (the unigram stand-in for CCNet's KenLM "
+    "low; quality pipelines band on this next to q25's surface stats "
+    "and q65's repetition rules (the unigram stand-in for CCNet's KenLM "
     "perplexity filter — same plan, heavier model, when an LM table is "
     "available). Scale shape: token counts are a two-stage agg; the "
-    "(token -> count) model is vocab-sized and joins the token stream on "
-    "the token key (AQE broadcasts it when it fits); the corpus total is "
-    "one broadcast scalar; the per-doc rollup is one keyed agg. With a "
-    "REAL n-gram LM the model table is still the small side — the plan "
-    "does not change, only the join key (n-gram) and the lookup table.",
+    "(token -> micro-nat) model is vocab-sized and joins the token "
+    "stream on the token key (AQE broadcasts it when it fits); the "
+    "corpus total is one broadcast scalar; the per-doc rollup is one "
+    "keyed agg. With a REAL n-gram LM the model table is still the "
+    "small side — the plan does not change, only the join key (n-gram) "
+    "and the lookup table.",
     tags=("text", "quality", "log-form"),
 )
 def q88_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,18 +491,21 @@ def q88_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").cast("double").alias("n_total"))
+    model = counts.select("token", _LN_MICRO_SPARK("cnt").alias("l_cnt"))
+    total = counts.agg(F.sum("cnt").alias("cnt")).select(
+        _LN_MICRO_SPARK("cnt").alias("l_total")
+    )
     scored = (
-        tok.join(counts, "token")
+        tok.join(model, "token")
         .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.log(F.col("n_total") / F.col("cnt")).alias("surprisal"),
-        )
+        .select("doc_id", (F.col("l_total") - F.col("l_cnt")).alias("s_micro"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.avg("surprisal").alias("mean_surprisal_nats"),
+        F.sum("s_micro").cast("long").alias("sum_surprisal_micronat"),
+        F.expr("CAST(sum(s_micro) div count(1) AS LONG)").alias(
+            "mean_surprisal_micronat"
+        ),
     )
 
 
@@ -612,9 +661,14 @@ _NOV_SPARK, _NOV_DUCK = token_ngrams_expr("text", NOVELTY_N)
     "corpus estimates how much of a candidate doc is already memorized. "
     "Scale shape: the q63 decontamination inverted index turned on the "
     "corpus itself — shingle explode (map-side), df aggregate on the "
-    "shingle key, one co-partitioned join back, one doc aggregate; "
-    "shuffles carry shingle strings, never doc pairs. Ratios exact "
-    "integer ppm.",
+    "shingle key carrying only a count and a min(doc_id) scalar (a df=1 "
+    "shingle's min IS its sole owner, so novel counts need no doc list "
+    "— a collect_list fold would make any boilerplate shingle with "
+    "df in the millions an executor-OOM hot bucket at corpus scale), "
+    "one doc-grain aggregate per side, one doc-grain equi-join; "
+    "shuffles carry shingle strings once and doc-grain scalars, never "
+    "doc pairs and never per-shingle doc lists. Ratios exact integer "
+    "ppm.",
     tags=("text", "dedup", "profiling"),
 )
 def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,28 +682,37 @@ def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= NOVELTY_N
     )
     shingles = token_shingles_pandas(docs, NOVELTY_N).select("doc_id", "g")
-    # Single pass: fold the doc list into the df aggregate and explode it
-    # back, instead of joining the shingle stream against its own df table
-    # (which executes the shingle subtree twice — measured 1.4x slower at
-    # sf0.1 even with the Arrow twin). The list is bounded by each
-    # shingle's df, and 5-gram df is near-dup-family-sized by nature
-    # (max 4 at sf0.1) — never a hot-bucket hazard like unigrams.
-    per_g = shingles.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.collect_list("doc_id").alias("docs"),
+    # Per-doc denominators: shingles are distinct within a doc, so
+    # n_shingles is one doc-keyed count over the shingle stream.
+    per_doc = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
-    exploded = per_g.select(
-        "df", F.explode("docs").alias("doc_id")
+    # Novel numerators WITHOUT materializing doc lists: aggregate df and
+    # min(doc_id) per shingle — bounded state per group no matter how hot
+    # the shingle — then keep only df=1 groups, whose min(doc_id) is
+    # exactly the one document owning the shingle. df>1 shingles
+    # contribute 0 novelty by definition, so dropping them loses nothing.
+    novel = (
+        shingles.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
-    return exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_novel"),
-        F.expr(
-            "CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)"
-            " div count(1) AS LONG)"
-        ).alias("novelty_ppm"),
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST((coalesce(n_novel, 0) * 1000000)"
+                " div n_shingles AS LONG)"
+            ).alias("novelty_ppm"),
+        )
     )
 
 
@@ -703,7 +766,7 @@ MAD_K = 3  # flag docs beyond 3 MADs from their source's median
     "from the source median — the outlier rule that survives the very "
     "outliers it hunts (mean/std, q109's rule, gets dragged by a single "
     "giant doc; median/MAD has a 50% breakdown point — the right tool "
-    "for длина-skewed web sources). Both the median and the MAD use the "
+    "for length-skewed web sources). Both the median and the MAD use the "
     "exact lower-median rank convention (q78), so every quantity is an "
     "integer and the flag decision has no float boundary. Scale shape: "
     "two rank windows on the SAME source partitioning (one exchange, "

@@ -5,10 +5,13 @@ q87 is hash-checked by the DuckDB oracle; here numpy independently
 recomputes assignment, ranking, and the prune flag (a third
 implementation, so a shared dialect quirk can't hide).
 
-q88 is registered rows-only (ln() is transcendental — cross-engine
-bit-hashing logs would be dishonest, same policy as q72/q73); this test
-recomputes the scores in DuckDB with its own ln() and asserts rtol=1e-12
-agreement, plus the semantic properties banding relies on.
+q88 is hash-checked by its DuckDB oracle in integer micro-nat fixed
+point (the q105 pattern); this test independently recomputes the TRUE
+float log-loss in DuckDB with its own ln() and asserts the fixed-point
+mean sits within the provable rounding bound (per-token quantization
+<= 1e-6 nat for each of the two L() terms, plus <= 1e-6 integer-div
+truncation of the mean => atol 3e-6 nat), plus the semantic properties
+banding relies on.
 """
 
 from __future__ import annotations
@@ -73,7 +76,7 @@ def test_prototypicality_matches_numpy(spark):
 
 def test_unigram_surprisal_matches_duckdb_ln(spark):
     got = {
-        r.doc_id: (r.n_tokens, r.mean_surprisal_nats)
+        r.doc_id: (r.n_tokens, r.mean_surprisal_micronat / 1e6)
         for r in q88_unigram_surprisal(spark, SF).collect()
     }
     con = duckdb.connect()
@@ -99,7 +102,7 @@ def test_unigram_surprisal_matches_duckdb_ln(spark):
     for did, (n, s) in want.items():
         gn, gs = got[did]
         assert gn == n
-        assert gs == pytest.approx(s, rel=1e-12)
+        assert gs == pytest.approx(s, abs=3e-6)
 
     # semantic sanity: surprisal is positive and bounded by the rarest
     # token's surprisal; a doc made of the most common token would sit at
