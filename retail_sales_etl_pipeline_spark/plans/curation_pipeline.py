@@ -72,10 +72,25 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
     # re-execution of the verify join.
     near_drop = exact_survivors - final_docs
 
+    # Components materialized ONCE as a numbered stage (the q155 shape):
+    # every downstream consumer — size histogram, component-keyed split,
+    # leakage audit, drop lists — reads this parquet instead of re-running
+    # the LSH -> verify -> CC ladder. The split frame is written next to
+    # the corpus so trainers consume it directly.
+    from .dedup_queries import component_rollup, materialize_components
+
+    comp_path = materialize_components(spark, sf_dir, stages_dir)
+    comp = spark.read.parquet(comp_path)
+    rollup = component_rollup(comp)
+    rollup.write.mode("overwrite").parquet(fs.join(out_dir, "splits"))
+    n_comp_docs = comp.count()
+    n_components = comp.select("component_id").distinct().count()
+
     metrics = [
         StageMetric("quality_exact_dedup", raw_docs, exact_survivors),
         StageMetric("lsh_candidates", exact_survivors, lsh_candidates),
         StageMetric("neardup_verify_drop", exact_survivors, final_docs),
+        StageMetric("neardup_components", n_comp_docs, n_components),
     ]
     run_id = metadata.log_pipeline_run(
         spark,

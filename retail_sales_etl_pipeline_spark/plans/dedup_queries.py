@@ -1547,3 +1547,85 @@ def q153_component_keyed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialize-once component reuse — the production shape for the CC family.
+# q60/q117/q139/q153 are self-contained registry entries, which means each
+# recomputes the LSH -> verify -> connected-components ladder from scratch;
+# fine for an oracle-checked catalog, wrong for a 100 TB pipeline, where
+# components are computed ONCE per corpus snapshot and every consumer
+# (histogram, split, leakage audit, dedup drop list) reads the parquet.
+# ---------------------------------------------------------------------------
+
+
+def materialize_components(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Run q60's verified-near-dup connected components ONCE and write the
+    (doc_id, component_id) frame as parquet under ``out_dir``; returns the
+    path. The write is the lineage checkpoint: every downstream consumer
+    replays a columnar scan, not the MinHash/Jaccard/iteration ladder."""
+    from ..sources import fs
+
+    path = fs.join(out_dir, "components")
+    q60_neardup_components(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def component_rollup(comp: DataFrame) -> DataFrame:
+    """Derive the whole CC consumer family from one scan of a materialized
+    component frame: member-level cluster sizes (q117's histogram is one
+    aggregate away) and the component-keyed split (q153's rule, salts
+    spliced verbatim). One shuffle on component_id (the window); the split
+    is a map-side affine transform."""
+    size_w = Window.partitionBy("component_id")
+    slot = (F.lit(CSPLIT_A) * F.col("component_id") + F.lit(CSPLIT_B)) % 100
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+        F.when(slot < 80, "train")
+        .when(slot < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q155_component_reuse_rollup",
+    oracle=f"""
+    WITH comp AS ({_registered_oracle("q60_neardup_components")})
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS cluster_size,
+           CASE WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                     < 80 THEN 'train'
+                WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                     < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+    doc="Materialize-once component reuse — the PRODUCTION composition "
+    "for the connected-components family: q60's clustering is computed "
+    "ONCE, written as parquet, and the consumer family derives from "
+    "that one scan (member-level cluster sizes = q117's histogram one "
+    "aggregate away; the component-keyed split = q153's rule, same "
+    "salts). The self-contained entries q60/q117/q139/q153 each rerun "
+    "the LSH->verify->CC ladder — correct, but at corpus scale the "
+    "ladder runs once per snapshot and everything downstream reads the "
+    "checkpoint; this entry IS that shape, and its oracle (q60's "
+    "recursive twin + window + split case) proves the materialize/"
+    "read-back round trip loses nothing. tests/test_component_reuse.py "
+    "additionally pins derived == self-contained for all three "
+    "consumers, and the curation driver materializes the same frame as "
+    "a numbered stage. Scale shape: the CC cost is paid once; the "
+    "rollup is one component_id window over a two-column parquet.",
+    tags=("dedup", "graph", "iterative", "composition"),
+)
+def q155_component_reuse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="cc_reuse_")
+    path = materialize_components(spark, sf_dir, out_dir)
+    return component_rollup(spark.read.parquet(path))

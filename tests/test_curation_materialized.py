@@ -65,6 +65,7 @@ def test_curation_pipeline_driver(spark, tmp_path):
     metrics = spark.read.parquet(f"{out}/stage_metrics").collect()
     assert {m["stage_name"] for m in metrics} == {
         "quality_exact_dedup", "lsh_candidates", "neardup_verify_drop",
+        "neardup_components",
     }
     by_name = {m["stage_name"]: m for m in metrics}
     assert by_name["quality_exact_dedup"]["rows_after"] == res.exact_survivors

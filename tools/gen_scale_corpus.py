@@ -1,0 +1,166 @@
+"""Deterministic scale-corpus generator for the round's big-run evidence.
+
+The registry's scale claims (banded dedup, O(log n) connected components,
+probe-bounded ANN, single-shuffle aggregates) are proven by plan shape at
+sf0.1 but had never been EXECUTED above ~600K rows. This tool generates
+`documents` / `embeddings` / `events` tables with the same distribution
+family as the driver's testdata (vocab and word frequencies measured from
+/root/testdata/sf0.1, same doc-length range, lang/source mixes, cluster
+count, event-type mix) at 1x / 10x / 100x the sf0.1 density — the 1x copy
+exists so scaling ratios compare generator-identical distributions and a
+driver-vs-generator mismatch can't masquerade as super-linear growth.
+
+Dup structure is planted deterministically, scale-proportionally:
+  - 0.2% of docs get one EXACT duplicate (offset id)
+  - 4% of docs get one NEAR-DUP twin (every 4th token dropped — q112's
+    perturbation, trigram overlap ~1/2)
+so the dedup ladder, LSH banding, and CC families have real work whose
+size grows linearly with the corpus.
+
+Usage: python tools/gen_scale_corpus.py [outroot]   (default ./bigdata)
+Writes {outroot}/gen{1,10,100}x/{documents,embeddings,events}.parquet.
+Everything is seeded — two runs produce byte-identical tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF01 = "/root/testdata/sf0.1"
+BASE_DOCS, BASE_VECS, BASE_EVENTS, BASE_USERS = 5_000, 2_000, 100_000, 1_500
+EXACT_DUP_FRAC, NEAR_DUP_FRAC = 0.002, 0.04
+SEED = 20_240_814
+
+
+def _measured_vocab() -> tuple[list[str], np.ndarray]:
+    """Vocabulary and word-frequency weights measured from the driver's
+    sf0.1 corpus — the generated text is the same unigram family."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT t, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS t
+          FROM read_parquet('{SF01}/documents.parquet')
+        ) GROUP BY t ORDER BY t
+        """
+    ).fetchall()
+    words = [r[0] for r in rows]
+    w = np.array([r[1] for r in rows], dtype=np.float64)
+    return words, w / w.sum()
+
+
+def gen_documents(mult: int, words: list[str], weights: np.ndarray):
+    rng = np.random.default_rng(SEED)
+    n = BASE_DOCS * mult
+    lens = rng.integers(10, 101, size=n)
+    langs = np.array(["en", "zh", "es", "fr", "de"])
+    lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+    lang = rng.choice(langs, size=n, p=lang_p)
+    source = np.array([f"src{i % 20}" for i in range(n)])
+    word_arr = np.array(words)
+    texts = [
+        " ".join(word_arr[rng.choice(len(words), size=m, p=weights)])
+        for m in lens
+    ]
+    doc_id = list(range(n))
+    # planted exact duplicates: ids offset past the organic range
+    n_exact = int(n * EXACT_DUP_FRAC)
+    exact_src = rng.choice(n, size=n_exact, replace=False)
+    # planted near-dup twins: every 4th token dropped (q112's perturbation)
+    n_near = int(n * NEAR_DUP_FRAC)
+    near_src = rng.choice(n, size=n_near, replace=False)
+    for k, s in enumerate(exact_src):
+        doc_id.append(n + k)
+        texts.append(texts[s])
+    for k, s in enumerate(near_src):
+        doc_id.append(n + n_exact + k)
+        toks = texts[s].split(" ")
+        texts.append(" ".join(t for i, t in enumerate(toks) if (i + 1) % 4))
+    total = len(doc_id)
+    lang = np.concatenate(
+        [lang, lang[exact_src], lang[near_src]]
+    )
+    source = np.concatenate([source, source[exact_src], source[near_src]])
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang.tolist(), pa.string()),
+            "source": pa.array(source.tolist(), pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    ), total
+
+
+def gen_embeddings(mult: int):
+    rng = np.random.default_rng(SEED + 1)
+    n, dim, k = BASE_VECS * mult, 64, 10
+    means = rng.normal(0.0, 1.0, size=(k, dim))
+    means /= np.linalg.norm(means, axis=1, keepdims=True)
+    label = rng.integers(0, k, size=n)
+    vecs = (
+        means[label] * 0.8
+        + rng.normal(0.0, 0.35, size=(n, dim))
+    ).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(label.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def gen_events(mult: int):
+    rng = np.random.default_rng(SEED + 2)
+    n, users = BASE_EVENTS * mult, BASE_USERS * mult
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = t0 + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    ts = np.sort(ts)
+    value = np.round(rng.exponential(50.0, size=n), 2)
+    value = np.minimum(value, 600.0)
+    props = [f'{{"k": {int(v)}}}' for v in rng.integers(0, 100, size=n)]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, users, size=n), pa.int64()
+            ),
+            "event_type": pa.array(
+                types[rng.integers(0, 5, size=n)].tolist(), pa.string()
+            ),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+
+
+def main() -> None:
+    outroot = sys.argv[1] if len(sys.argv) > 1 else "bigdata"
+    words, weights = _measured_vocab()
+    for mult in (1, 10, 100):
+        d = os.path.join(outroot, f"gen{mult}x")
+        os.makedirs(d, exist_ok=True)
+        docs, total = gen_documents(mult, words, weights)
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        pq.write_table(gen_embeddings(mult), os.path.join(d, "embeddings.parquet"))
+        pq.write_table(gen_events(mult), os.path.join(d, "events.parquet"))
+        print(f"{d}: documents={total} embeddings={BASE_VECS*mult} "
+              f"events={BASE_EVENTS*mult}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
