@@ -28,6 +28,7 @@ from ..operators.clean import StageMetric
 from ..sources import fs, load_table
 from . import metadata
 from .curation_queries import curate
+from .stage_policy import StageAttempt, StagePolicy, run_stage
 
 __all__ = ["CurationResult", "run", "export_training_shards"]
 
@@ -42,24 +43,58 @@ class CurationResult:
     final_docs: int
     run_id: int = 0
     stage_metrics: list[StageMetric] = field(default_factory=list)
+    stage_attempts: list[StageAttempt] = field(default_factory=list)
 
 
-def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    policy: StagePolicy = StagePolicy(),
+) -> CurationResult:
     """Materialized curation end-to-end: stages under ``out_dir``/stages,
-    final corpus at ``out_dir``/corpus, metrics logs next to them."""
+    final corpus at ``out_dir``/corpus, metrics logs next to them.
+
+    Every heavyweight stage runs under ``policy`` (default: the
+    reference's 15-minute timeout / 2 retries, dag1_ingest_csv.py:20-22)
+    via plans.stage_policy.run_stage — a hung stage is cancelled through
+    its Spark job group, a transient failure is retried, and every
+    attempt lands in the ``stage_attempts`` log. Stage thunks are
+    overwrite-mode writes, so replays are idempotent. If a stage
+    exhausts its attempts, the failed run (with its attempt history) is
+    still recorded before StageFailure propagates."""
     t_start = time.time()
     fs.mkdirs(spark, out_dir)
     stages_dir = fs.join(out_dir, "stages")
     corpus_path = fs.join(out_dir, "corpus")
     runs_path = fs.join(out_dir, "pipeline_runs")
     metrics_path = fs.join(out_dir, "stage_metrics")
+    attempts_path = fs.join(out_dir, "stage_attempts")
+    attempts: list[StageAttempt] = []
+
+    def _fail(exc: Exception) -> None:
+        run_id = metadata.log_pipeline_run(
+            spark, runs_path, pipeline_name="corpus_curation",
+            status="failed", total_rows_processed=0, total_rows_loaded=0,
+            duration_minutes=(time.time() - t_start) / 60.0,
+            notes=f"sf_dir={sf_dir}; {exc}"[:500],
+        )
+        metadata.log_stage_attempts(spark, attempts_path, run_id, attempts)
 
     raw_docs = load_table(spark, sf_dir, "documents").count()
 
     # curate() writes survivors + candidates parquet under stages_dir and
     # returns the final frame reading FROM those stage files.
-    final = curate(spark, sf_dir, materialize_dir=stages_dir)
-    final.write.mode("overwrite").parquet(corpus_path)
+    def _curate_stage() -> None:
+        final = curate(spark, sf_dir, materialize_dir=stages_dir)
+        final.write.mode("overwrite").parquet(corpus_path)
+
+    try:
+        run_stage(spark, "curate_materialize", _curate_stage, policy,
+                  attempts_out=attempts)
+    except Exception as e:  # noqa: BLE001
+        _fail(e)
+        raise
 
     survivors = spark.read.parquet(fs.join(stages_dir, "survivors"))
     candidates = spark.read.parquet(fs.join(stages_dir, "candidates"))
@@ -79,10 +114,26 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
     # the corpus so trainers consume it directly.
     from .dedup_queries import component_rollup, materialize_components
 
-    comp_path = materialize_components(spark, sf_dir, stages_dir)
-    comp = spark.read.parquet(comp_path)
-    rollup = component_rollup(comp)
-    rollup.write.mode("overwrite").parquet(fs.join(out_dir, "splits"))
+    def _components_stage() -> str:
+        return materialize_components(spark, sf_dir, stages_dir)
+
+    try:
+        comp_path = run_stage(spark, "neardup_components",
+                              _components_stage, policy,
+                              attempts_out=attempts)
+        comp = spark.read.parquet(comp_path)
+        run_stage(
+            spark,
+            "component_split_write",
+            lambda: component_rollup(comp)
+            .write.mode("overwrite")
+            .parquet(fs.join(out_dir, "splits")),
+            policy,
+            attempts_out=attempts,
+        )
+    except Exception as e:  # noqa: BLE001
+        _fail(e)
+        raise
     n_comp_docs = comp.count()
     n_components = comp.select("component_id").distinct().count()
 
@@ -103,6 +154,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
         notes=f"sf_dir={sf_dir}",
     )
     metadata.log_stage_metrics(spark, metrics_path, run_id, metrics)
+    metadata.log_stage_attempts(spark, attempts_path, run_id, attempts)
 
     return CurationResult(
         raw_docs=raw_docs,
@@ -113,6 +165,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
         final_docs=final_docs,
         run_id=run_id,
         stage_metrics=metrics,
+        stage_attempts=attempts,
     )
 
 

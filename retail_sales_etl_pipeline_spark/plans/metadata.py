@@ -92,3 +92,33 @@ def recent_pipeline_runs(spark: SparkSession, path: str, n: int = 10) -> DataFra
         .orderBy(F.desc("run_date"), F.desc("run_timestamp"))
         .limit(n)
     )
+
+
+def log_stage_attempts(
+    spark: SparkSession, path: str, run_id: int, attempts: list
+) -> None:
+    """Append stage-attempt rows (the timeout/retry policy's audit trail —
+    reference dag1_ingest_csv.py:20-22 execution_timeout/retries made
+    observable). Accepts plans.stage_policy.StageAttempt instances."""
+    if not attempts:
+        return
+    rows = [
+        {
+            "run_id": run_id,
+            "stage_name": a.stage_name,
+            "attempt": a.attempt,
+            "status": a.status,
+            "seconds": float(a.seconds),
+            "error": a.error,
+            "execution_timestamp": None,
+        }
+        for a in attempts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema=(
+            "run_id long, stage_name string, attempt int, status string, "
+            "seconds double, error string, execution_timestamp timestamp"
+        ),
+    ).withColumn("execution_timestamp", F.current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(path)

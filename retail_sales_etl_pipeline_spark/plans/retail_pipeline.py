@@ -27,6 +27,7 @@ from ..sources import fs
 from ..sources.retail_csv import check_csv_exists, read_retail_csv
 from . import metadata, quality
 from .quality import DEFAULT_MIN_ROWS
+from .stage_policy import StageAttempt, StagePolicy, run_stage
 
 
 @dataclass
@@ -39,6 +40,7 @@ class PipelineResult:
     dim_date_rows: int
     total_revenue: str
     stage_metrics: list[StageMetric] = field(default_factory=list)
+    stage_attempts: list[StageAttempt] = field(default_factory=list)
     run_id: int = 0
 
 
@@ -52,7 +54,13 @@ def run(
     warehouse_dir: str,
     min_rows: int = DEFAULT_MIN_ROWS,
     timestamp_format: str | None = None,
+    policy: StagePolicy = StagePolicy(),
 ) -> PipelineResult:
+    # Every heavyweight stage runs under ``policy`` — the reference's
+    # per-task execution_timeout=15min / retries=2 (dag1_ingest_csv.py:
+    # 20-22, dag_master_pipeline.py:20) expressed as Spark job-group
+    # cancellation + bounded re-invocation of idempotent overwrite-mode
+    # writes (plans.stage_policy). Attempts land in the stage_attempts log.
     t_start = time.time()
     fs.mkdirs(spark, warehouse_dir)
     p = {
@@ -66,13 +74,22 @@ def run(
             "data_quality_log",
             "pipeline_runs",
             "stage_metrics",
+            "stage_attempts",
         )
     }
+    attempts: list[StageAttempt] = []
 
     # -- ingest (dag1): guard → distributed CSV scan → staging parquet ------
     check_csv_exists(spark, csv_path)
     staged = read_retail_csv(spark, csv_path, timestamp_format)
-    staged.write.mode("overwrite").parquet(p["staging_online_retail"])  # S5+S6
+    run_stage(
+        spark,
+        "ingest_csv",
+        lambda: staged.write.mode("overwrite")
+        .parquet(p["staging_online_retail"]),  # S5+S6
+        policy,
+        attempts_out=attempts,
+    )
     staging = spark.read.parquet(p["staging_online_retail"])
     raw_rows = staging.count()
 
@@ -94,17 +111,24 @@ def run(
         df = loader(cleaned, _read_dim(spark, p[name]))
         df.write.mode("overwrite").parquet(p[name] + "_new")
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [
-            pool.submit(_build_and_write, name, loader)
-            for name, loader in (
-                ("dim_product", load_dim_product),
-                ("dim_customer", load_dim_customer),
-                ("dim_date", load_dim_date),
-            )
-        ]
-        for f in futures:
-            f.result()  # re-raise the first failure; never swallow
+    def _dims_stage() -> None:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(_build_and_write, name, loader)
+                for name, loader in (
+                    ("dim_product", load_dim_product),
+                    ("dim_customer", load_dim_customer),
+                    ("dim_date", load_dim_date),
+                )
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure; never swallow
+
+    # one policy-bounded stage for the three parallel dim lineages (the
+    # reference gives each parallel task the same retry knobs; a replay
+    # rebuilds all three _new dirs — idempotent, the swap happens after)
+    run_stage(spark, "dim_upserts", _dims_stage, policy,
+              attempts_out=attempts)
 
     # swap: writing X_new then renaming avoids reading+overwriting the same
     # path in one job (Spark reads lazily; an in-place overwrite of an input
@@ -118,7 +142,9 @@ def run(
     dim_date = spark.read.parquet(p["dim_date"])
 
     fact = build_fact_sales(cleaned, dim_product, dim_customer, dim_date)
-    write_fact_sales(fact, p["fact_sales"])
+    run_stage(spark, "fact_full_refresh",
+              lambda: write_fact_sales(fact, p["fact_sales"]), policy,
+              attempts_out=attempts)
     fact = spark.read.parquet(p["fact_sales"])
     fact_rows = fact.count()
     # every consumer of the cleaned DF has executed — release its cache so
@@ -162,6 +188,7 @@ def run(
         notes=f"revenue={revenue}",
     )
     metadata.log_stage_metrics(spark, p["stage_metrics"], run_id, cleaned_res.metrics)
+    metadata.log_stage_attempts(spark, p["stage_attempts"], run_id, attempts)
 
     return PipelineResult(
         raw_rows=raw_rows,
@@ -172,5 +199,6 @@ def run(
         dim_date_rows=counts["dim_date"],
         total_revenue=revenue,
         stage_metrics=cleaned_res.metrics,
+        stage_attempts=attempts,
         run_id=run_id,
     )

