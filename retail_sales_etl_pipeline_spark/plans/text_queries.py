@@ -495,8 +495,14 @@ def q88_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("cnt")).select(
         _LN_MICRO_SPARK("cnt").alias("l_total")
     )
+    # EXPLICIT broadcast of the vocab-sized model: without it the planner
+    # sort-merge-joins, shuffling the full token stream on a vocab-sized
+    # key (measured at the 100x scale run: 32s and 25x growth per 10x
+    # data from key skew + the sort; broadcast restores linear). The
+    # model is an aggregate on token, so it is vocab-bounded by
+    # construction — the small side at any corpus size.
     scored = (
-        tok.join(model, "token")
+        tok.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id", (F.col("l_total") - F.col("l_cnt")).alias("s_micro"))
     )
