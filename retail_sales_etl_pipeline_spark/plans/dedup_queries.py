@@ -1629,3 +1629,104 @@ def q155_component_reuse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="cc_reuse_")
     path = materialize_components(spark, sf_dir, out_dir)
     return component_rollup(spark.read.parquet(path))
+
+
+# Incremental CC: which doc_ids count as "the new batch" (every 7th doc,
+# ~14% — big enough to merge components, small enough to be a batch).
+INCR_CC_MOD, INCR_CC_REM = 7, 3
+
+
+@register(
+    "q157_incremental_components",
+    # The contract IS the oracle: merging a batch into the prior
+    # component state must equal a full recompute over corpus+batch —
+    # q60's recursive reachability twin, spliced verbatim.
+    oracle=f"""
+    WITH comp AS ({_registered_oracle("q60_neardup_components")})
+    SELECT doc_id, component_id FROM comp
+    """,
+    doc="INCREMENTAL connected components — the 'new shard arrives' path "
+    "a production dedup pipeline runs daily instead of re-clustering "
+    "the corpus: docs are split into the existing corpus (~86%) and a "
+    "new batch (every 7th doc); the prior component state (q155's "
+    "materialized frame — recomputed here only because registry "
+    "entries are self-contained) is CONTRACTED to one node per "
+    "component, the only fresh verification work is candidate pairs "
+    "TOUCHING the batch (a map-side filter on the banded candidates — "
+    "the q80 probe shape: O(batch x bucket), never O(corpus^2)), and "
+    "min-label CC runs on the contracted graph, whose edge set is "
+    "batch-sized and whose old components are already collapsed (1-2 "
+    "rounds, vs log(n) from scratch). Because every old component id "
+    "is the min doc_id of its members, min-label over the contracted "
+    "graph reproduces the full-recompute labels EXACTLY — the oracle "
+    "is q60's full-ladder recursive twin, so the hash match proves "
+    "incremental == from-scratch. Bucket caps are computed over the "
+    "FULL population (exactly the production form: the materialized "
+    "band index already reflects global bucket sizes), so equality "
+    "holds even where caps bite. Scale shape: one batch-filtered "
+    "verify pass + CC over a component-count node set with "
+    "batch-bounded edges.",
+    tags=("dedup", "graph", "iterative", "incremental"),
+)
+def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.text import jaccard_pairs_pandas
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = (F.col("doc_id") % INCR_CC_MOD) == INCR_CC_REM
+    old_docs = docs.filter(~is_new)
+    new_docs = docs.filter(is_new)
+
+    # full banded candidates once (band index); bucket caps see the full
+    # population, as the production materialized index would
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    touches_new = (
+        (F.col("doc_a") % INCR_CC_MOD == INCR_CC_REM)
+        | (F.col("doc_b") % INCR_CC_MOD == INCR_CC_REM)
+    )
+
+    def verified(pairs: DataFrame) -> DataFrame:
+        eligible = docs.filter(F.size(F.split("text", " ")) >= 3)
+        a = eligible.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+        )
+        b = eligible.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+        )
+        return (
+            jaccard_pairs_pandas(pairs.join(a, "doc_a").join(b, "doc_b"))
+            .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+            .select("doc_a", "doc_b")
+        )
+
+    # prior state: components of the OLD corpus only (old-old pairs)
+    old_pairs = verified(cand.filter(~touches_new))
+    base = connected_components(
+        old_docs.select("doc_id"), old_pairs,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component_id").alias("label"))
+
+    # fresh work: only pairs touching the batch get verified
+    new_pairs = verified(cand.filter(touches_new))
+
+    # contract: old docs are represented by their component id (the min
+    # doc_id of the old component), new docs by themselves
+    rep = base.select("doc_id", F.col("label").alias("rep")).unionByName(
+        new_docs.select("doc_id", F.col("doc_id").alias("rep"))
+    )
+    ra = rep.select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("rep_a"))
+    rb = rep.select(F.col("doc_id").alias("doc_b"), F.col("rep").alias("rep_b"))
+    contracted_edges = (
+        new_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
+        .distinct()
+    )
+    contracted_nodes = rep.select(F.col("rep").alias("doc_id")).distinct()
+    merged = connected_components(
+        contracted_nodes, contracted_edges,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    ).select(F.col("id").alias("rep"), "component_id")
+
+    return rep.join(merged, "rep").select("doc_id", "component_id")

@@ -415,17 +415,55 @@ def q71_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q72_tfidf_log_top_terms",
-    oracle=None,  # transcendental scores: tolerance-checked in pytest
-    doc="Per-document top-3 terms by textbook TF-IDF (tf * ln(n_docs/df)). "
+    # Integer micro-nat fixed point (the q88/q105 pattern): ln is applied
+    # only to the vocab-many distinct df values and the corpus count, each
+    # rounded to micro-nats (floor(ln*1e6 + 0.5)); the per-term score
+    # tf * (L(n) - L(df)) is exact int64 on both engines, so the log-form
+    # ranker is fully hash-checked instead of rows-only. Quantization is
+    # 1e-6 nat per log call — ranking-irrelevant, and value agreement
+    # with true ln is pinned in tests/test_search_log_form.py.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (CAST(FLOOR(ln(CAST(n_docs AS DOUBLE)) * 1000000.0
+                                 + 0.5) AS BIGINT)
+                    - CAST(FLOOR(ln(CAST(df.df AS DOUBLE)) * 1000000.0
+                                 + 0.5) AS BIGINT)) AS tfidf_micronat
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf_micronat, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micronat DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_TERMS_PER_DOC}
+    """,
+    doc="Per-document top-3 terms by textbook TF-IDF in integer "
+    "MICRO-NATS: tf * (ln(n_docs) - ln(df)) held in fixed point (the "
+    "q88/q105 micro-unit pattern — ln touches only the vocab-many "
+    "distinct counts, everything downstream is exact int64), so the "
+    "log-form ranker is hash-checked end to end rather than rows-only. "
     "Identical plan shape to q67 (two-stage TF and DF aggs, vocab-keyed "
     "join, broadcast corpus scalar, per-doc top-k window) — only the "
-    "scoring expression changes, so the 100 TB story is q67's. Scores use "
-    "F.log (JVM-side, whole-stage codegen); value-checked vs DuckDB ln() "
-    "at rtol=1e-12 in tests/test_search_log_form.py.",
+    "scoring expression changes, so the 100 TB story is q67's. True-ln "
+    "agreement pinned in tests/test_search_log_form.py.",
     tags=("text", "search", "log-form"),
 )
 def q72_tfidf_log_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    ln_micro = lambda c: F.floor(  # noqa: E731
+        F.log(F.col(c).cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -435,33 +473,77 @@ def q72_tfidf_log_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
+        tf.join(F.broadcast(df.select("term", "df", ln_micro("df").alias("l_df"))), "term")
+        .crossJoin(F.broadcast(n.select(ln_micro("n_docs").alias("l_n"))))
         .withColumn(
-            "tfidf_log",
-            F.col("tf").cast("double")
-            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+            "tfidf_micronat",
+            F.col("tf") * (F.col("l_n") - F.col("l_df")),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf_log").desc(), F.col("term")
+        F.col("tfidf_micronat").desc(), F.col("term")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_TERMS_PER_DOC)
-        .select("doc_id", "term", "tf", "df", "tfidf_log", "rnk")
+        .select("doc_id", "term", "tf", "df", "tfidf_micronat", "rnk")
     )
 
 
 @register(
     "q73_bm25_log_search",
-    oracle=None,  # transcendental scores: tolerance-checked in pytest
-    doc="BM25 keyword search with the standard log idf "
-    "(ln(1 + (n_docs - df + 0.5)/(df + 0.5)), Robertson/Sparck-Jones) — "
-    "the score values a search consumer expects, alongside q68's "
-    "hash-exact rational-core twin. Same inverted-index plan shape as "
-    "q68: postings filtered to query terms before any shuffle, broadcast "
-    "df and avgdl, fixed-order per-term sum, TakeOrdered top-20.",
+    # Integer micro-nat fixed point (the q88/q105 pattern). Exact
+    # algebra, all int64: the idf argument 1 + (n-df+0.5)/(df+0.5)
+    # simplifies to (2n+1)/(2df+1) — one IEEE division of exact integers
+    # (bit-deterministic), ln'd once per distinct df and rounded to
+    # micro-nats. The Okapi saturation tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    # with k1=1.2, b=0.75, avgdl=S/n (S = total tokens) clears to the
+    # integer ratio 44*tf*S / (20*tf*S + 6*S + 18*dl*n); per-term score
+    # = idf_micro * num div den. Integer sums are order-independent, so
+    # the old fixed-order per-term summation workaround is gone too.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS s_tok
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({{terms}}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(ln((2.0 * n_docs + 2.0) / (2.0 * df.df + 1.0))
+                        * 1000000.0 + 0.5) AS BIGINT)
+             * (44 * tf.tf * s_tok)
+             // (20 * tf.tf * s_tok + 6 * s_tok + 18 * dl.dl * n_docs)
+                 AS s_micro
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micronat
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micronat DESC, doc_id LIMIT {{topk}}
+    """.format(terms=", ".join(_sql_str(t) for t in BM25_TERMS),
+               topk=BM25_TOP_K),
+    doc="BM25 keyword search with the standard Robertson/Sparck-Jones "
+    "log idf, held in integer MICRO-NATS end to end (the q88/q105 "
+    "pattern): idf's argument reduces exactly to (2n+2)/(2df+1), ln'd "
+    "once per distinct df; the Okapi saturation term clears to an "
+    "integer ratio (k1=2.2, b=0.75 are rational), so every per-term "
+    "score is exact int64, per-doc sums are order-independent, and the "
+    "log-form ranker is fully hash-checked rather than rows-only — "
+    "alongside q68's hash-exact rational-core twin. Same inverted-index "
+    "plan shape as q68: postings filtered to query terms before any "
+    "shuffle, broadcast df and corpus stats, TakeOrdered top-20. "
+    "True-ln agreement pinned in tests/test_search_log_form.py.",
     tags=("text", "search", "log-form"),
 )
 def q73_bm25_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,9 +554,7 @@ def q73_bm25_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
+        F.sum("dl").cast("long").alias("s_tok"),
     )
     tf = (
         tok.filter(F.col("term").isin(*BM25_TERMS))
@@ -482,39 +562,29 @@ def q73_bm25_log_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
+    idf_micro = F.floor(
+        F.log(
+            (F.lit(2.0) * F.col("n_docs") + F.lit(2.0))
+            / (F.lit(2.0) * F.col("df") + F.lit(1.0))
         )
-    )
-    tf_sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
-        F.col("tf").cast("double")
-        + F.lit(1.2)
-        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    s_micro = F.expr(
+        "idf_micro * (44 * tf * s_tok)"
+        " div (20 * tf * s_tok + 6 * s_tok + 18 * dl * n_docs)"
     )
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn("score", idf * tf_sat)
+        .withColumn("idf_micro", idf_micro)
+        .withColumn("s_micro", s_micro)
     )
-    per_term = [
-        F.coalesce(
-            F.sum(F.when(F.col("term") == t, F.col("score"))),
-            F.lit(0).cast("double"),
-        ).alias(f"s_{i}")
-        for i, t in enumerate(BM25_TERMS)
-    ]
-    per_doc = scored.groupBy("doc_id").agg(*per_term)
-    total = None
-    for i in range(len(BM25_TERMS)):
-        col = F.col(f"s_{i}")
-        total = col if total is None else total + col
     return (
-        per_doc.select("doc_id", total.alias("bm25_log"))
-        .orderBy(F.col("bm25_log").desc(), "doc_id")
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_micro").cast("long").alias("bm25_micronat"))
+        .orderBy(F.col("bm25_micronat").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
 

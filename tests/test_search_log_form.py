@@ -1,12 +1,14 @@
 """Log-form TF-IDF / BM25 (q72/q73) value checks.
 
-These queries are registered rows-only: their scores go through log(),
-and transcendentals are not bit-identical across engines/libms, so a
-bit-exact hash oracle would be dishonest. Instead this test re-computes
-the same scores in DuckDB (its own ln()) and asserts agreement at
-rtol=1e-12 — far tighter than any ranking-relevant difference — plus
-internal rank consistency and the documented relationship to the
-hash-exact rational-core twins (q67/q68).
+Both queries now score in integer MICRO-NATS (the q88/q105 fixed-point
+pattern) and are hash-checked by their DuckDB oracles; these tests pin
+the fixed-point values to the TRUE float log scores within the provable
+quantization bound, plus rank consistency and the documented
+relationship to the hash-exact rational-core twins (q67/q68).
+
+Bounds: each L(x) = floor(ln(x)*1e6 + 0.5) is within 0.5 micro-nats of
+1e6*ln(x), so q72's tf*(L(n)-L(df)) sits within tf*1e-6 of the true
+score; q73 adds one integer-division truncation per term (<= 1e-6 each).
 """
 
 from __future__ import annotations
@@ -31,12 +33,13 @@ def ddb():
     con.close()
 
 
-def test_tfidf_log_matches_duckdb(spark, ddb):
+def test_tfidf_micronat_tracks_true_ln(spark, ddb):
     got = {
-        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf_log"], r["rnk"])
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf_micronat"], r["rnk"])
         for r in sq.q72_tfidf_log_top_terms(spark, SF).collect()
     }
-    want = ddb.execute(f"""
+    assert got
+    want = ddb.execute("""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
           FROM documents
@@ -45,27 +48,19 @@ def test_tfidf_log_matches_duckdb(spark, ddb):
           SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
         ),
         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        scored AS (
-          SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                 tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS s
-          FROM tf JOIN df USING (term) CROSS JOIN n
-        )
-        SELECT doc_id, term, tf, df, s,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY s DESC, term) AS rnk
-        FROM scored QUALIFY rnk <= {sq.TOP_TERMS_PER_DOC}
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS s
+        FROM tf JOIN df USING (term) CROSS JOIN n
     """).fetchall()
-    want = {(r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in want}
-    assert set(got) == set(want)
-    for k, (tf, df, s, rnk) in want.items():
-        gtf, gdf, gs, grnk = got[k]
-        assert (gtf, gdf) == (tf, df), k
-        assert math.isclose(gs, s, rel_tol=1e-12), (k, gs, s)
-        assert grnk == rnk, k
+    true_s = {(r[0], r[1]): (r[2], r[3], r[4]) for r in want}
+    for k, (tf, df, micro, _rnk) in got.items():
+        wtf, wdf, s = true_s[k]
+        assert (tf, df) == (wtf, wdf), k
+        assert abs(micro / 1e6 - s) <= (tf + 1) * 1e-6, (k, micro, s)
 
 
-def test_tfidf_log_rank_consistent_with_scores(spark):
+def test_tfidf_rank_consistent_with_scores(spark):
     rows = sq.q72_tfidf_log_top_terms(spark, SF).collect()
     by_doc: dict = {}
     for r in rows:
@@ -73,13 +68,16 @@ def test_tfidf_log_rank_consistent_with_scores(spark):
     for doc, rs in by_doc.items():
         rs.sort(key=lambda r: r["rnk"])
         assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
-        # ranks follow (score desc, term asc) — Spark's own ordering
-        resorted = sorted(rs, key=lambda r: (-r["tfidf_log"], r["term"]))
+        resorted = sorted(rs, key=lambda r: (-r["tfidf_micronat"], r["term"]))
         assert [r["term"] for r in resorted] == [r["term"] for r in rs], doc
 
 
-def test_bm25_log_matches_duckdb(spark, ddb):
-    got = [(r["doc_id"], r["bm25_log"]) for r in sq.q73_bm25_log_search(spark, SF).collect()]
+def test_bm25_micronat_tracks_true_ln(spark, ddb):
+    got = {
+        r["doc_id"]: r["bm25_micronat"]
+        for r in sq.q73_bm25_log_search(spark, SF).collect()
+    }
+    assert got
     terms = ", ".join(sq._sql_str(t) for t in sq.BM25_TERMS)
     want = ddb.execute(f"""
         WITH tok AS (
@@ -95,38 +93,21 @@ def test_bm25_log_matches_duckdb(spark, ddb):
           SELECT doc_id, term, COUNT(*) AS tf
           FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
         ),
-        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, tf.term,
-                 ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5))
-                 * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-                     AS score
-          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-          CROSS JOIN stats
-        ),
-        -- fixed-order per-term sum (the q68 oracle convention): a plain
-        -- SUM(score) lets DuckDB's parallel aggregation add the per-term
-        -- doubles in nondeterministic order, and the ULP wobble flips
-        -- rank ties between runs — this very test flaked on it.
-        per_doc AS (
-          SELECT doc_id,
-                 {", ".join(
-                     f"COALESCE(SUM(CASE WHEN term = {sq._sql_str(t)} "
-                     f"THEN score END), 0.0) AS s_{i}"
-                     for i, t in enumerate(sq.BM25_TERMS)
-                 )}
-          FROM scored GROUP BY doc_id
-        )
-        SELECT doc_id,
-               {" + ".join(f"s_{i}" for i in range(len(sq.BM25_TERMS)))}
-                   AS bm25_log
-        FROM per_doc
-        ORDER BY bm25_log DESC, doc_id LIMIT {sq.BM25_TOP_K}
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id,
+               SUM(ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+                   AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
     """).fetchall()
-    assert len(got) == len(want)
-    for (gd, gs), (wd, ws) in zip(got, want):
-        assert gd == wd
-        assert math.isclose(gs, ws, rel_tol=1e-9), (gd, gs, ws)
+    true_s = {r[0]: r[1] for r in want}
+    n_terms = len(sq.BM25_TERMS)
+    for did, micro in got.items():
+        assert math.isclose(
+            micro / 1e6, true_s[did], abs_tol=n_terms * 2e-6
+        ), (did, micro, true_s[did])
 
 
 def test_log_and_rational_bm25_share_candidates(spark):
