@@ -66,6 +66,10 @@ def main() -> None:
         scales = args[args.index("--scales") + 1].split(",")
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
+    all_100x = "--all-100x" in args  # run every runnable query at 100x
+    skip = set()
+    if "--skip" in args:
+        skip = set(args[args.index("--skip") + 1].split(","))
 
     from retail_sales_etl_pipeline_spark.plans.registry import load_all
     from retail_sales_etl_pipeline_spark.session import get_spark
@@ -117,9 +121,9 @@ def main() -> None:
     for scale in scales:
         sf_dir = SCALE_DIRS[scale]
         for name in sorted(registry):
-            if name in skipped:
+            if name in skipped or name in skip:
                 continue
-            if scale == "100x" and name not in MARQUEE_100X:
+            if scale == "100x" and not all_100x and name not in MARQUEE_100X:
                 continue
             q = registry[name]
             t0 = time.time()
