@@ -334,6 +334,15 @@ def q105_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ln_micro(c: str):
+    """floor(ln(x)*1e6 + 0.5) as int64 — the shared micro-nat fixed point
+    (see q88's boundary analysis: applied only to count values, where a
+    1-ulp cross-engine ln difference is ~2e-9 micro-nats)."""
+    return F.floor(
+        F.log(F.col(c).cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+
+
 COOC_MAX_DIST = 3
 COOC_TOP_K = 100
 
@@ -366,8 +375,14 @@ COOC_TOP_K = 100
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
     SELECT x, y, c_xy, a.c_w AS c_x, b.c_w AS c_y,
-           CAST((c_xy * n_pairs * 1000000) // (a.c_w * b.c_w) AS BIGINT)
-               AS pmi_ratio_ppm,
+           CAST(FLOOR(ln(CAST(n_pairs AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT)
+           + CAST(FLOOR(ln(CAST(c_xy AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT)
+           - CAST(FLOOR(ln(CAST(a.c_w AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT)
+           - CAST(FLOOR(ln(CAST(b.c_w AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS pmi_micronat,
            CAST(rnk AS INTEGER) AS rnk
     FROM (
       SELECT pc.*, row_number() OVER (ORDER BY pc.c_xy DESC, pc.x, pc.y)
@@ -382,10 +397,15 @@ COOC_TOP_K = 100
     doc=f"Token co-occurrence counts with PMI-ratio scores — the GloVe/"
     "word2vec-style statistic table an embedding-training prep stage "
     f"builds: unordered token pairs within distance {COOC_MAX_DIST} "
-    "inside each document, counted corpus-wide, with the PMI ratio "
-    "N*c(x,y)/(c(x)*c(y)) held as exact integer ppm (PMI itself is the "
-    "log of this; the rational core is the cross-engine-hashable form, "
-    "the q67/q72 convention). Scale shape: pair expansion is map-side "
+    "inside each document, counted corpus-wide, with PMI = "
+    "ln(N*c(x,y)/(c(x)*c(y))) held in integer MICRO-NATS as the SUM of "
+    "per-count log terms L(N)+L(c_xy)-L(c_x)-L(c_y) (the q88/q105 "
+    "fixed-point convention) — the log-sum form is not a stylistic "
+    "choice: the exact ppm RATIO c_xy*N*1e6 needs ~2e21 intermediates "
+    "at the 100x corpus (int64 overflows, caught by the executed scale "
+    "run; decimal(38) multiplication silently degrades to double past "
+    "declared precision), while every log term is bounded forever. "
+    "Scale shape: pair expansion is map-side "
     f"(x{COOC_MAX_DIST} fan-out via slice+zip, JVM-only), counts are "
     "two-stage hash aggs on vocab-bounded keys, the unigram join is "
     "vocab-sized (AQE broadcasts), top-k is TakeOrdered over the pair "
@@ -438,9 +458,14 @@ def q118_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(c_xy * n_pairs * 1000000) div (c_x * c_y)")
-            .cast("long")
-            .alias("pmi_ratio_ppm"),
+            # log-sum micro-nat form: overflow-proof at any corpus size
+            # (the ratio form's c_xy*N*1e6 blew past int64 at 100x)
+            (
+                _ln_micro("n_pairs")
+                + _ln_micro("c_xy")
+                - _ln_micro("c_x")
+                - _ln_micro("c_y")
+            ).alias("pmi_micronat"),
             "rnk",
         )
     )
