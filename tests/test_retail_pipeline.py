@@ -135,3 +135,19 @@ def test_clean_idempotent(spark, tmp_path):
     twice = clean_staging(once, collect_metrics=False).df
     assert once.count() == twice.count()
     assert once.exceptAll(twice).count() == 0
+
+
+def test_retail_driver_records_stage_attempts(pipeline_run):
+    """The retail driver runs its heavyweight stages under the default
+    timeout/retry policy and records one success attempt per stage in
+    both the result object and the stage_attempts parquet log."""
+    spark, _, wh, _, res = pipeline_run
+    assert {a.stage_name for a in res.stage_attempts} == {
+        "ingest_csv", "dim_upserts", "fact_full_refresh",
+    }
+    assert all(a.status == "success" and a.attempt == 1
+               for a in res.stage_attempts)
+    logged = spark.read.parquet(f"{wh}/stage_attempts").collect()
+    assert {(r.stage_name, r.attempt, r.status) for r in logged} >= {
+        (a.stage_name, a.attempt, a.status) for a in res.stage_attempts
+    }
