@@ -402,13 +402,15 @@ def q71_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Log-form scoring variants (q72/q73): the textbook TF-IDF / BM25 score
-# values a production consumer expects. log() is correctly-rounded in
-# neither JVM StrictMath-exempt paths nor every libm identically, so these
-# are registered ROWS-ONLY (no bit-exact cross-engine hash is honest for
-# transcendentals); tests/test_search_log_form.py value-checks them against
-# an independent DuckDB twin at rtol=1e-12 and proves internal rank
-# consistency. The ranking itself genuinely differs from the rational-core
-# forms (q67/q68): log dampens high-idf terms relative to tf, which is the
+# values a production consumer expects, carried in integer MICRO-NATS
+# (the q88/q105 fixed-point pattern: ln applied only to the vocab-many
+# distinct counts, floor(ln*1e6 + 0.5); everything downstream exact
+# int64) — so both are fully hash-checked by DuckDB oracles despite the
+# transcendental core. tests/test_search_log_form.py additionally pins
+# the fixed-point values to the TRUE float log scores within the
+# provable quantization bound and proves internal rank consistency. The
+# ranking itself genuinely differs from the rational-core forms
+# (q67/q68): log dampens high-idf terms relative to tf, which is the
 # point of the log form.
 # ---------------------------------------------------------------------------
 
