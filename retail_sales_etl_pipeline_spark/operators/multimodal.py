@@ -408,3 +408,107 @@ def media_decode_features(with_payload: DataFrame) -> DataFrame:
         "doc_id long, mime string, n_units long, sum_val long, "
         "max_val long, rate_or_width long",
     )
+
+
+# Perceptual image hashing over REALLY decoded pixels. dHash (difference
+# hash, the classic gradient fingerprint used for image near-dup): sample
+# the decoded grayscale image on a PHASH_GY x PHASH_GX grid
+# (nearest-neighbor, pure integer arithmetic), set bit (gy*8+gx) when the
+# gray gradient between horizontally adjacent grid cells is positive —
+# 8 comparisons x 7 rows = a 56-bit fingerprint (fits int64 on every
+# engine). Brightness-robustness is demonstrated structurally: each image
+# also gets a brightness-shifted TWIN (every channel byte min(255, b+10)),
+# re-ENCODED into a genuine BMP container and re-decoded through the same
+# parser — byte-level dedup (q141's sha256) can never match the twin to
+# its original, while dHash does wherever clipping at 255 doesn't compress
+# a sampled gradient away.
+PHASH_GX, PHASH_GY = 9, 7
+PHASH_SHIFT = 10
+
+
+def perceptual_hashes(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, width, height, dhash, dhash_twin, dhash_twin_match,
+    byte_twin_match) per image payload. Real decode -> integer grid
+    resample -> 56-bit dHash, plus the brightness twin's full
+    encode->decode round trip. Self-contained batch fn (inline decoder /
+    encoder copies — workers must not need this package importable;
+    tests pin the copies equal)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def dec_bmp(payload: bytes) -> tuple[int, int, bytes]:
+            if payload[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (offset,) = struct.unpack_from("<I", payload, 10)
+            width, height = struct.unpack_from("<ii", payload, 18)
+            (bpp,) = struct.unpack_from("<H", payload, 28)
+            (compression,) = struct.unpack_from("<I", payload, 30)
+            if bpp != 24 or compression != 0 or height <= 0:
+                raise ValueError("unsupported BMP variant")
+            row_size = (width * 3 + 3) // 4 * 4
+            out = bytearray()
+            for y in range(height):
+                start = offset + (height - 1 - y) * row_size
+                out += payload[start : start + width * 3]
+            return width, height, bytes(out)
+
+        def enc_bmp(w: int, h: int, logical: bytes) -> bytes:
+            row_size = (w * 3 + 3) // 4 * 4
+            pad = b"\x00" * (row_size - w * 3)
+            body = b"".join(
+                logical[y * w * 3 : (y + 1) * w * 3] + pad
+                for y in range(h - 1, -1, -1)
+            )
+            return (
+                b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0)
+                + body
+            )
+
+        def grid_grays(w: int, h: int, px: bytes) -> list[list[int]]:
+            g = [[0] * PHASH_GX for _ in range(PHASH_GY)]
+            for gy in range(PHASH_GY):
+                py = gy * (h - 1) // (PHASH_GY - 1)
+                for gx in range(PHASH_GX):
+                    pxx = gx * (w - 1) // (PHASH_GX - 1)
+                    p = (py * w + pxx) * 3
+                    g[gy][gx] = (px[p] + px[p + 1] + px[p + 2]) // 3
+            return g
+
+        def dhash(g: list[list[int]]) -> int:
+            v = 0
+            for gy in range(PHASH_GY):
+                for gx in range(PHASH_GX - 1):
+                    if g[gy][gx] > g[gy][gx + 1]:
+                        v |= 1 << (gy * 8 + gx)
+            return v
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, px = dec_bmp(data)
+                twin_logical = bytes(min(255, b + PHASH_SHIFT) for b in px)
+                twin_payload = enc_bmp(w, h, twin_logical)
+                w2, h2, px2 = dec_bmp(twin_payload)
+                d0 = dhash(grid_grays(w, h, px))
+                d1 = dhash(grid_grays(w2, h2, px2))
+                rows.append({
+                    "doc_id": int(did), "width": w, "height": h,
+                    "dhash": d0, "dhash_twin": d1,
+                    "dhash_twin_match": d0 == d1,
+                    "byte_twin_match": hashlib.sha256(data).digest()
+                    == hashlib.sha256(twin_payload).digest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        per_batch,
+        "doc_id long, width long, height long, dhash long, dhash_twin long, "
+        "dhash_twin_match boolean, byte_twin_match boolean",
+    )

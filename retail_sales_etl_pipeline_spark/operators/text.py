@@ -434,3 +434,58 @@ def repetition_scores_pandas(df, text_col: str = "text", id_col: str = "doc_id")
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(per_batch, schema)
+
+
+def token_bucket_counts_pandas(
+    df,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_col: str | None = None,
+):
+    """(id[, keep_col], bucket, occ) hashed-n-gram feature counts per
+    document — the map-side pre-aggregated form of ``explode(tokens) ->
+    poly_hash % n_buckets``: per-document bucket occurrence counts are
+    folded INSIDE the Arrow batch, so what leaves the map stage is at most
+    min(n_tokens, n_buckets) rows per doc instead of one row per token
+    occurrence. Hash is the portable polynomial (POLY_BASE/POLY_MOD), so a
+    SQL oracle reproduces every bucket id exactly. Per-batch token->hash
+    memoization: corpus token frequency is Zipfian, so the dict hit rate
+    is high and the char-level polynomial runs once per distinct token
+    per batch."""
+    cols = [id_col] + ([keep_col] if keep_col else []) + [text_col]
+    extra = f"{keep_col} string, " if keep_col else ""
+    schema = f"{id_col} long, {extra}bucket long, occ long"
+    mod, base = POLY_MOD, POLY_BASE
+
+    def per_batch(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def bucket(tok: str) -> int:
+            b = memo.get(tok)
+            if b is None:
+                h = 0
+                for c in tok:
+                    h = (h * base + ord(c)) % mod
+                b = memo[tok] = h % n_buckets
+            return b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                rec = tup._asdict()
+                counts = Counter(bucket(t) for t in rec[text_col].split(" "))
+                for bkt, occ in counts.items():
+                    out = {id_col: rec[id_col], "bucket": bkt, "occ": occ}
+                    if keep_col:
+                        out[keep_col] = rec[keep_col]
+                    rows.append(out)
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(per_batch, schema)

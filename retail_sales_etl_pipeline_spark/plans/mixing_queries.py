@@ -793,3 +793,150 @@ def q138_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"AS LONG)"
         ).alias("efficiency_ppm"),
     )
+
+
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every candidate document by the log importance
+# weight log p_target(doc) - log p_raw(doc) under bag-of-hashed-token
+# unigram models, then keep the top of the pool. Features are
+# poly_hash(token) % DSIR_BUCKETS (the paper's hashed n-gram trick: model
+# size fixed at B buckets regardless of vocabulary); both models use
+# add-one smoothing p(b) = (cnt_b + 1) / (total + B). Log factors live in
+# integer MICRO-NATS (the q72/q73/q88/q105 fixed-point convention —
+# floor(ln*1e6 + 0.5) applied only to the <= B distinct counts and the two
+# corpus totals), so per-doc weights are exact int64 sums and the whole
+# selection is hash-checked end to end.
+DSIR_BUCKETS = 4096
+DSIR_TARGET = ("src0", "src1")  # the curated target domain
+DSIR_K = 100
+
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+_TOK_H_DUCK = poly_hash_pair("t", "t")[1]
+
+
+@register(
+    "q158_dsir_importance_weights",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, source, h % {DSIR_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS occ
+      FROM (
+        SELECT doc_id, source, unnest(
+          list_transform(string_split(text, ' '), t -> {_TOK_H_DUCK})
+        ) AS h
+        FROM documents
+      )
+      GROUP BY doc_id, source, bucket
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COALESCE(SUM(CASE WHEN source IN ({_DSIR_TGT_IN})
+                                    THEN occ END), 0) AS BIGINT) AS cnt_t,
+             CAST(COALESCE(SUM(CASE WHEN source NOT IN ({_DSIR_TGT_IN})
+                                    THEN occ END), 0) AS BIGINT) AS cnt_r
+      FROM occ GROUP BY bucket
+    ),
+    ratio AS (
+      SELECT bucket,
+             CAST(FLOOR(ln(CAST(cnt_t + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT)
+             - CAST(FLOOR(ln(CAST(cnt_r + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS l_micro
+      FROM counts WHERE cnt_r >= 1
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(ln(CAST(SUM(cnt_r) + {DSIR_BUCKETS} AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(SUM(cnt_t) + {DSIR_BUCKETS} AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+      FROM counts
+    ),
+    scored AS (
+      SELECT o.doc_id, ANY_VALUE(o.source) AS source,
+             CAST(SUM(o.occ) AS BIGINT) AS n_tokens,
+             CAST(SUM(o.occ * r.l_micro)
+                  + SUM(o.occ) * ANY_VALUE(t.c_micro) AS BIGINT)
+                 AS logw_micronat
+      FROM occ o JOIN ratio r USING (bucket) CROSS JOIN tot t
+      WHERE o.source NOT IN ({_DSIR_TGT_IN})
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, source, n_tokens, logw_micronat, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY logw_micronat DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {DSIR_K}
+    """,
+    doc=f"DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank "
+    "every candidate document by its importance weight log p_target - "
+    "log p_raw under hashed-unigram bag-of-words models — the standard "
+    "'pick raw-web docs that look like the curated target' selection "
+    f"step of an LLM data pipeline. Features are poly_hash(token) % "
+    f"{DSIR_BUCKETS} (fixed model size regardless of vocabulary), both "
+    "models add-one smoothed, and every log factor is held in integer "
+    "micro-nats (ln touches only bucket counts and two corpus totals), "
+    "so per-doc weights are exact int64 and the top-"
+    f"{DSIR_K} selection is fully hash-checked. Scale shape: bucket "
+    "counts fold map-side inside the Arrow batch (at most "
+    "min(n_tokens, B) rows leave per doc, never one per token "
+    "occurrence), the model is <= B rows and broadcast, scoring is one "
+    "doc-grain aggregate, and the only wide exchanges carry bucket ids "
+    "(B distinct) and doc-grain scalars. Two passes over the corpus "
+    "(fit, then score) are inherent to DSIR; at 100 TB the occ stream "
+    "is what you'd materialize between them.",
+    tags=("mixing", "selection", "pandas-udf"),
+)
+def q158_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_bucket_counts_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = token_bucket_counts_pandas(
+        docs.select("doc_id", "source", "text"), DSIR_BUCKETS, keep_col="source"
+    )
+    is_tgt = F.col("source").isin(*DSIR_TARGET)
+    fl6 = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    counts = occ.groupBy("bucket").agg(
+        F.coalesce(F.sum(F.when(is_tgt, F.col("occ"))), F.lit(0))
+        .cast("long")
+        .alias("cnt_t"),
+        F.coalesce(F.sum(F.when(~is_tgt, F.col("occ"))), F.lit(0))
+        .cast("long")
+        .alias("cnt_r"),
+    )
+    ratio = counts.filter(F.col("cnt_r") >= 1).select(
+        "bucket",
+        (fl6(F.col("cnt_t") + 1) - fl6(F.col("cnt_r") + 1)).alias("l_micro"),
+    )
+    tot = counts.agg(
+        (
+            fl6(F.sum("cnt_r") + DSIR_BUCKETS)
+            - fl6(F.sum("cnt_t") + DSIR_BUCKETS)
+        ).alias("c_micro")
+    )
+    scored = (
+        occ.filter(~is_tgt)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("l_micro")).cast("long").alias("sum_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("sum_l") + F.col("n_tokens") * F.col("c_micro"))
+            .cast("long")
+            .alias("logw_micronat"),
+        )
+    )
+    w = Window.orderBy(F.col("logw_micronat").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= DSIR_K)
+        .select("doc_id", "source", "n_tokens", "logw_micronat", "rnk")
+    )

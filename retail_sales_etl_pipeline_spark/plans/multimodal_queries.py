@@ -254,3 +254,99 @@ _VAL = (
 def q156_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return media_decode_features(synth_media_payloads(docs))
+
+
+from ..operators.multimodal import (  # noqa: E402
+    PHASH_GX,
+    PHASH_GY,
+    PHASH_SHIFT,
+    perceptual_hashes,
+)
+
+
+def _px_val(idx_sql: str) -> str:
+    """Channel byte at logical pixel-stream index ``idx_sql`` — the
+    generator's closed-form value, evaluated with no decoder."""
+    return (
+        f"(({MEDIA_LCG_A} * ((doc_id * {MEDIA_P1} + ({idx_sql}) * {MEDIA_P2}) "
+        f"% {MEDIA_LCG_M}) + {MEDIA_LCG_B}) % 256)"
+    )
+
+
+_G_ORIG = "({} + {} + {}) // 3".format(
+    *(_px_val(f"3 * (py * w + px) + {k}") for k in range(3))
+)
+_G_TWIN = "({} + {} + {}) // 3".format(
+    *(f"least(255, {_px_val(f'3 * (py * w + px) + {k}')} + {PHASH_SHIFT})"
+      for k in range(3))
+)
+
+
+@register(
+    "q159_perceptual_hash_twins",
+    oracle=f"""
+    WITH bmp AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    grid AS (
+      SELECT b.doc_id, b.w, b.h, gy.gy, gx.gx,
+             (gy.gy * (b.h - 1)) // {PHASH_GY - 1} AS py,
+             (gx.gx * (b.w - 1)) // {PHASH_GX - 1} AS px
+      FROM bmp b,
+           unnest(range(0, {PHASH_GY})) AS gy(gy),
+           unnest(range(0, {PHASH_GX})) AS gx(gx)
+    ),
+    gray AS (
+      SELECT doc_id, gy, gx, {_G_ORIG} AS g, {_G_TWIN} AS gt
+      FROM grid
+    ),
+    bits AS (
+      SELECT doc_id, gy, gx, g, gt,
+             LEAD(g) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS gn,
+             LEAD(gt) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS gtn
+      FROM gray
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN g > gn
+                 THEN (CAST(1 AS BIGINT) << (gy * 8 + gx)) END), 0)
+                 AS BIGINT) AS dhash,
+             CAST(COALESCE(SUM(CASE WHEN gt > gtn
+                 THEN (CAST(1 AS BIGINT) << (gy * 8 + gx)) END), 0)
+                 AS BIGINT) AS dhash_twin
+      FROM bits WHERE gx < {PHASH_GX - 1} GROUP BY doc_id
+    )
+    SELECT h.doc_id, CAST(b.w AS BIGINT) AS width,
+           CAST(b.h AS BIGINT) AS height, h.dhash, h.dhash_twin,
+           h.dhash = h.dhash_twin AS dhash_twin_match,
+           FALSE AS byte_twin_match
+    FROM hashes h JOIN bmp b USING (doc_id)
+    """,
+    doc="Perceptual image fingerprinting over REALLY decoded pixels: "
+    "every BMP payload is container-decoded (padding + bottom-up undo), "
+    f"grid-resampled to {PHASH_GY}x{PHASH_GX} grayscale with pure "
+    "integer nearest-neighbor arithmetic, and hashed into a 56-bit "
+    "dHash (horizontal gray-gradient sign bits) — the standard "
+    "image-near-dup key: group/band on it exactly like q20's sha256 or "
+    "q84's SimHash hamming machinery, which byte-exact dedup cannot do "
+    "for re-encoded or brightness-shifted copies. Each image also gets "
+    f"a brightness twin (channel bytes min(255, b+{PHASH_SHIFT})) "
+    "re-encoded into a genuine BMP container and re-decoded through the "
+    "same parser: sha256 never matches twin to original (the oracle "
+    "proves it by pinning byte_twin_match FALSE — any true would "
+    "hash-mismatch), while dHash matches wherever 255-clipping doesn't "
+    "erase a sampled gradient. The oracle recomputes both hashes from "
+    "the generator's closed-form pixel values with NO decoder — and "
+    "needs only the 63 sampled grid pixels per image, never the full "
+    "raster — so a hash match proves the decode -> resample -> hash "
+    "path bit-exactly. Scale shape: two narrow map stages (synthesize, "
+    "decode+hash), zero shuffle, payloads never leave the executor; "
+    "compressed codecs stay honestly NotImplemented (no codec libs "
+    "here) and would slot into the same plan.",
+    tags=("multimodal", "pandas-udf", "dedup", "decode"),
+)
+def q159_perceptual_hash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = synth_media_payloads(docs).filter(F.col("mime") == "image/bmp")
+    return perceptual_hashes(imgs)

@@ -556,3 +556,79 @@ def q132_bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP_PAIRS)
     w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# Tokenizer fertility: tokens-per-word by language — THE go/no-go metric
+# for a tokenizer across a multilingual corpus (fertility >> 1 for a
+# language means its text fragments into many subword tokens, inflating
+# compute per character of content; vocab allocation is usually revisited
+# when a served language's fertility is high). Uses the q26 BPE-ish regex
+# token convention against whitespace words; ratios in exact integer ppm.
+_FERTILITY_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q160_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                 AS toks,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS sum_words,
+           CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           CAST(SUM(chars) AS BIGINT) AS sum_chars,
+           CAST((SUM(toks) * 1000000) // SUM(words) AS BIGINT)
+               AS fertility_ppm,
+           CAST((SUM(chars) * 1000000) // SUM(toks) AS BIGINT)
+               AS chars_per_token_ppm
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language: BPE-ish tokens per whitespace "
+    "word and characters per token, aggregated per language label — the "
+    "standard multilingual-tokenizer health metric (high fertility = "
+    "the language fragments into many subwords, so each content "
+    "character costs more sequence length; the usual trigger for "
+    "revisiting vocab allocation, cf. UniMax/mT5 reporting). Token "
+    "convention is q26's portable regex (letter runs / digit runs / "
+    "single other-symbols — no lookaround, Java regex and RE2 agree); "
+    "ratios are exact integer ppm so the rollup is hash-checked. Scale "
+    "shape: per-doc counts are map-side expressions; one shuffle on the "
+    "5-value lang key carrying 4 int64 partials per group.",
+    tags=("tokenizer", "text", "profiling"),
+)
+def q160_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit(_FERTILITY_REGEX), 0))
+        .cast("long")
+        .alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("sum_words"),
+        F.sum("toks").cast("long").alias("sum_tokens"),
+        F.sum("chars").cast("long").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_words",
+        "sum_tokens",
+        "sum_chars",
+        F.expr("CAST((sum_tokens * 1000000) div sum_words AS LONG)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("CAST((sum_chars * 1000000) div sum_tokens AS LONG)").alias(
+            "chars_per_token_ppm"
+        ),
+    )

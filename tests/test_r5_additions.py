@@ -1,0 +1,146 @@
+"""Round-5 additions: DSIR importance weights (q158), perceptual image
+hashing over real decode (q159), tokenizer fertility (q160)."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from retail_sales_etl_pipeline_spark.functions.scalar import POLY_BASE, POLY_MOD
+from retail_sales_etl_pipeline_spark.operators.multimodal import (
+    PHASH_GX,
+    PHASH_GY,
+    decode_bmp,
+    perceptual_hashes,
+    synth_media_payloads,
+)
+from retail_sales_etl_pipeline_spark.operators.text import (
+    token_bucket_counts_pandas,
+)
+from retail_sales_etl_pipeline_spark.plans.mixing_queries import (
+    DSIR_K,
+    DSIR_TARGET,
+    q158_dsir_importance_weights,
+)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    h = 0
+    for c in tok:
+        h = (h * POLY_BASE + ord(c)) % POLY_MOD
+    return h % n_buckets
+
+
+def test_token_bucket_counts_match_pure_python(spark):
+    rows = [
+        (1, "srcA", "the quick brown fox the"),
+        (2, "srcB", ""),  # split('') -> [''] — one empty token, bucket 0
+        (3, "srcA", "zeta zeta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["doc_id"], r["bucket"]): r["occ"]
+        for r in token_bucket_counts_pandas(df, 64, keep_col="source").collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for did, _, text in rows:
+        for t in text.split(" "):
+            k = (did, _py_bucket(t, 64))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_dsir_ranks_target_like_doc_first(spark, tmp_path):
+    # Target corpus speaks 'alpha beta'; candidate 10 is pure target
+    # vocabulary, candidate 11 shares nothing with it. DSIR must rank 10
+    # above 11, and the weight gap must be strictly positive.
+    rows = [
+        (1, "alpha beta alpha beta", "en", DSIR_TARGET[0], 0),
+        (2, "beta alpha beta", "en", DSIR_TARGET[1], 0),
+        (10, "alpha beta", "en", "web", 0),
+        (11, "zeta yota", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in q158_dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {10, 11}  # target docs are never candidates
+    assert out[10]["rnk"] == 1 and out[11]["rnk"] == 2
+    assert out[10]["logw_micronat"] > out[11]["logw_micronat"]
+
+
+def test_dsir_registry_output_shape(spark):
+    out = q158_dsir_importance_weights(spark, SMOKE_SF_DIR).collect()
+    assert 0 < len(out) <= DSIR_K
+    ranks = sorted(r["rnk"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))  # dense 1..n
+    by_rnk = sorted(out, key=lambda r: r["rnk"])
+    for a, b in zip(by_rnk, by_rnk[1:]):  # ordered by weight desc
+        assert a["logw_micronat"] >= b["logw_micronat"]
+    assert all(r["source"] not in DSIR_TARGET for r in out)
+
+
+def _bmp_bytes(w: int, h: int, logical: bytes) -> bytes:
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    body = b"".join(
+        logical[y * w * 3 : (y + 1) * w * 3] + pad
+        for y in range(h - 1, -1, -1)
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def _py_dhash(w: int, h: int, px: bytes) -> int:
+    v = 0
+    for gy in range(PHASH_GY):
+        py = gy * (h - 1) // (PHASH_GY - 1)
+        for gx in range(PHASH_GX - 1):
+            p0 = (py * w + gx * (w - 1) // (PHASH_GX - 1)) * 3
+            p1 = (py * w + (gx + 1) * (w - 1) // (PHASH_GX - 1)) * 3
+            g0 = (px[p0] + px[p0 + 1] + px[p0 + 2]) // 3
+            g1 = (px[p1] + px[p1 + 1] + px[p1 + 2]) // 3
+            if g0 > g1:
+                v |= 1 << (gy * 8 + gx)
+    return v
+
+
+def test_phash_brightness_invariant_when_no_clipping(spark):
+    # All channel bytes <= 200, so the +10 twin never clips at 255 and the
+    # dHash must be bit-identical — the exact failure byte-level dedup has.
+    w, h = 10, 8
+    logical = bytes((i * 37) % 200 for i in range(w * h * 3))
+    payload = _bmp_bytes(w, h, logical)
+    df = spark.createDataFrame(
+        [(99, payload)], "doc_id long, payload binary"
+    )
+    row = perceptual_hashes(df).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["dhash_twin_match"] is True
+    assert row["byte_twin_match"] is False
+    assert row["dhash"] == _py_dhash(w, h, logical)
+
+
+def test_phash_inline_decoder_matches_module_decoder(spark):
+    # The worker batch fn carries an inline decoder copy; pin it against
+    # the module-level decode_bmp + pure-python grid math on real synth
+    # payloads (odd doc_ids are BMP).
+    docs = spark.range(1, 12).select(F.col("id").alias("doc_id"))
+    imgs = synth_media_payloads(docs).filter(F.col("mime") == "image/bmp")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    got = {r["doc_id"]: r for r in perceptual_hashes(imgs).collect()}
+    assert set(got) == set(payloads) and len(got) >= 5
+    for did, payload in payloads.items():
+        w, h, px = decode_bmp(payload)
+        assert got[did]["dhash"] == _py_dhash(w, h, px)
