@@ -1730,3 +1730,195 @@ def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("rep"), "component_id")
 
     return rep.join(merged, "rep").select("doc_id", "component_id")
+
+
+# Cross-source content-overlap audit: bottom-k (KMV) sketch Jaccard between
+# every pair of sources, audited against the exact fingerprint join. The
+# sketch is the 100 TB form — per-source state is K int64 values, mergeable
+# across shards/days (min-merge), and pair estimation touches only
+# n_sources * K rows; the exact columns are the q86-convention audit that
+# exists to make estimator error observable, not silent.
+OVERLAP_K = 64
+OVERLAP_A, OVERLAP_B = 667349063, 152287541  # sketch-key affine permutation
+_FP_DUCK = _KEY_DUCK
+from ..functions.scalar import POLY_MOD  # noqa: E402
+
+
+@register(
+    "q161_source_overlap_sketch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             ({OVERLAP_A} * {_FP_DUCK} + {OVERLAP_B}) % {POLY_MOD} AS sk
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vals FROM fp GROUP BY source
+    ),
+    sketch AS (
+      SELECT source, sk FROM (
+        SELECT source, sk,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY sk) AS rn
+        FROM fp
+      ) WHERE rn <= {OVERLAP_K}
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM counts a JOIN counts b ON a.source < b.source
+    ),
+    tagged AS (
+      SELECT p.src_a, p.src_b, s.sk,
+             CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END AS in_b
+      FROM pairs p JOIN sketch s ON s.source IN (p.src_a, p.src_b)
+    ),
+    uni AS (
+      SELECT src_a, src_b, sk, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM tagged GROUP BY src_a, src_b, sk
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY sk)
+                 AS rn
+      FROM uni
+    ),
+    est AS (
+      SELECT src_a, src_b,
+             CAST(COUNT(*) AS BIGINT) AS sketch_k,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_common_in_sketch
+      FROM ranked WHERE rn <= {OVERLAP_K} GROUP BY src_a, src_b
+    ),
+    exact AS (
+      SELECT p.src_a, p.src_b,
+             CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_exact_common
+      FROM pairs p LEFT JOIN (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_common
+        FROM fp a JOIN fp b ON a.sk = b.sk AND a.source < b.source
+        GROUP BY 1, 2
+      ) x ON x.src_a = p.src_a AND x.src_b = p.src_b
+    )
+    SELECT e.src_a, e.src_b, e.sketch_k, e.n_common_in_sketch,
+           CAST((e.n_common_in_sketch * 1000000) // e.sketch_k AS BIGINT)
+               AS jaccard_est_ppm,
+           x.n_exact_common,
+           CAST((x.n_exact_common * 1000000)
+                // (ca.n_vals + cb.n_vals - x.n_exact_common) AS BIGINT)
+               AS jaccard_exact_ppm
+    FROM est e
+    JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+    JOIN counts ca ON ca.source = e.src_a
+    JOIN counts cb ON cb.source = e.src_b
+    """,
+    doc="Cross-source content-overlap audit: for every pair of sources, "
+    "a bottom-k (KMV) sketch estimate of the Jaccard overlap of their "
+    f"distinct content fingerprints (K={OVERLAP_K} smallest affine-"
+    "permuted fps per source; estimate = shared fraction of the union's "
+    "bottom-K) next to the exact fingerprint-join overlap — the "
+    "provenance question a corpus curator asks before mixing sources "
+    "('how much of src7 is already in src3?'), and the q86 convention: "
+    "the estimator ships WITH its exact audit so sketch error is "
+    "observable, never silent. Scale shape: per-source sketch state is "
+    f"K={OVERLAP_K} int64 values — mergeable across shards and days by "
+    "min-merge, so at 100 TB each increment sketches only its own docs; "
+    "the Spark plan builds sketches in two bounded window levels "
+    "(bottom-K within fp%256 sub-buckets, then bottom-K of the <=256*K "
+    "survivors — no single task ever sees a source's full distinct-fp "
+    "stream, and the two-level result is provably the global bottom-K); "
+    "pair estimation then touches n_sources*K rows. The exact-join "
+    "audit columns are themselves equi-joins on fp (no pair blowup: "
+    "only genuinely shared fingerprints meet).",
+    tags=("dedup", "profiling", "sketch"),
+)
+def q161_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        fingerprint_pandas(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            ((F.lit(OVERLAP_A) * F.col("content_fp") + F.lit(OVERLAP_B))
+             % POLY_MOD).alias("sk"),
+        )
+        .distinct()
+    )
+    counts = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals")
+    )
+    # Two-level bottom-K: sub-bucket windows bound every task's input; the
+    # survivors (<= 256*K per source) feed the per-source window. Bottom-K
+    # of per-bucket bottom-Ks == global bottom-K (every global winner wins
+    # its own bucket), so the oracle's one-level form matches exactly.
+    w1 = Window.partitionBy("source", F.col("sk") % 256).orderBy("sk")
+    w2 = Window.partitionBy("source").orderBy("sk")
+    sketch = (
+        fps.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= OVERLAP_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .select("source", "sk")
+    )
+    pairs = (
+        counts.select(F.col("source").alias("src_a"))
+        .join(
+            counts.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    tagged = pairs.join(
+        F.broadcast(sketch),
+        F.col("source").isin(F.col("src_a"), F.col("src_b")),
+    ).select(
+        "src_a", "src_b", "sk",
+        F.when(F.col("source") == F.col("src_a"), 1).otherwise(0).alias("in_a"),
+        F.when(F.col("source") == F.col("src_b"), 1).otherwise(0).alias("in_b"),
+    )
+    uni = tagged.groupBy("src_a", "src_b", "sk").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("sk")
+    est = (
+        uni.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sketch_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+            .alias("n_common_in_sketch"),
+        )
+    )
+    exact_common = (
+        fps.alias("a")
+        .join(fps.alias("b"), "sk")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    exact = pairs.join(exact_common, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_exact_common"),
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"])
+        .join(
+            F.broadcast(counts.select(F.col("source").alias("src_a"),
+                                      F.col("n_vals").alias("nv_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("source").alias("src_b"),
+                                      F.col("n_vals").alias("nv_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "sketch_k", "n_common_in_sketch",
+            F.expr("CAST((n_common_in_sketch * 1000000) div sketch_k AS LONG)")
+            .alias("jaccard_est_ppm"),
+            "n_exact_common",
+            F.expr(
+                "CAST((n_exact_common * 1000000) div "
+                "(nv_a + nv_b - n_exact_common) AS LONG)"
+            ).alias("jaccard_exact_ppm"),
+        )
+    )

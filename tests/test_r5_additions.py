@@ -144,3 +144,53 @@ def test_phash_inline_decoder_matches_module_decoder(spark):
     for did, payload in payloads.items():
         w, h, px = decode_bmp(payload)
         assert got[did]["dhash"] == _py_dhash(w, h, px)
+
+
+def test_source_overlap_sketch_invariants(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        OVERLAP_K,
+        q161_source_overlap_sketch,
+    )
+
+    rows = q161_source_overlap_sketch(spark, SMOKE_SF_DIR).collect()
+    n_sources = duck.execute(
+        "SELECT COUNT(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(rows) == n_sources * (n_sources - 1) // 2  # every pair once
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 1 <= r["sketch_k"] <= OVERLAP_K
+        assert 0 <= r["n_common_in_sketch"] <= r["sketch_k"]
+        assert 0 <= r["jaccard_est_ppm"] <= 1_000_000
+        assert 0 <= r["jaccard_exact_ppm"] <= 1_000_000
+        # sketch can only see overlap that exists
+        if r["n_exact_common"] == 0:
+            assert r["n_common_in_sketch"] == 0
+
+
+def test_two_level_bottom_k_equals_global(spark):
+    # The scalable two-level bottom-K (per sk%256 sub-bucket, then global)
+    # must equal the straight global bottom-K the oracle computes.
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(7)
+    data = [("s%d" % (i % 3), rng.randrange(10**9)) for i in range(5000)]
+    df = spark.createDataFrame(data, "source string, sk long").distinct()
+    K = 64
+    w1 = W.partitionBy("source", F.col("sk") % 256).orderBy("sk")
+    w2 = W.partitionBy("source").orderBy("sk")
+    two = (
+        df.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= K)
+        .select("source", "sk")
+    )
+    one = (
+        df.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= K)
+        .select("source", "sk")
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
