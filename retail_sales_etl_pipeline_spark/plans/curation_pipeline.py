@@ -241,3 +241,65 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def dsir_selection_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_path: str,
+    out_path: str,
+    keep_ppm: int = 500_000,
+) -> dict:
+    """DSIR selection over a curated corpus — the 'pick the raw-web docs
+    that look like the curated target' stage that follows dedup in a
+    training-data pipeline (clean -> dedup -> SELECT -> pack/export).
+
+    Importance models are fit on the FULL document set (q158 semantics:
+    target = DSIR_TARGET sources, raw = everything else — the paper fits
+    on the raw pool, selection then applies wherever you like); scoring
+    is restricted to the corpus at ``corpus_path`` (any parquet carrying
+    ``doc_id``). The top ``keep_ppm``-millionths of the corpus's
+    CANDIDATE docs by importance weight are kept, by exact deterministic
+    rank (weight desc, doc_id tiebreak); corpus docs from the target
+    domain itself are always kept (they define the target) with NULL
+    weight. Output parquet: (doc_id, logw_micronat).
+
+    Scale shape: model fitting is q158's (map-side bucket folding,
+    broadcast B-row model, doc-grain aggregate); the top-fraction rank is
+    ONE total-order sort of doc-grain scalars (~16 B per doc — at 10^9
+    docs that is a ~16 GB sort of ids and weights, not of content),
+    which is exactly what a production selection run pays."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .mixing_queries import DSIR_TARGET, dsir_scores
+
+    corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_scores(docs)
+    cand = corpus_ids.join(scores, "doc_id")
+    n_corpus = corpus_ids.count()
+    n_cand = cand.count()
+    k = n_cand * keep_ppm // 1_000_000
+    w = Window.orderBy(F.col("logw_micronat").desc(), "doc_id")
+    kept_cand = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "logw_micronat")
+    )
+    target_kept = (
+        corpus_ids.join(
+            docs.filter(F.col("source").isin(*DSIR_TARGET)).select("doc_id"),
+            "doc_id",
+        ).select("doc_id", F.lit(None).cast("long").alias("logw_micronat"))
+    )
+    kept_cand.unionByName(target_kept).write.mode("overwrite").parquet(out_path)
+    written = spark.read.parquet(out_path)
+    n_target = written.filter(F.col("logw_micronat").isNull()).count()
+    return {
+        "n_corpus": n_corpus,
+        "n_candidates": n_cand,
+        "k_selected": k,
+        "n_target_kept": n_target,
+        "n_written": written.count(),
+    }

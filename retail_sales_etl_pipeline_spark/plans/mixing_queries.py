@@ -887,9 +887,23 @@ _TOK_H_DUCK = poly_hash_pair("t", "t")[1]
     tags=("mixing", "selection", "pandas-udf"),
 )
 def q158_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(docs)
+    w = Window.orderBy(F.col("logw_micronat").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= DSIR_K)
+        .select("doc_id", "source", "n_tokens", "logw_micronat", "rnk")
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, logw_micronat) for every CANDIDATE doc
+    (source outside DSIR_TARGET) — the reusable scoring core of q158, also
+    consumed by the curation driver's selection stage
+    (plans.curation_pipeline.dsir_selection_stage)."""
     from ..operators.text import token_bucket_counts_pandas
 
-    docs = load_table(spark, sf_dir, "documents")
     occ = token_bucket_counts_pandas(
         docs.select("doc_id", "source", "text"), DSIR_BUCKETS, keep_col="source"
     )
@@ -915,7 +929,7 @@ def q158_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - fl6(F.sum("cnt_t") + DSIR_BUCKETS)
         ).alias("c_micro")
     )
-    scored = (
+    return (
         occ.filter(~is_tgt)
         .join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
@@ -933,10 +947,4 @@ def q158_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("logw_micronat"),
         )
-    )
-    w = Window.orderBy(F.col("logw_micronat").desc(), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= DSIR_K)
-        .select("doc_id", "source", "n_tokens", "logw_micronat", "rnk")
     )

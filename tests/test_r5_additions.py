@@ -194,3 +194,55 @@ def test_two_level_bottom_k_equals_global(spark):
         .select("source", "sk")
     )
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_kmv_sketch_is_mergeable():
+    # The doc's 100 TB claim: per-shard bottom-K sketches min-merge into
+    # the corpus sketch. Algebraically: bottomK(bottomK(X) u bottomK(Y))
+    # == bottomK(X u Y) for any split — prove it on random splits.
+    import random
+
+    rng = random.Random(11)
+    K = 64
+    universe = rng.sample(range(10**9), 5000)
+    for trial in range(5):
+        cut = rng.randrange(1, len(universe))
+        x, y = set(universe[:cut]), set(universe[cut:])
+        bk = lambda s: sorted(s)[:K]  # noqa: E731
+        assert bk(set(bk(x)) | set(bk(y))) == bk(x | y)
+
+
+def test_dsir_selection_stage_composes_with_corpus(spark, tmp_path):
+    from retail_sales_etl_pipeline_spark.plans.curation_pipeline import (
+        dsir_selection_stage,
+    )
+    from retail_sales_etl_pipeline_spark.plans.mixing_queries import (
+        DSIR_TARGET,
+        dsir_scores,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table
+
+    # Corpus = every document (stand-in for curate() survivors; any
+    # doc_id-carrying parquet composes).
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    corpus_path = str(tmp_path / "corpus")
+    docs.select("doc_id").write.parquet(corpus_path)
+    out_path = str(tmp_path / "selected")
+
+    m = dsir_selection_stage(
+        spark, SMOKE_SF_DIR, corpus_path, out_path, keep_ppm=250_000
+    )
+    kept = spark.read.parquet(out_path)
+    # exact deterministic budget: floor(n_cand * ppm / 1e6) candidates
+    assert m["k_selected"] == m["n_candidates"] * 250_000 // 1_000_000
+    assert kept.filter(F.col("logw_micronat").isNotNull()).count() == m["k_selected"]
+    # target-domain corpus members always kept, with NULL weight
+    n_target = docs.filter(F.col("source").isin(*DSIR_TARGET)).count()
+    assert m["n_target_kept"] == n_target
+    assert m["n_written"] == m["k_selected"] + n_target
+    # selection is by weight: min kept weight >= max dropped weight
+    scores = {r["doc_id"]: r["logw_micronat"] for r in dsir_scores(docs).collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect() if r["logw_micronat"] is not None}
+    kept_w = [scores[d] for d in kept_ids]
+    drop_w = [w for d, w in scores.items() if d not in kept_ids]
+    assert min(kept_w) >= max(drop_w)
