@@ -1857,21 +1857,28 @@ def q161_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= OVERLAP_K)
         .select("source", "sk")
     )
-    pairs = (
-        counts.select(F.col("source").alias("src_a"))
-        .join(
-            counts.select(F.col("source").alias("src_b")),
-            F.col("src_a") < F.col("src_b"),
-        )
+    # Pair universe: source-count-sized (not data-sized) — broadcast the
+    # right side so the < theta-join plans as BroadcastNestedLoop, never a
+    # CartesianProduct node. Sketch values then reach their pairs through
+    # two EQUI-joins (one per pair side) + union: broadcast hash joins,
+    # no OR-condition nested loop over the value stream.
+    pairs = counts.select(F.col("source").alias("src_a")).join(
+        F.broadcast(counts.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
     )
-    tagged = pairs.join(
-        F.broadcast(sketch),
-        F.col("source").isin(F.col("src_a"), F.col("src_b")),
+    va = sketch.join(
+        F.broadcast(pairs), sketch["source"] == pairs["src_a"]
     ).select(
         "src_a", "src_b", "sk",
-        F.when(F.col("source") == F.col("src_a"), 1).otherwise(0).alias("in_a"),
-        F.when(F.col("source") == F.col("src_b"), 1).otherwise(0).alias("in_b"),
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
     )
+    vb = sketch.join(
+        F.broadcast(pairs), sketch["source"] == pairs["src_b"]
+    ).select(
+        "src_a", "src_b", "sk",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    tagged = va.unionByName(vb)
     uni = tagged.groupBy("src_a", "src_b", "sk").agg(
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
     )

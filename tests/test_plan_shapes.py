@@ -439,3 +439,45 @@ def test_q152_single_sort_serves_all_windows(spark):
         REGISTRY["q152_balance_percentiles"].spark_fn(spark, SMOKE_SF_DIR)
     )
     assert len(re.findall(r"hashpartitioning\(c_mktsegment", plan)) == 1
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """q158: the <=4096-row bucket model must broadcast to the token-
+    bucket stream (the q88 lesson: small-by-construction aggregates get
+    sort-merge-joined on a shuffle of the full stream unless broadcast
+    explicitly — measured 25x growth at 100x before the fix)."""
+    plan = _formatted_plan(
+        REGISTRY["q158_dsir_importance_weights"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phash_plan_is_map_only(spark):
+    """q159: synthesize -> decode -> hash must be a pure map pipeline —
+    zero Exchange; payloads never shuffle."""
+    plan = _formatted_plan(
+        REGISTRY["q159_perceptual_hash_twins"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Exchange") == 0
+
+
+def test_fertility_is_single_shuffle_partial_agg(spark):
+    """q160: per-doc counts map-side, one exchange on the lang key with
+    partial aggregation before it."""
+    plan = _formatted_plan(
+        REGISTRY["q160_tokenizer_fertility"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Exchange") == 1
+    assert "partial" in plan.lower()
+
+
+def test_overlap_sketch_pair_stage_is_broadcast(spark):
+    """q161: pair estimation joins the K-row-per-source sketch via
+    broadcast; the only sort-merge work allowed is the exact-audit
+    fp equi-join and bounded window sorts."""
+    plan = _formatted_plan(
+        REGISTRY["q161_source_overlap_sketch"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
