@@ -151,3 +151,32 @@ def test_component_split_survives_identical_corpus(spark, degenerate_sf_dir):
     for r in rows:
         comp_splits.setdefault(r.component_id, set()).add(r.split)
     assert all(len(s) == 1 for s in comp_splits.values())
+
+
+def test_dsir_survives_single_source_corpus(spark, degenerate_sf_dir):
+    """q158 on a corpus collapsed to ONE source: either every doc is
+    target (no candidates -> empty result) or every doc is a candidate
+    with an identical bag (equal weights, doc_id tiebreak) — both sides
+    bounded, no explosion, ranks dense."""
+    rows = (
+        REGISTRY["q158_dsir_importance_weights"]
+        .spark_fn(spark, degenerate_sf_dir)
+        .collect()
+    )
+    assert len(rows) <= mq.DSIR_K
+    if rows:
+        assert len({r.logw_micronat for r in rows}) == 1  # identical docs
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)] == sorted(
+            r.doc_id for r in rows
+        )
+
+
+def test_overlap_sketch_single_source_is_empty(spark, degenerate_sf_dir):
+    """q161 with one source has no pairs — empty, not an error."""
+    out = (
+        REGISTRY["q161_source_overlap_sketch"]
+        .spark_fn(spark, degenerate_sf_dir)
+        .collect()
+    )
+    assert out == []
