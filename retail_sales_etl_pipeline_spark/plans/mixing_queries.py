@@ -897,16 +897,23 @@ def q158_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dsir_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, n_tokens, logw_micronat) for every CANDIDATE doc
-    (source outside DSIR_TARGET) — the reusable scoring core of q158, also
-    consumed by the curation driver's selection stage
-    (plans.curation_pipeline.dsir_selection_stage)."""
+def _token_occ(docs: DataFrame) -> DataFrame:
     from ..operators.text import token_bucket_counts_pandas
 
-    occ = token_bucket_counts_pandas(
+    return token_bucket_counts_pandas(
         docs.select("doc_id", "source", "text"), DSIR_BUCKETS, keep_col="source"
     )
+
+
+def dsir_model_frames(
+    docs: DataFrame, occ: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The fitted DSIR model as two frames: (ratio: bucket, l_micro —
+    <= DSIR_BUCKETS rows; tot: one-row c_micro per-token constant).
+    Consumed by dsir_scores and exported driver-side for streaming
+    serving (streaming.scoring.export_dsir_model)."""
+    if occ is None:
+        occ = _token_occ(docs)
     is_tgt = F.col("source").isin(*DSIR_TARGET)
     fl6 = lambda c: F.floor(  # noqa: E731
         F.log(c.cast("double")) * 1e6 + F.lit(0.5)
@@ -929,6 +936,17 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
             - fl6(F.sum("cnt_t") + DSIR_BUCKETS)
         ).alias("c_micro")
     )
+    return ratio, tot
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, logw_micronat) for every CANDIDATE doc
+    (source outside DSIR_TARGET) — the reusable scoring core of q158, also
+    consumed by the curation driver's selection stage
+    (plans.curation_pipeline.dsir_selection_stage)."""
+    occ = _token_occ(docs)
+    ratio, tot = dsir_model_frames(docs, occ=occ)
+    is_tgt = F.col("source").isin(*DSIR_TARGET)
     return (
         occ.filter(~is_tgt)
         .join(F.broadcast(ratio), "bucket")

@@ -10,12 +10,15 @@ from .events import (
     stream_stream_attribution,
     windowed_event_counts,
 )
+from .scoring import dsir_score_stream, export_dsir_model
 from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
     "dedup_stream_against_index",
     "dedup_stream_within_watermark",
+    "dsir_score_stream",
     "exactly_once_parquet_sink",
+    "export_dsir_model",
     "fingerprint_events",
     "read_events_stream",
     "run_to_memory",

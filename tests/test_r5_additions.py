@@ -246,3 +246,44 @@ def test_dsir_selection_stage_composes_with_corpus(spark, tmp_path):
     kept_w = [scores[d] for d in kept_ids]
     drop_w = [w for d, w in scores.items() if d not in kept_ids]
     assert min(kept_w) >= max(drop_w)
+
+
+def test_streaming_dsir_scoring_equals_batch(spark, tmp_path):
+    # Fit in batch, export the model, score a document STREAM statelessly
+    # — per-doc integer micro-nat weights must equal the batch q158 core
+    # for every candidate doc.
+    from retail_sales_etl_pipeline_spark.plans.mixing_queries import (
+        DSIR_BUCKETS,
+        dsir_scores,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table
+    from retail_sales_etl_pipeline_spark.streaming import run_to_memory
+    from retail_sales_etl_pipeline_spark.streaming.scoring import (
+        dsir_score_stream,
+        export_dsir_model,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model, c_micro = export_dsir_model(docs)
+    assert 0 < len(model) <= DSIR_BUCKETS
+
+    stream_dir = str(tmp_path / "docs_stream")
+    cand = docs.filter(~F.col("source").isin(*DSIR_TARGET))
+    cand.repartition(4).write.parquet(stream_dir)  # several files -> several batches
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    got = run_to_memory(
+        dsir_score_stream(stream, model, c_micro, DSIR_BUCKETS),
+        "dsir_stream_scores",
+        output_mode="append",
+    )
+    stream_w = {r["doc_id"]: r["logw_micronat"] for r in got.collect()}
+    batch_w = {
+        r["doc_id"]: r["logw_micronat"] for r in dsir_scores(docs).collect()
+    }
+    assert stream_w == batch_w
