@@ -54,7 +54,8 @@ MARQUEE_100X = {
     "q88_unigram_surprisal", "q91_quality_gate", "q105_bigram_doc_score",
     "q117_component_size_histogram", "q121_ngram_novelty",
     "q126_containment_pairs", "q142_ab_uplift", "q153_component_keyed_split",
-    "q155_component_reuse_rollup",
+    "q155_component_reuse_rollup", "q158_dsir_importance_weights",
+    "q159_perceptual_hash_twins", "q161_source_overlap_sketch",
 }
 
 
