@@ -586,7 +586,7 @@ _FERTILITY_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
            CAST(SUM(chars) AS BIGINT) AS sum_chars,
            CAST((SUM(toks) * 1000000) // SUM(words) AS BIGINT)
                AS fertility_ppm,
-           CAST((SUM(chars) * 1000000) // SUM(toks) AS BIGINT)
+           CAST((SUM(chars) * 1000000) // NULLIF(SUM(toks), 0) AS BIGINT)
                AS chars_per_token_ppm
     FROM per_doc GROUP BY lang
     """,
@@ -625,10 +625,13 @@ def q160_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_words",
         "sum_tokens",
         "sum_chars",
+        # sum_words >= n_docs >= 1 (split('') is ['']); sum_tokens CAN be 0
+        # for a language of symbol-free whitespace docs — NULL, not a
+        # DIVIDE_BY_ZERO (ANSI mode), matching the oracle's NULLIF.
         F.expr("CAST((sum_tokens * 1000000) div sum_words AS LONG)").alias(
             "fertility_ppm"
         ),
-        F.expr("CAST((sum_chars * 1000000) div sum_tokens AS LONG)").alias(
-            "chars_per_token_ppm"
-        ),
+        F.expr(
+            "CAST((sum_chars * 1000000) div NULLIF(sum_tokens, 0) AS LONG)"
+        ).alias("chars_per_token_ppm"),
     )

@@ -287,3 +287,23 @@ def test_streaming_dsir_scoring_equals_batch(spark, tmp_path):
         r["doc_id"]: r["logw_micronat"] for r in dsir_scores(docs).collect()
     }
     assert stream_w == batch_w
+
+
+def test_fertility_zero_token_language_is_null_not_error(spark, tmp_path):
+    # ANSI mode: a language whose docs contain no regex tokens must yield
+    # NULL chars_per_token_ppm, not DIVIDE_BY_ZERO.
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+
+    spark.createDataFrame(
+        [(1, "   ", "xx", "s", 3), (2, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["lang"]: r
+        for r in load_all()["q160_tokenizer_fertility"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["xx"]["chars_per_token_ppm"] is None
+    assert rows["xx"]["sum_tokens"] == 0
+    assert rows["en"]["chars_per_token_ppm"] == 5_500_000  # 11 chars / 2 toks
