@@ -1929,3 +1929,131 @@ def q161_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact_ppm"),
         )
     )
+
+
+# Longest common token span per candidate pair — the ExactSubstr-flavored
+# verification metric (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better": substring-level duplication matters even when
+# set-similarity is low; a long verbatim span is a stronger dup signal
+# than trigram Jaccard for partial copies and quotations). Computed
+# RELATIONALLY — token-position equi-join + diagonal gaps-and-islands —
+# identical plans in both engines, no per-pair DP.
+SPAN_TF_CAP = 32  # positions kept per (doc, token): bounds match fan-out
+
+
+@register(
+    "q162_longest_common_span",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    pos0 AS (
+      SELECT doc_id, t.i AS pos, string_split(text, ' ')[t.i] AS tok
+      FROM documents,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+    ),
+    posr AS (
+      SELECT doc_id, pos, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS rn
+      FROM pos0
+    ),
+    kept AS (SELECT doc_id, pos, tok FROM posr WHERE rn <= {SPAN_TF_CAP}),
+    capped AS (SELECT DISTINCT doc_id FROM posr WHERE rn > {SPAN_TF_CAP}),
+    m AS (
+      SELECT c.doc_a, c.doc_b, a.pos AS i, b.pos AS j
+      FROM cand c
+      JOIN kept a ON a.doc_id = c.doc_a
+      JOIN kept b ON b.doc_id = c.doc_b AND b.tok = a.tok
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM (
+        SELECT doc_a, doc_b, i - j AS d, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, i - j
+                                      ORDER BY i) AS isl
+        FROM m
+      )
+      GROUP BY doc_a, doc_b, d, isl
+    ),
+    agg AS (
+      SELECT doc_a, doc_b,
+             CAST(MAX(run_len) AS BIGINT) AS longest_span,
+             CAST(SUM(run_len) AS BIGINT) AS n_match_positions
+      FROM runs GROUP BY doc_a, doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(COALESCE(g.longest_span, 0) AS BIGINT) AS longest_span,
+           CAST(COALESCE(g.n_match_positions, 0) AS BIGINT)
+               AS n_match_positions,
+           (ca.doc_id IS NOT NULL OR cb.doc_id IS NOT NULL) AS tf_capped
+    FROM cand c
+    LEFT JOIN agg g ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+    LEFT JOIN capped ca ON ca.doc_id = c.doc_a
+    LEFT JOIN capped cb ON cb.doc_id = c.doc_b
+    """,
+    doc="Longest common contiguous token span per LSH candidate pair — "
+    "the ExactSubstr-flavored dup signal (Lee et al. 2022): a long "
+    "verbatim run marks partial copies and quotations that trigram "
+    "Jaccard under-scores. Relational formulation, no per-pair DP: "
+    "token-position equi-join on (doc, token) gives match points (i, j); "
+    "a common span of length L is exactly L consecutive match points on "
+    "one diagonal i-j, so the answer is the classic gaps-and-islands "
+    "max-run per (pair, diagonal) — two window functions and an "
+    f"aggregate. Per-(doc, token) positions are capped at the first "
+    f"{SPAN_TF_CAP} (mirrored in the oracle, surfaced via tf_capped): "
+    "exact whenever no token repeats past the cap in a doc, "
+    "conservative (never inflated) beyond it — without the cap, a "
+    "degenerate doc of one repeated token makes the match relation "
+    "quadratic per pair. Scale shape: pair work only on LSH candidates "
+    "(hot-bucket-capped upstream), match fan-out bounded by cap^2 per "
+    "shared token, shuffles keyed on (doc, token) and (pair, diagonal) "
+    "— never all-pairs, never full-text payloads.",
+    tags=("dedup", "join", "window"),
+)
+def q162_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos0 = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    wtf = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    posr = pos0.withColumn("rn", F.row_number().over(wtf))
+    kept = posr.filter(F.col("rn") <= SPAN_TF_CAP).select("doc_id", "pos", "tok")
+    capped = posr.filter(F.col("rn") > SPAN_TF_CAP).select("doc_id").distinct()
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "tok"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "tok"
+    )
+    m = cand.join(a, "doc_a").join(b, ["doc_b", "tok"]).select(
+        "doc_a", "doc_b", "i", "j"
+    )
+    wisl = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("i") - F.col("j"))
+    ).orderBy("i")
+    runs = (
+        m.withColumn("isl", F.col("i") - F.row_number().over(wisl))
+        .groupBy(
+            "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("d"), "isl"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    agg = runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_len").cast("long").alias("longest_span"),
+        F.sum("run_len").cast("long").alias("n_match_positions"),
+    )
+    ca = capped.select(F.col("doc_id").alias("doc_a"), F.lit(True).alias("cap_a"))
+    cb = capped.select(F.col("doc_id").alias("doc_b"), F.lit(True).alias("cap_b"))
+    return (
+        cand.join(agg, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("longest_span", F.lit(0)).cast("long")
+            .alias("longest_span"),
+            F.coalesce("n_match_positions", F.lit(0)).cast("long")
+            .alias("n_match_positions"),
+            (F.coalesce("cap_a", F.lit(False))
+             | F.coalesce("cap_b", F.lit(False))).alias("tf_capped"),
+        )
+    )

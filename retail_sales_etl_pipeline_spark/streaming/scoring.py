@@ -36,6 +36,8 @@ def export_dsir_model(docs: DataFrame) -> tuple[dict[int, int], int]:
     ratio, tot = dsir_model_frames(docs)
     model = {r["bucket"]: r["l_micro"] for r in ratio.collect()}
     c_micro = tot.collect()[0]["c_micro"]
+    if c_micro is None:  # no tokens anywhere — nothing to fit
+        raise ValueError("cannot export a DSIR model from an empty corpus")
     return model, int(c_micro)
 
 

@@ -307,3 +307,46 @@ def test_fertility_zero_token_language_is_null_not_error(spark, tmp_path):
     assert rows["xx"]["chars_per_token_ppm"] is None
     assert rows["xx"]["sum_tokens"] == 0
     assert rows["en"]["chars_per_token_ppm"] == 5_500_000  # 11 chars / 2 toks
+
+
+def test_longest_common_span_matches_bruteforce_dp(spark, duck):
+    # Independent check: recompute every pair's span with a pure-Python
+    # O(n*m) DP over the cap-filtered token sequences — a genuinely
+    # different algorithm from the relational diagonal-islands plan.
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        SPAN_TF_CAP,
+        q162_longest_common_span,
+    )
+
+    rows = q162_longest_common_span(spark, SMOKE_SF_DIR).collect()
+    assert rows  # candidates exist at sf0.001
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+
+    def kept_positions(doc_id):
+        toks = texts[doc_id].split(" ")
+        seen: dict[str, int] = {}
+        out = {}
+        for p, t in enumerate(toks):
+            seen[t] = seen.get(t, 0) + 1
+            if seen[t] <= SPAN_TF_CAP:
+                out[p] = t
+        return out, any(v > SPAN_TF_CAP for v in seen.values())
+
+    for r in rows[:50]:
+        pa, cap_a = kept_positions(r["doc_a"])
+        pb, cap_b = kept_positions(r["doc_b"])
+        # exact DP (dict keyed by (i, j))
+        best, nmatch = 0, 0
+        ends: dict[tuple[int, int], int] = {}
+        for i in sorted(pa):
+            for j in sorted(pb):
+                if pa[i] == pb[j]:
+                    nmatch += 1
+                    ln = ends.get((i - 1, j - 1), 0) + 1
+                    ends[(i, j)] = ln
+                    best = max(best, ln)
+        assert r["longest_span"] == best, (r["doc_a"], r["doc_b"])
+        assert r["n_match_positions"] == nmatch
+        assert r["tf_capped"] == (cap_a or cap_b)
