@@ -489,3 +489,76 @@ def token_bucket_counts_pandas(
             yield pd.DataFrame(rows)
 
     return df.select(*cols).mapInPandas(per_batch, schema)
+
+
+def common_span_pandas(pairs, tf_cap: int, text_a: str = "text_a", text_b: str = "text_b"):
+    """(doc_a, doc_b, longest_span, n_match_positions, tf_capped) — the
+    Arrow twin of the relational diagonal-islands longest-common-span
+    (q162's oracle form). Same integers: per-(doc, token) positions past
+    ``tf_cap`` are excluded (capped docs flagged), a common span of
+    length L is L consecutive match points on one diagonal. Run state is
+    a rolling per-row dict (j -> run length at the previous i), so memory
+    is O(row width), not O(matches). This is the q21 jaccard shape —
+    pair work stays INSIDE the Arrow batch as local compute; nothing
+    data-sized is shuffled for windows, which is what lets the span
+    metric run at corpus scale where a cluster-wide shuffle of the
+    match relation (candidates x shared-token positions) would not."""
+    schema = (
+        "doc_a long, doc_b long, longest_span long, "
+        "n_match_positions long, tf_capped boolean"
+    )
+
+    def per_batch(batches):
+        import pandas as pd
+
+        def span(ta: str, tb: str):
+            toks_b = tb.split(" ")
+            pb: dict[str, list[int]] = {}
+            cnt_b: dict[str, int] = {}
+            capped = False
+            for j, t in enumerate(toks_b):
+                c = cnt_b.get(t, 0) + 1
+                cnt_b[t] = c
+                if c <= tf_cap:
+                    pb.setdefault(t, []).append(j)
+                else:
+                    capped = True
+            cnt_a: dict[str, int] = {}
+            best = 0
+            nmatch = 0
+            prev: dict[int, int] = {}  # j -> run length ending at (i-1, j)
+            for i, t in enumerate(ta.split(" ")):
+                c = cnt_a.get(t, 0) + 1
+                cnt_a[t] = c
+                if c > tf_cap:
+                    capped = True
+                    prev = {}
+                    continue
+                cur: dict[int, int] = {}
+                for j in pb.get(t, ()):
+                    ln = prev.get(j - 1, 0) + 1
+                    cur[j] = ln
+                    if ln > best:
+                        best = ln
+                nmatch += len(cur)
+                prev = cur
+            return best, nmatch, capped
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf[text_a], pdf[text_b]
+            ):
+                best, nmatch, capped = span(ta, tb)
+                rows.append({
+                    "doc_a": int(da), "doc_b": int(db),
+                    "longest_span": best, "n_match_positions": nmatch,
+                    "tf_capped": capped,
+                })
+            yield pd.DataFrame(rows)
+
+    return pairs.select("doc_a", "doc_b", text_a, text_b).mapInPandas(
+        per_batch, schema
+    )

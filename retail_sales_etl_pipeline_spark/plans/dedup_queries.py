@@ -1992,68 +1992,37 @@ SPAN_TF_CAP = 32  # positions kept per (doc, token): bounds match fan-out
     doc="Longest common contiguous token span per LSH candidate pair — "
     "the ExactSubstr-flavored dup signal (Lee et al. 2022): a long "
     "verbatim run marks partial copies and quotations that trigram "
-    "Jaccard under-scores. Relational formulation, no per-pair DP: "
-    "token-position equi-join on (doc, token) gives match points (i, j); "
-    "a common span of length L is exactly L consecutive match points on "
-    "one diagonal i-j, so the answer is the classic gaps-and-islands "
-    "max-run per (pair, diagonal) — two window functions and an "
-    f"aggregate. Per-(doc, token) positions are capped at the first "
-    f"{SPAN_TF_CAP} (mirrored in the oracle, surfaced via tf_capped): "
-    "exact whenever no token repeats past the cap in a doc, "
-    "conservative (never inflated) beyond it — without the cap, a "
-    "degenerate doc of one repeated token makes the match relation "
-    "quadratic per pair. Scale shape: pair work only on LSH candidates "
-    "(hot-bucket-capped upstream), match fan-out bounded by cap^2 per "
-    "shared token, shuffles keyed on (doc, token) and (pair, diagonal) "
-    "— never all-pairs, never full-text payloads.",
+    "Jaccard under-scores. A common span of length L is exactly L "
+    "consecutive match points on one diagonal i-j of the token-position "
+    "match relation; the ORACLE computes that relationally (position "
+    "equi-join + gaps-and-islands windows), the Spark side computes the "
+    "same integers per pair INSIDE the Arrow batch with a rolling "
+    "diagonal dict (O(matches) time, O(row) memory) — chosen by "
+    "EXECUTING both at gen100x, where the relational form's windows "
+    "shuffle the full match relation (candidates x shared-token "
+    "positions, billions of rows, >56 GB exchange) while the q21-shaped "
+    "pair form ships only candidate pairs with their two texts. "
+    f"Per-(doc, token) positions are capped at the first {SPAN_TF_CAP} "
+    "(identical in both engines, surfaced via tf_capped): exact "
+    "whenever no token repeats past the cap in a doc, conservative "
+    "(never inflated) beyond it — without the cap, a degenerate doc of "
+    "one repeated token makes match work quadratic per pair. Pair work "
+    "only on LSH candidates (hot-bucket-capped upstream); never "
+    "all-pairs.",
     tags=("dedup", "join", "window"),
 )
 def q162_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow per-pair form (the q21 jaccard shape): span work stays local
+    # compute inside the batch. The relational diagonal-islands twin (the
+    # oracle) is exact but shuffles the full match relation — candidates
+    # x shared-token positions — for its windows; EXECUTED at gen100x
+    # that was a >56 GB exchange (billions of match rows) where this
+    # form ships only the candidate pairs with their two texts.
+    from ..operators.text import common_span_pandas
+
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pos0 = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    wtf = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    posr = pos0.withColumn("rn", F.row_number().over(wtf))
-    kept = posr.filter(F.col("rn") <= SPAN_TF_CAP).select("doc_id", "pos", "tok")
-    capped = posr.filter(F.col("rn") > SPAN_TF_CAP).select("doc_id").distinct()
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "tok"
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "tok"
-    )
-    m = cand.join(a, "doc_a").join(b, ["doc_b", "tok"]).select(
-        "doc_a", "doc_b", "i", "j"
-    )
-    wisl = Window.partitionBy(
-        "doc_a", "doc_b", (F.col("i") - F.col("j"))
-    ).orderBy("i")
-    runs = (
-        m.withColumn("isl", F.col("i") - F.row_number().over(wisl))
-        .groupBy(
-            "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("d"), "isl"
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
-    )
-    agg = runs.groupBy("doc_a", "doc_b").agg(
-        F.max("run_len").cast("long").alias("longest_span"),
-        F.sum("run_len").cast("long").alias("n_match_positions"),
-    )
-    ca = capped.select(F.col("doc_id").alias("doc_a"), F.lit(True).alias("cap_a"))
-    cb = capped.select(F.col("doc_id").alias("doc_b"), F.lit(True).alias("cap_b"))
-    return (
-        cand.join(agg, ["doc_a", "doc_b"], "left")
-        .join(ca, "doc_a", "left")
-        .join(cb, "doc_b", "left")
-        .select(
-            "doc_a", "doc_b",
-            F.coalesce("longest_span", F.lit(0)).cast("long")
-            .alias("longest_span"),
-            F.coalesce("n_match_positions", F.lit(0)).cast("long")
-            .alias("n_match_positions"),
-            (F.coalesce("cap_a", F.lit(False))
-             | F.coalesce("cap_b", F.lit(False))).alias("tf_capped"),
-        )
-    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    return common_span_pandas(pairs, SPAN_TF_CAP)

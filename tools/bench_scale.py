@@ -56,6 +56,7 @@ MARQUEE_100X = {
     "q126_containment_pairs", "q142_ab_uplift", "q153_component_keyed_split",
     "q155_component_reuse_rollup", "q158_dsir_importance_weights",
     "q159_perceptual_hash_twins", "q161_source_overlap_sketch",
+    "q162_longest_common_span",
 }
 
 
