@@ -481,3 +481,18 @@ def test_overlap_sketch_pair_stage_is_broadcast(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q162_span_plan_is_pair_shaped_not_match_shuffle(spark):
+    """q162: span computation must stay inside the Arrow batch (the q21
+    pair shape). The only Window allowed is the candidate subtree's
+    bucket-size window — the relational diagonal-islands windows would
+    shuffle the full match relation (billions of rows at 100x)."""
+    q162 = _formatted_plan(
+        REGISTRY["q162_longest_common_span"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    q22 = _formatted_plan(
+        REGISTRY["q22_minhash_lsh_candidates"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(q162, "Window") == _op_count(q22, "Window")
+    assert "MapInPandas" in q162
