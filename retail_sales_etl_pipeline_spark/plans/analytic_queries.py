@@ -836,3 +836,359 @@ def q152_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("le").cast("double") / F.col("n").cast("double")).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (q165): the classic co-purchase
+# question ("parts bought together") as a scale-shaped pair pipeline.
+# The same shape as the dedup candidate generation: pair work happens
+# only WITHIN a basket (equi-join on the order key), degenerate baskets
+# are capped before pairing, and a support prefilter prunes the item
+# stream before the self-join (an item in fewer than MIN_PAIR_SUPP
+# baskets can never reach pair support — dropping it early is pure
+# pruning, provably result-neutral).
+BASKET_CAP = 32       # baskets larger than this are bulk orders, not
+                      # co-purchase signal (observed max 13 at sf0.01 —
+                      # no-op at test scale, quadratic-work guard at 100 TB)
+MIN_PAIR_SUPP = 2
+
+
+@register(
+    "q165_market_basket",
+    oracle=f"""
+    WITH items0 AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_orders AS (
+      SELECT l_orderkey FROM items0 GROUP BY l_orderkey
+      HAVING COUNT(*) <= {BASKET_CAP}
+    ),
+    items AS (
+      SELECT i.l_orderkey, i.l_partkey
+      FROM items0 i JOIN ok_orders o ON o.l_orderkey = i.l_orderkey
+    ),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY 1
+    ),
+    freq AS (SELECT * FROM supp WHERE n_i >= {MIN_PAIR_SUPP}),
+    fitems AS (
+      SELECT i.l_orderkey, i.l_partkey
+      FROM items i JOIN freq f ON f.l_partkey = i.l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM fitems a JOIN fitems b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_PAIR_SUPP}
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM ok_orders)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           sa.n_i AS n_a, sb.n_i AS n_b, t.n_orders,
+           CAST(p.n_ab * 1000000 // sa.n_i AS BIGINT) AS conf_ab_ppm,
+           CAST(p.n_ab * 1000000 // sb.n_i AS BIGINT) AS conf_ba_ppm,
+           CAST((p.n_ab::HUGEINT * t.n_orders * 1000000)
+                // (sa.n_i::HUGEINT * sb.n_i) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN total t
+    """,
+    doc="Market-basket association rules over lineitem: for every part "
+    f"pair co-ordered in >= {MIN_PAIR_SUPP} baskets, support, directed "
+    "confidence, and lift — all in exact integer ppm (lift's "
+    "n_ab*n_orders*1e6 product runs in DECIMAL(38,0)/HUGEINT so the "
+    "integer floor-division is exact at any corpus size; int64 alone "
+    "overflows past ~3M orders). Scale shape is the dedup-candidate "
+    "shape applied to retail: pair generation is an equi-join on the "
+    f"basket key (never all-pairs), baskets over {BASKET_CAP} items are "
+    "excluded before pairing (quadratic-work guard, observed no-op at "
+    "test scale), and items below pair support are pruned BEFORE the "
+    "self-join — an Apriori-style pushdown that is provably "
+    "result-neutral but shrinks the joined stream. Cited reference "
+    "parity: the reference's schema stops at revenue rollups; this is "
+    "the co-purchase extension its category_performance view "
+    "(schema/warehouse_schema.sql) points toward.",
+    tags=("analytics", "join"),
+)
+def q165_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items0 = li.select("l_orderkey", "l_partkey").distinct()
+    ok_orders = (
+        items0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    items = items0.join(ok_orders, "l_orderkey")
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    freq = supp.filter(F.col("n_i") >= MIN_PAIR_SUPP).select("l_partkey")
+    # The frequent-item table is vocab-sized (bounded by the part
+    # catalog, not the fact table) — broadcast it so the prune is a
+    # map-side semi-join, no extra shuffle of the item stream.
+    fitems = items.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = fitems.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = fitems.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPP)
+    )
+    total = ok_orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b", "n_orders",
+            F.expr("n_ab * 1000000 div n_a").alias("conf_ab_ppm"),
+            F.expr("n_ab * 1000000 div n_b").alias("conf_ba_ppm"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 "
+                "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (q166): the orders no other order beats on
+# BOTH price and recency, per market segment. The naive skyline is an
+# all-pairs dominance self-join; the scalable form is sort + running-max
+# (an order is dominated iff a strictly-later order has strictly higher
+# price — one RANGE window answers that), and the Spark side runs it in
+# TWO levels so no single task ever sorts a whole segment: a salted
+# local prune first (dominated-in-bucket => dominated-globally, so
+# pruning is result-neutral), then the exact window over the tiny
+# survivor set.
+PARETO_SALT = 64
+
+
+@register(
+    "q166_pareto_frontier",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+             -epoch_us(o.o_orderdate) AS neg_ep
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT *,
+             MAX(o_totalprice) OVER (
+               PARTITION BY c_mktsegment ORDER BY neg_ep
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_later
+      FROM o
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice, o_orderdate
+    FROM m
+    WHERE best_later IS NULL OR best_later <= o_totalprice
+    """,
+    doc="Per-segment Pareto frontier (skyline) of orders on the "
+    "(totalprice, order recency) plane: an order survives unless some "
+    "STRICTLY later order has STRICTLY higher price. The all-pairs "
+    "dominance join every textbook skyline starts from is replaced by "
+    "one sort: ordered by descending date, an order is dominated iff "
+    "the running max of price over strictly-later rows exceeds its own "
+    "— a RANGE frame ending 1 before the current epoch value, so "
+    "same-date peers (which cannot strictly dominate) are excluded "
+    "by construction in both engines. Scale shape: the Spark plan is "
+    f"two-level — a (segment, hash%{PARETO_SALT}) salted local prune "
+    "first (dominance within a subset implies global dominance, so the "
+    "prune is provably result-neutral), then the exact window over "
+    "survivors only (~frontier-sized, O(log n) per bucket on "
+    "non-adversarial data) — no single task ever sorts a full segment, "
+    "which a naive PARTITION BY segment window would require of a "
+    "5-segment 100 TB table.",
+    tags=("analytics", "window"),
+)
+def q166_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import epoch_us
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_mktsegment", "o_orderkey", "o_totalprice", "o_orderdate",
+            (-epoch_us("o_orderdate")).alias("neg_ep"),
+        )
+    )
+    frontier_cols = ["c_mktsegment", "o_orderkey", "o_totalprice", "o_orderdate"]
+
+    def prune(df: DataFrame, extra_key) -> DataFrame:
+        part = ["c_mktsegment"] + ([extra_key] if extra_key else [])
+        w = (
+            Window.partitionBy(*part)
+            .orderBy("neg_ep")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        best = F.max("o_totalprice").over(w)
+        return df.withColumn("best_later", best).filter(
+            F.col("best_later").isNull()
+            | (F.col("best_later") <= F.col("o_totalprice"))
+        ).drop("best_later")
+
+    salted = o.withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(PARETO_SALT))
+    )
+    survivors = prune(salted, "salt").drop("salt")
+    return prune(survivors, None).select(*frontier_cols)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit (q167): at 100 TB the question "should this table
+# be laid out by date, or Z-ordered on (price, date)?" is a measurable
+# tradeoff, not a vibe — this query measures it. Rows are bucketed on
+# both dimensions, assigned to files under two layouts (date-sorted vs
+# Morton/Z-interleaved), and a fixed two-dimensional query box is
+# evaluated against each layout's per-file min/max zone map — exactly
+# the pruning a parquet reader does with row-group statistics. All
+# arithmetic is integer (bit interleave as explicit div/mod sums), so
+# the audit is hash-checked end to end.
+Z_BITS = 8
+Z_PRICE_STEP = 2500.0
+Z_DATE_EPOCH = "1995-01-01"
+Z_DATE_STEP = 10
+Z_BOX = (100, 140, 100, 140)  # price_b lo/hi, day_b lo/hi (inclusive)
+
+
+def _morton16(div_op: str, pb: str, db: str) -> str:
+    """Bit-interleave two Z_BITS-bit bucket expressions into a Morton
+    key, as pure div/mod/add arithmetic valid in both SQL dialects
+    (``div_op`` is Spark's ``div`` or DuckDB's ``//``)."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"((({pb}) {div_op} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((({db}) {div_op} {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+_Z_DUCK_CELLS = f"""
+    cells AS (
+      SELECT LEAST(255, CAST(floor(o_totalprice / {Z_PRICE_STEP}) AS INTEGER))
+                 AS price_b,
+             LEAST(255, date_diff('day', DATE '{Z_DATE_EPOCH}', o_orderdate)
+                        // {Z_DATE_STEP}) AS day_b,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2
+    ),
+    filed AS (
+      SELECT price_b, day_b, n_rows,
+             ({_morton16("//", "price_b", "day_b")}) // 256 AS zfile,
+             day_b AS lfile
+      FROM cells
+    )
+"""
+
+
+def _z_duck_layout(tag: str, filecol: str) -> str:
+    lo_p, hi_p, lo_d, hi_d = Z_BOX
+    return f"""
+      SELECT '{tag}' AS layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN min_p <= {hi_p} AND max_p >= {lo_p}
+                            AND min_d <= {hi_d} AND max_d >= {lo_d}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+             CAST(SUM(CASE WHEN min_p <= {hi_p} AND max_p >= {lo_p}
+                            AND min_d <= {hi_d} AND max_d >= {lo_d}
+                      THEN file_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(box_rows) AS BIGINT) AS rows_matched
+      FROM (
+        SELECT {filecol},
+               MIN(price_b) AS min_p, MAX(price_b) AS max_p,
+               MIN(day_b) AS min_d, MAX(day_b) AS max_d,
+               SUM(n_rows) AS file_rows,
+               SUM(CASE WHEN price_b BETWEEN {lo_p} AND {hi_p}
+                         AND day_b BETWEEN {lo_d} AND {hi_d}
+                   THEN n_rows ELSE 0 END) AS box_rows
+        FROM filed GROUP BY {filecol}
+      )
+    """
+
+
+@register(
+    "q167_zorder_layout",
+    oracle=f"""
+    WITH {_Z_DUCK_CELLS}
+    {_z_duck_layout("zorder", "zfile")}
+    UNION ALL
+    {_z_duck_layout("date_sorted", "lfile")}
+    """,
+    doc="Data-layout pruning audit: orders bucketed on (price, day), "
+    "assigned to 256 files under two layouts — date-sorted (the default "
+    "time-partitioned lake layout) and Morton/Z-ordered on both "
+    "dimensions (Delta/Iceberg OPTIMIZE ZORDER) — then a fixed "
+    "price-x-date query box is tested against each layout's per-file "
+    "min/max zone maps, reporting files touched and rows scanned next "
+    "to the true matching rows. This is the decision metric for "
+    "choosing a 100 TB layout: the date-sorted layout prunes the date "
+    "dimension only (every touched file is scanned in full across "
+    "price), while Z-order bounds BOTH dimensions per file. The Morton "
+    "key is explicit div/mod bit arithmetic, identical in both "
+    "dialects; everything downstream is integer min/max/sum over a "
+    "cell table GROUPed once on (price_b, day_b) — one scan, one "
+    "vocab-sized shuffle (<=65k cells at any corpus size), from which "
+    "both layouts' file stats derive without touching the fact table "
+    "again.",
+    tags=("analytics", "layout"),
+)
+def q167_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo_p, hi_p, lo_d, hi_d = Z_BOX
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.selectExpr(
+            f"LEAST(255, CAST(floor(o_totalprice / {Z_PRICE_STEP}D) AS INT))"
+            " AS price_b",
+            f"LEAST(255, datediff(o_orderdate, DATE '{Z_DATE_EPOCH}')"
+            f" div {Z_DATE_STEP}) AS day_b",
+        )
+        .groupBy("price_b", "day_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    filed = cells.selectExpr(
+        "price_b", "day_b", "n_rows",
+        f"({_morton16('div', 'price_b', 'day_b')}) div 256 AS zfile",
+        "day_b AS lfile",
+    )
+
+    def layout(tag: str, filecol: str) -> DataFrame:
+        per_file = filed.groupBy(filecol).agg(
+            F.min("price_b").alias("min_p"), F.max("price_b").alias("max_p"),
+            F.min("day_b").alias("min_d"), F.max("day_b").alias("max_d"),
+            F.sum("n_rows").alias("file_rows"),
+            F.sum(
+                F.when(
+                    F.col("price_b").between(lo_p, hi_p)
+                    & F.col("day_b").between(lo_d, hi_d),
+                    F.col("n_rows"),
+                ).otherwise(F.lit(0))
+            ).alias("box_rows"),
+        )
+        touched = (
+            (F.col("min_p") <= hi_p) & (F.col("max_p") >= lo_p)
+            & (F.col("min_d") <= hi_d) & (F.col("max_d") >= lo_d)
+        )
+        return per_file.agg(
+            F.lit(tag).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(touched.cast("long")).cast("long").alias("files_touched"),
+            F.sum(
+                F.when(touched, F.col("file_rows")).otherwise(F.lit(0))
+            ).cast("long").alias("rows_scanned"),
+            F.sum("box_rows").cast("long").alias("rows_matched"),
+        )
+    return layout("zorder", "zfile").unionByName(
+        layout("date_sorted", "lfile")
+    )

@@ -2026,3 +2026,180 @@ def q162_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")
     return common_span_pandas(pairs, SPAN_TF_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification (q163): the third verification rung of the
+# ladder, beside set-overlap (q21 Jaccard) and order-sensitive span
+# (q162). Levenshtein distance is the measure CCNet/The-Pile-era fuzzy
+# dedup used for short fields (titles, URLs) because it catches
+# char-level rewrites (typo farms, template fills) that token-set
+# Jaccard misses entirely. Cost per pair is O(len_a * len_b), so both
+# engines score a fixed character prefix — the cap is the scale
+# guarantee: per-pair work is a constant <= EDIT_PREFIX^2 regardless of
+# document length, and pair work only exists for LSH candidates.
+EDIT_PREFIX = 256
+EDIT_SIM_MIN_PPM = 500_000
+
+
+@register(
+    "q163_edit_distance_verify",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pfx FROM documents
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev_dist,
+             CAST(GREATEST(length(a.pfx), length(b.pfx), 1) AS BIGINT)
+                 AS max_len
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a
+                  JOIN d b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, lev_dist, max_len,
+           CAST(((max_len - lev_dist) * 1000000) // max_len AS BIGINT)
+               AS sim_ppm
+    FROM scored
+    WHERE ((max_len - lev_dist) * 1000000) // max_len
+          >= {EDIT_SIM_MIN_PPM}
+    """,
+    doc="Character-level (Levenshtein) verification of the LSH candidate "
+    "pairs — the edit-distance rung of the verify ladder next to q21's "
+    "token-set Jaccard and q162's common-span: catches char-level "
+    "rewrites (template fills, typo farms) that leave token "
+    "multisets looking dissimilar. Similarity is reported in exact "
+    "integer ppm of the longer prefix, so both engines agree "
+    "bit-for-bit (lengths and distances are ints; the division is "
+    f"integer). Scale shape: distance runs on a {EDIT_PREFIX}-char "
+    "prefix, bounding per-pair work to a CONSTANT (the O(L^2) DP never "
+    "sees a full document), and pairs exist only for hot-bucket-capped "
+    "LSH candidates — never all-pairs. The distance itself is Spark's "
+    "built-in JVM levenshtein (codegen, zero Python).",
+    tags=("dedup", "join"),
+)
+def q163_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pfx")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("lev_dist"),
+            F.greatest(
+                F.length("pfx_a"), F.length("pfx_b"), F.lit(1)
+            ).cast("long").alias("max_len"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "lev_dist",
+        "max_len",
+        F.expr("(max_len - lev_dist) * 1000000 div max_len").alias("sim_ppm"),
+    ).filter(F.col("sim_ppm") >= EDIT_SIM_MIN_PPM)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the verified near-dup graph (q164): beyond
+# membership (q60's components), WHICH doc is the hub of a duplication
+# cluster matters — the canonical-survivor pick and the
+# "template detection" question (one page duplicated into thousands)
+# are both centrality questions. Fixed-point arithmetic makes the
+# iterative algorithm fully oracle-checkable: pr is an integer
+# micro-probability, per-edge contribution is pr div deg (int), damping
+# 0.85 is applied as (17 * s) div 20 — exactly floor(0.85 * s), with a
+# 5.4e17 overflow ceiling instead of the 9.2e15 the naive
+# (850000 * s) div 1000000 form has.
+PAGERANK_ITERS = 3
+
+
+def _pagerank_duck_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS doc_id,
+             150000 + (17 * SUM(p.pr // g.deg)) // 20 AS pr
+      FROM edges e
+      JOIN {prev} p ON p.doc_id = e.src
+      JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "q164_pagerank_neardup",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    {",".join(_pagerank_duck_iter(f"pr{i}", f"pr{i + 1}") for i in range(PAGERANK_ITERS))}
+    SELECT g.src AS doc_id, g.deg AS degree,
+           CAST(p.pr AS BIGINT) AS pagerank_micro
+    FROM deg g JOIN pr{PAGERANK_ITERS} p ON p.doc_id = g.src
+    """,
+    doc="Integer-arithmetic PageRank (3 fixed iterations, damping 0.85) "
+    "over the verified near-dup pair graph: centrality picks the HUB of "
+    "a duplication cluster — the canonical survivor, or the template "
+    "page duplicated into thousands — where q60's components only give "
+    "membership. All state is exact int64 micro-probability: per-edge "
+    "contribution is pr div deg, damping is (17*s) div 20 == "
+    "floor(0.85*s), so the iterative algorithm hash-matches a chained-"
+    "CTE DuckDB twin bit-for-bit (same convention as q60/q157 — "
+    "iterative does not mean unverifiable). Scale shape: classic "
+    "Pregel-by-joins — each iteration is one equi-join of the edge list "
+    "with a node-sized pr table plus one keyed agg; 3 iterations keep "
+    "lineage shallow (no checkpoint needed); the edge list is the "
+    "verified pair set, already hot-bucket-capped upstream, so degree "
+    "is bounded by the LSH cap and the int ceiling (5.4e17) is "
+    "unreachable.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q164_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pr = deg.select(F.col("src").alias("doc_id"), F.lit(1000000).cast("long").alias("pr"))
+    src_edges = edges.join(deg, "src")
+    for _ in range(PAGERANK_ITERS):
+        pr = (
+            src_edges.join(pr, src_edges["src"] == pr["doc_id"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.expr("150000 + (17 * sum(c)) div 20").alias("pr"))
+            .select(F.col("node").alias("doc_id"), "pr")
+        )
+    return deg.join(pr, deg["src"] == pr["doc_id"]).select(
+        F.col("src").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("pr").cast("long").alias("pagerank_micro"),
+    )

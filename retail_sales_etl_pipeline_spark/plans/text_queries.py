@@ -902,3 +902,110 @@ def q147_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (q168): the log-log slope of token frequency
+# against rank — natural-language corpora sit near -1 (Zipf's law);
+# machine-generated or template-heavy sources drift away, which makes
+# the slope a cheap corpus-level quality fingerprint next to the
+# per-document gates (q25/q91). Fit uses the frequency HEAD (top
+# ZIPF_HEAD tokens per source), which is both the statistically honest
+# choice (the cnt=1 tail always bends the line) and the scale
+# guarantee: ranking is a two-level top-K (the q161 bottom-K pattern),
+# so no task ever sorts a source's full vocabulary. The regression
+# itself is exact int64: x = milli-nat ln(rank), y = milli-nat ln(cnt)
+# (the q88 fixed-point convention at 1e-3 nat), slope =
+# (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) emitted in exact integer
+# milli-units — with n <= 1000 and milli-nat magnitudes ~2e4, every
+# intermediate stays under 1.5e17, inside int64.
+ZIPF_HEAD = 1000
+_ZIPF_SALT = 32
+
+
+@register(
+    "q168_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY source, token
+    ),
+    head AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, token) AS rnk
+      FROM counts
+      QUALIFY rnk <= {ZIPF_HEAD}
+    ),
+    pts AS (
+      SELECT source,
+             CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                 AS x,
+             CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                 AS y
+      FROM head
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_head,
+           CAST((1000 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)))
+                // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT)
+               AS slope_milli
+    FROM pts
+    GROUP BY source
+    """,
+    doc="Per-source Zipf slope: least-squares slope of milli-nat "
+    "ln(count) against milli-nat ln(rank) over each source's top-"
+    f"{ZIPF_HEAD} tokens — natural text sits near -1000 (Zipf's law), "
+    "template/machine-generated sources drift, making this a one-row-"
+    "per-source corpus fingerprint beside the per-doc quality gates. "
+    "Exactness: ln is applied only to small distinct integers (rank, "
+    "count) under the q88 fixed-point convention (floor(ln*1e3+0.5); "
+    "1-ulp engine disagreement is ~1e-6 milli-nats from a .5 "
+    "boundary), and the regression is pure int64 arithmetic with an "
+    "integer milli-slope division — bit-identical across engines. "
+    "Scale shape: token counts are one keyed agg; the head is a "
+    f"TWO-level top-K (per-(source, hash%{_ZIPF_SALT}) window capped "
+    f"at {ZIPF_HEAD}, then the global window over <= "
+    f"{_ZIPF_SALT}x{ZIPF_HEAD} survivors — every global head token "
+    "wins its salt bucket, so the two-level result equals the oracle's "
+    "one-level sort while no task ever orders a full vocabulary); the "
+    "regression reduces each source to five int64 sums.",
+    tags=("text", "profiling", "log-form"),
+)
+def q168_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w1 = (
+        Window.partitionBy("source", F.pmod(F.hash("token"), F.lit(_ZIPF_SALT)))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("token"))
+    head = (
+        counts.withColumn("rnk1", F.row_number().over(w1))
+        .filter(F.col("rnk1") <= ZIPF_HEAD)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= ZIPF_HEAD)
+    )
+    pts = head.select(
+        "source",
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000.0 + F.lit(0.5))
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000.0 + F.lit(0.5))
+        .cast("long").alias("y"),
+    )
+    return pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_head"),
+        F.expr(
+            "CAST((1000 * (count(1) * sum(x * y) - sum(x) * sum(y)))"
+            " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
+        ).alias("slope_milli"),
+    )

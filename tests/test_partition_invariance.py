@@ -53,6 +53,11 @@ SENSITIVE = [
     "q148_session_concurrency",
     "q152_balance_percentiles",
     "q153_component_keyed_split",
+    # round-5 wave 2: iterative integer pagerank (q164), salted two-level
+    # frontier prune (q166), two-level top-K head with tiebreaks (q168)
+    "q164_pagerank_neardup",
+    "q166_pareto_frontier",
+    "q168_zipf_slope",
 ]
 
 

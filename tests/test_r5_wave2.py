@@ -1,0 +1,313 @@
+"""Round-5 wave 2: edit-distance verify (q163), integer PageRank
+(q164), market basket (q165), Pareto frontier (q166), Z-order layout
+audit (q167), Zipf slope (q168).
+
+Each query is hash-checked against its DuckDB oracle by the
+correctness gate; these tests pin the properties the hash alone does
+not: plan shapes (no cartesians, bounded pair work), closed-form
+invariants (pair-component PageRank fixed point, frontier
+non-dominance), result-neutrality of the scale-shaped pruning levels,
+and statistical sanity on a constructed exact-Zipf corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from retail_sales_etl_pipeline_spark.plans.analytic_queries import (
+    Z_BOX,
+    q165_market_basket,
+    q166_pareto_frontier,
+    q167_zorder_layout,
+)
+from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+    EDIT_SIM_MIN_PPM,
+    q163_edit_distance_verify,
+    q164_pagerank_neardup,
+)
+from retail_sales_etl_pipeline_spark.plans.text_queries import (
+    ZIPF_HEAD,
+    q168_zipf_slope,
+)
+
+from .conftest import SMOKE_SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------- q163
+
+
+def test_edit_distance_verify_plan_and_bounds(spark):
+    df = q163_edit_distance_verify(spark, SMOKE_SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "sf0.001 has LSH candidates; some must pass the edit gate"
+    for r in rows:
+        assert 0 <= r["lev_dist"] <= r["max_len"]
+        assert EDIT_SIM_MIN_PPM <= r["sim_ppm"] <= 1_000_000
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_edit_distance_matches_python_levenshtein(spark, duck):
+    # Independent recompute of every reported distance with a pure-Python
+    # DP — pins Spark's levenshtein (and the oracle's) to the classic
+    # unit-cost edit distance on the capped prefix.
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import EDIT_PREFIX
+
+    rows = q163_edit_distance_verify(spark, SMOKE_SF_DIR).collect()
+    texts = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:10]:  # DP is O(L^2) per pair; 10 pairs is plenty
+        a = texts[r["doc_a"]][:EDIT_PREFIX]
+        b = texts[r["doc_b"]][:EDIT_PREFIX]
+        assert r["lev_dist"] == lev(a, b)
+        assert r["max_len"] == max(len(a), len(b), 1)
+
+
+# ---------------------------------------------------------------- q164
+
+
+def test_pagerank_pair_components_sit_at_fixed_point(spark):
+    # Closed form: in an isolated 2-node component both nodes have deg 1,
+    # so each iteration computes 150000 + (17 * 1_000_000) div 20 ==
+    # 1_000_000 exactly — isolated pairs are a fixed point of the integer
+    # map. Any drift means the damping arithmetic is wrong.
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        q21_ngram_jaccard_pairs,
+    )
+
+    pr = {r["doc_id"]: r for r in q164_pagerank_neardup(spark, SMOKE_SF_DIR).collect()}
+    assert pr, "sf0.001 near-dup graph is non-empty"
+    pairs = q21_ngram_jaccard_pairs(spark, SMOKE_SF_DIR).select(
+        "doc_a", "doc_b"
+    ).collect()
+    neigh: dict[int, set[int]] = {}
+    for p in pairs:
+        neigh.setdefault(p["doc_a"], set()).add(p["doc_b"])
+        neigh.setdefault(p["doc_b"], set()).add(p["doc_a"])
+    isolated_pair_nodes = [
+        n
+        for n, ns in neigh.items()
+        if len(ns) == 1 and len(neigh[next(iter(ns))]) == 1
+    ]
+    assert isolated_pair_nodes, "expected at least one isolated dup pair"
+    for n in isolated_pair_nodes:
+        assert pr[n]["pagerank_micro"] == 1_000_000
+        assert pr[n]["degree"] == 1
+    # global sanity: every score >= the damping floor, degrees match
+    for n, r in pr.items():
+        assert r["pagerank_micro"] >= 150_000
+        assert r["degree"] == len(neigh[n])
+
+
+# ---------------------------------------------------------------- q165
+
+
+def test_market_basket_counts_match_bruteforce(spark, duck):
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in q165_market_basket(spark, SMOKE_SF_DIR).collect()
+    }
+    items = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    baskets = {o: ps for o, ps in baskets.items() if len(ps) <= 32}
+    pair_n: dict[tuple[int, int], int] = {}
+    item_n: dict[int, int] = {}
+    for ps in baskets.values():
+        sp = sorted(ps)
+        for p in sp:
+            item_n[p] = item_n.get(p, 0) + 1
+        for i, a in enumerate(sp):
+            for b in sp[i + 1 :]:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {k: v for k, v in pair_n.items() if v >= 2}
+    assert set(got) == set(want)
+    n_orders = len(baskets)
+    for (a, b), r in got.items():
+        assert r["n_ab"] == want[(a, b)]
+        assert r["n_a"] == item_n[a] and r["n_b"] == item_n[b]
+        assert r["n_orders"] == n_orders
+        assert r["conf_ab_ppm"] == r["n_ab"] * 1_000_000 // r["n_a"]
+        assert r["lift_ppm"] == r["n_ab"] * n_orders * 1_000_000 // (
+            r["n_a"] * r["n_b"]
+        )
+
+
+def test_market_basket_pair_join_is_equi_keyed(spark):
+    plan = _plan(q165_market_basket(spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- q166
+
+
+def test_frontier_is_exactly_the_non_dominated_set(spark, duck):
+    got = {
+        (r["c_mktsegment"], r["o_orderkey"])
+        for r in q166_pareto_frontier(spark, SMOKE_SF_DIR).collect()
+    }
+    rows = duck.execute(
+        """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice, o.o_orderdate
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    by_seg: dict[str, list] = {}
+    for seg, k, price, date in rows:
+        by_seg.setdefault(seg, []).append((k, price, date))
+    want = set()
+    for seg, orders in by_seg.items():
+        for k, price, date in orders:
+            dominated = any(
+                p2 > price and d2 > date for _, p2, d2 in orders
+            )
+            if not dominated:
+                want.add((seg, k))
+    assert got == want
+
+
+def test_frontier_salted_prune_is_result_neutral(spark):
+    # The two-level plan must equal a direct single-level window — the
+    # prune's correctness argument (dominated-in-bucket => dominated-
+    # globally) checked end to end.
+    from pyspark.sql import Window
+
+    from retail_sales_etl_pipeline_spark.functions.scalar import epoch_us
+    from retail_sales_etl_pipeline_spark.sources import load_table
+
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+    cust = load_table(spark, SMOKE_SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        (-epoch_us("o_orderdate")).alias("neg_ep"),
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("neg_ep")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    single = {
+        (r["c_mktsegment"], r["o_orderkey"])
+        for r in o.withColumn("bl", F.max("o_totalprice").over(w))
+        .filter(F.col("bl").isNull() | (F.col("bl") <= F.col("o_totalprice")))
+        .collect()
+    }
+    two_level = {
+        (r["c_mktsegment"], r["o_orderkey"])
+        for r in q166_pareto_frontier(spark, SMOKE_SF_DIR).collect()
+    }
+    assert two_level == single
+
+
+# ---------------------------------------------------------------- q167
+
+
+def test_zorder_audit_invariants(spark):
+    rows = {r["layout"]: r for r in q167_zorder_layout(spark, SMOKE_SF_DIR).collect()}
+    assert set(rows) == {"zorder", "date_sorted"}
+    z, d = rows["zorder"], rows["date_sorted"]
+    # ground truth is layout-independent
+    assert z["rows_matched"] == d["rows_matched"]
+    for r in (z, d):
+        assert 0 < r["files_touched"] <= r["n_files"]
+        assert r["rows_scanned"] >= r["rows_matched"]
+    # the reason the query exists: on a box selective in BOTH dims the
+    # multi-dim layout must not scan more than the single-dim layout
+    assert z["rows_scanned"] <= d["rows_scanned"]
+
+
+def test_morton_interleave_matches_python(spark):
+    from retail_sales_etl_pipeline_spark.plans.analytic_queries import _morton16
+
+    def py_morton(p: int, d: int) -> int:
+        out = 0
+        for b in range(8):
+            out |= ((p >> b) & 1) << (2 * b + 1)
+            out |= ((d >> b) & 1) << (2 * b)
+        return out
+
+    samples = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (200, 13)]
+    df = spark.createDataFrame(samples, "pb int, db int").selectExpr(
+        "pb", "db", f"({_morton16('div', 'pb', 'db')}) AS z"
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["pb"], r["db"])
+
+
+# ---------------------------------------------------------------- q168
+
+
+def test_zipf_slope_near_minus_1000_on_exact_zipf_corpus(spark, tmp_path):
+    # Construct a corpus whose head IS Zipf with exponent 1: token t_i
+    # appears round(C / i) times. The fitted milli-slope must sit within
+    # 3% of -1000 (discreteness + fixed-point rounding are the only
+    # error sources).
+    n_tok, C = 200, 5000
+    words = []
+    for i in range(1, n_tok + 1):
+        words += [f"tok{i:04d}"] * round(C / i)
+    docs = [
+        (j, " ".join(words[j::50]), "en", "zipf", 1) for j in range(50)
+    ]  # stripe tokens across 50 docs; per-source counts are unchanged
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q168_zipf_slope(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_head"] == min(n_tok, ZIPF_HEAD)
+    assert abs(r["slope_milli"] + 1000) <= 30, r["slope_milli"]
+
+
+def test_zipf_two_level_head_equals_global_sort(spark, duck):
+    # The salted two-level top-K must select exactly the tokens a global
+    # (cnt DESC, token) sort selects — recomputed independently in DuckDB.
+    got = {r["source"]: r for r in q168_zipf_slope(spark, SMOKE_SF_DIR).collect()}
+    want = duck.execute(
+        f"""
+        WITH tok AS (
+          SELECT source, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+        ),
+        head AS (
+          SELECT source, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, token) AS rnk
+          FROM counts QUALIFY rnk <= {ZIPF_HEAD}
+        )
+        SELECT source, COUNT(*) AS n_head FROM head GROUP BY source
+        """
+    ).fetchall()
+    for source, n_head in want:
+        assert got[source]["n_head"] == n_head
+    # and the slope is a real fit: natural-ish test text slopes negative
+    for r in got.values():
+        assert r["slope_milli"] < 0
