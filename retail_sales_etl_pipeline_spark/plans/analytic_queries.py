@@ -1192,3 +1192,74 @@ def q167_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout("zorder", "zfile").unionByName(
         layout("date_sorted", "lfile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (q169): the 100 TB refresh pattern —
+# never rescan the base table to admit a new batch. The monthly revenue
+# rollup (q16's shape) is maintained as mergeable partial aggregates:
+# the already-materialized base partition and the incoming increment
+# each produce (count, decimal-sum) partials, and the refresh is a
+# union + re-aggregate of PARTIALS ONLY. The DuckDB oracle computes the
+# full recompute directly, so the hash match IS the proof that
+# merge(partials) == recompute(all) — the algebraic property
+# incremental view maintenance rests on. The increment here is carved
+# deterministically (o_orderkey % 13 == 0 plays the role of the new
+# CDC batch) so the query is self-contained and reproducible.
+INC_MOD = 13
+
+
+@register(
+    "q169_incremental_rollup",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS sale_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % {INC_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS month_revenue
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="Incremental maintenance of the monthly revenue rollup: the base "
+    "corpus and a new increment batch (deterministically carved as "
+    f"o_orderkey % {INC_MOD} == 0, standing in for the day's CDC batch) "
+    "are aggregated SEPARATELY into mergeable partials (count + exact "
+    "decimal sum), then merged by re-aggregation — the base table is "
+    "never rescanned at refresh time. The oracle is the full recompute "
+    "over everything, so the hash match proves the algebraic identity "
+    "merge(partial(base), partial(increment)) == recompute(base ∪ "
+    "increment) that incremental view maintenance rests on; money stays "
+    "DECIMAL end to end (order-independent), rendered once at the edge. "
+    "Scale shape: at 100 TB the base partials are a months-sized "
+    "materialized table (thousands of rows); the refresh touches only "
+    "the increment plus that tiny table — one keyed agg over the "
+    "increment, one union, one months-sized re-agg. n_new_orders makes "
+    "the increment's contribution observable per month.",
+    tags=("analytics", "aggregate", "incremental", "decimal"),
+)
+def q169_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    is_inc = F.col("o_orderkey") % INC_MOD == 0
+
+    def partials(df: DataFrame, inc_flag: int) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("sale_month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("pc"),
+            money_sum("o_totalprice").alias("ps"),
+            F.lit(inc_flag).alias("is_inc"),
+        )
+
+    base = partials(orders.filter(~is_inc), 0)
+    inc = partials(orders.filter(is_inc), 1)
+    return (
+        base.unionByName(inc)
+        .groupBy("sale_month")
+        .agg(
+            F.sum("pc").cast("long").alias("n_orders"),
+            F.sum(F.col("pc") * F.col("is_inc")).cast("long")
+            .alias("n_new_orders"),
+            decimal_str(F.sum("ps")).alias("month_revenue"),
+        )
+    )

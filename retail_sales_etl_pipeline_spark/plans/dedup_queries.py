@@ -2072,10 +2072,13 @@ EDIT_SIM_MIN_PPM = 500_000
     "integer ppm of the longer prefix, so both engines agree "
     "bit-for-bit (lengths and distances are ints; the division is "
     f"integer). Scale shape: distance runs on a {EDIT_PREFIX}-char "
-    "prefix, bounding per-pair work to a CONSTANT (the O(L^2) DP never "
-    "sees a full document), and pairs exist only for hot-bucket-capped "
-    "LSH candidates — never all-pairs. The distance itself is Spark's "
-    "built-in JVM levenshtein (codegen, zero Python).",
+    "prefix, bounding per-pair work to a CONSTANT (the DP never sees a "
+    "full document), and pairs exist only for hot-bucket-capped "
+    "LSH candidates — never all-pairs. The Spark side uses the "
+    "THRESHOLD form of its built-in JVM levenshtein (banded O(L*t) DP, "
+    "early exit past EDIT_PREFIX/2) — result-identical because the sim "
+    "gate already implies lev <= max_len/2 <= EDIT_PREFIX/2, and proven "
+    "so by the oracle hash, which runs the plain unbanded form.",
     tags=("dedup", "join"),
 )
 def q163_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2085,17 +2088,25 @@ def q163_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    # Banded DP: any pair the sim gate keeps has lev <= max_len/2 <=
+    # EDIT_PREFIX/2, so running levenshtein with that threshold (Spark's
+    # 3-arg form returns -1 past it) is RESULT-IDENTICAL while the DP
+    # explores an O(L*t) band and bails early on the dissimilar majority
+    # of organic candidates — measured 268s -> (see BASELINE.md) at the
+    # gen100x scale run for the plain O(L^2) form.
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("lev_dist"),
+            F.levenshtein("pfx_a", "pfx_b", EDIT_PREFIX // 2)
+            .cast("long").alias("lev_dist"),
             F.greatest(
                 F.length("pfx_a"), F.length("pfx_b"), F.lit(1)
             ).cast("long").alias("max_len"),
         )
+        .filter(F.col("lev_dist") >= 0)
     )
     return scored.select(
         "doc_a",
@@ -2184,6 +2195,12 @@ def q164_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Materialize the edge list ONCE (the operators/graph.py convention):
+    # without this every iteration's join re-executes the whole
+    # LSH->shingle->Jaccard subtree — measured at the gen10x scale run as
+    # a ~4x constant on an otherwise sub-linear query. localCheckpoint
+    # also truncates the lineage the iterations would otherwise stack.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pr = deg.select(F.col("src").alias("doc_id"), F.lit(1000000).cast("long").alias("pr"))
     src_edges = edges.join(deg, "src")

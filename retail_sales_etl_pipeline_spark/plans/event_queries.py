@@ -1548,3 +1548,120 @@ def q148_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "open_at_eod",
         F.sum(F.col("n_started") - F.col("n_ended")).over(run).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variable-length interval union (q170): total covered time from
+# overlapping spans. Each event opens an interval whose LENGTH is its
+# own value (seconds) — so spans nest and chain arbitrarily, which is
+# exactly the case plain gap-sessionization (q34's fixed-gap islands)
+# cannot express: an island ends only when the next start exceeds the
+# RUNNING MAX of all previous ends, not the previous end. This is the
+# classic interval-union/coverage operator (total active time, SLA
+# coverage, sensor uptime) in its gaps-and-islands form: two windows
+# over one (user_id, start) sort.
+INTERVAL_MAX_S = 600  # spans are clamped — one corrupt value must not
+#                       produce a year-long interval that merges everything
+
+
+@register(
+    "q170_interval_union",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(ROUND(LEAST(value, {INTERVAL_MAX_S}) * 100) AS BIGINT)
+                 * 10000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             MAX(e) - MIN(s) AS covered
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(covered) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id
+    """,
+    doc="Per-user interval union: each event opens a span of its own "
+    "value-many seconds (clamped at "
+    f"{INTERVAL_MAX_S}s — one corrupt duration must not merge a year), "
+    "overlapping/chained spans are merged into islands, and the output "
+    "is each user's island count and total covered microseconds. "
+    "Because span lengths VARY, an island ends only when a start "
+    "exceeds the running max of ALL previous ends (a long span can "
+    "swallow many short ones) — the property fixed-gap sessionization "
+    "(q34) cannot express and the reason the flag uses a running-max "
+    "window, not lag. All arithmetic is integer epoch-us (value has "
+    "2-decimal precision, so value*1e6 is integer-exact in a double), "
+    "deterministically tie-broken by event_id. Scale shape: one "
+    "shuffle on user_id; both windows and both rollups ride the same "
+    "(user_id, start) sort — Spark plans a single Exchange+Sort, and "
+    "the streaming twin of this operator is the stateful "
+    "applyInPandasWithState debounce (streaming/stateful.py) with "
+    "max-end carry as its state.",
+    tags=("events", "window", "sessionize"),
+)
+def q170_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import epoch_us
+
+    events = load_table(spark, sf_dir, "events")
+    spans = events.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (
+            epoch_us("ts")
+            + F.expr(
+                f"CAST(ROUND(LEAST(value, {INTERVAL_MAX_S}) * 100) AS BIGINT)"
+                " * 10000"
+            )
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        (F.max("e") - F.min("s")).alias("covered"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("covered").cast("long").alias("covered_us"),
+    )

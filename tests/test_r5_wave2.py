@@ -311,3 +311,97 @@ def test_zipf_two_level_head_equals_global_sort(spark, duck):
     # and the slope is a real fit: natural-ish test text slopes negative
     for r in got.values():
         assert r["slope_milli"] < 0
+
+
+# ---------------------------------------------------------------- q169
+
+
+def test_incremental_rollup_agrees_with_q16(spark):
+    # The merged-partials refresh must reproduce the plain full rollup
+    # (q16) month for month — same counts, same exact decimal revenue.
+    from retail_sales_etl_pipeline_spark.plans.analytic_queries import (
+        q169_incremental_rollup,
+    )
+    from retail_sales_etl_pipeline_spark.plans.parity_queries import (
+        q16_monthly_rollup,
+    )
+
+    inc = {
+        r["sale_month"]: r
+        for r in q169_incremental_rollup(spark, SMOKE_SF_DIR).collect()
+    }
+    full = {
+        r["sale_month"]: r for r in q16_monthly_rollup(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(inc) == set(full)
+    for m, r in inc.items():
+        assert r["n_orders"] == full[m]["n_orders"]
+        assert r["month_revenue"] == full[m]["month_revenue"]
+        assert 0 <= r["n_new_orders"] <= r["n_orders"]
+
+
+# ---------------------------------------------------------------- q170
+
+
+def test_interval_union_swallowing_span_stays_one_island(spark, tmp_path):
+    # The case lag-based sessionization gets wrong: a long span swallows
+    # several short ones, so a gap between consecutive STARTS does not end
+    # the island — only a start past the running max of ALL ends does.
+    import datetime as dt
+
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        q170_interval_union,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, offset_s, dur_s):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), uid, "view",
+                float(dur_s), "{}")
+
+    rows = [
+        # user 1: (0,100) swallows (10,20) and (30,40); (95,120) chains on
+        ev(1, 1, 0, 100), ev(2, 1, 10, 10), ev(3, 1, 30, 10), ev(4, 1, 95, 25),
+        # user 1: separate island after the union's max end (120)
+        ev(5, 1, 121, 5),
+        # user 2: two touching spans (10,20)+(20,30) merge (touch == merge)
+        ev(6, 2, 10, 10), ev(7, 2, 20, 10),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in q170_interval_union(spark, str(tmp_path)).collect()}
+    assert got[1]["n_islands"] == 2
+    assert got[1]["n_spans"] == 5
+    assert got[1]["covered_us"] == (120 - 0 + 5) * 1_000_000
+    assert got[2]["n_islands"] == 1
+    assert got[2]["covered_us"] == 20 * 1_000_000
+
+
+def test_interval_union_matches_python_sweep(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        INTERVAL_MAX_S,
+        q170_interval_union,
+    )
+
+    got = {r["user_id"]: r for r in q170_interval_union(spark, SMOKE_SF_DIR).collect()}
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(ts), value FROM events"
+    ).fetchall()
+    spans: dict[int, list] = {}
+    for uid, s, v in rows:
+        dur = round(min(v, INTERVAL_MAX_S) * 100) * 10_000
+        spans.setdefault(uid, []).append((s, s + dur))
+    for uid, sp in spans.items():
+        sp.sort()
+        islands = []
+        for s, e in sp:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        assert got[uid]["n_islands"] == len(islands), uid
+        assert got[uid]["n_spans"] == len(sp)
+        assert got[uid]["covered_us"] == sum(e - s for s, e in islands)

@@ -57,6 +57,12 @@ MARQUEE_100X = {
     "q155_component_reuse_rollup", "q158_dsir_importance_weights",
     "q159_perceptual_hash_twins", "q161_source_overlap_sketch",
     "q162_longest_common_span",
+    # wave 2: edit-distance verify (prefix-capped DP over candidates),
+    # iterative integer pagerank, basket pair join, salted skyline,
+    # layout audit, two-level Zipf head
+    "q163_edit_distance_verify", "q164_pagerank_neardup",
+    "q165_market_basket", "q166_pareto_frontier", "q167_zorder_layout",
+    "q168_zipf_slope", "q169_incremental_rollup", "q170_interval_union",
 }
 
 
@@ -72,6 +78,9 @@ def main() -> None:
     skip = set()
     if "--skip" in args:
         skip = set(args[args.index("--skip") + 1].split(","))
+    only: set[str] | None = None  # restrict the whole run to these queries
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
 
     from retail_sales_etl_pipeline_spark.plans.registry import load_all
     from retail_sales_etl_pipeline_spark.session import get_spark
@@ -125,6 +134,8 @@ def main() -> None:
         for name in sorted(registry):
             if name in skipped or name in skip:
                 continue
+            if only is not None and name not in only:
+                continue
             if scale == "100x" and not all_100x and name not in MARQUEE_100X:
                 continue
             q = registry[name]
@@ -152,6 +163,11 @@ def main() -> None:
             print(f"{name} @{scale}: {dt}s", file=sys.stderr, flush=True)
             cleanup()
             flush()
+
+        if only is not None:
+            # focused re-measurement run: the driver + cap-report
+            # context rows are already in the main record
+            continue
 
         # curation driver end-to-end at each scale (materialized stages)
         import shutil

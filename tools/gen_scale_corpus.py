@@ -33,6 +33,10 @@ import pyarrow.parquet as pq
 
 SF01 = "/root/testdata/sf0.1"
 BASE_DOCS, BASE_VECS, BASE_EVENTS, BASE_USERS = 5_000, 2_000, 100_000, 1_500
+# retail family at sf0.1 density (matches /root/testdata/sf0.1 row counts);
+# the part catalog scales WITH the corpus (TPC-H convention) so basket
+# pair-support densities stay constant instead of going birthday-quadratic
+BASE_CUST, BASE_ORDERS, BASE_PARTS = 15_000, 150_000, 20_000
 EXACT_DUP_FRAC, NEAR_DUP_FRAC = 0.002, 0.04
 SEED = 20_240_814
 
@@ -148,6 +152,97 @@ def gen_events(mult: int):
     )
 
 
+def gen_retail(mult: int):
+    """customer / orders / lineitem at sf0.1 density x mult, same value
+    families as the driver's testdata (statuses, segments, priority mix,
+    midnight order dates 1995-2001, 1-7 lines per order). The part
+    catalog scales with mult so per-pair basket support stays at its
+    sf0.1 density instead of going birthday-quadratic at 100x."""
+    rng = np.random.default_rng(SEED + 3)
+    n_cust, n_ord, n_part = BASE_CUST * mult, BASE_ORDERS * mult, BASE_PARTS * mult
+    segments = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in range(n_cust)], pa.string()
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n_cust).astype(np.int32), pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2),
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array(
+                segments[rng.integers(0, 5, size=n_cust)].tolist(), pa.string()
+            ),
+        }
+    )
+    day0 = np.datetime64("1995-01-01", "D")
+    odate_days = rng.integers(0, 2404, size=n_ord)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, size=n_ord), pa.int64()),
+            "o_orderstatus": pa.array(
+                np.array(["O", "F", "P"])[
+                    rng.choice(3, size=n_ord, p=[0.49, 0.49, 0.02])
+                ].tolist(),
+                pa.string(),
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(900.0, 500_000.0, size=n_ord), 2),
+                pa.float64(),
+            ),
+            "o_orderdate": pa.array(
+                (day0 + odate_days).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                np.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                )[rng.integers(0, 5, size=n_ord)].tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    lines_per = rng.integers(1, 8, size=n_ord)
+    n_li = int(lines_per.sum())
+    li_order = np.repeat(np.arange(n_ord), lines_per)
+    li_num = np.concatenate([np.arange(1, k + 1) for k in lines_per])
+    qty = rng.integers(1, 51, size=n_li).astype(np.float64)
+    price = np.round(rng.uniform(900.0, 105_000.0, size=n_li), 2)
+    rf = np.array(["A", "N", "R"])[rng.integers(0, 3, size=n_li)]
+    ls = np.array(["O", "F"])[rng.integers(0, 2, size=n_li)]
+    ship_days = odate_days[li_order] + rng.integers(1, 122, size=n_li)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(li_order, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, size=n_li), pa.int64()),
+            "l_suppkey": pa.array(
+                rng.integers(0, max(1, n_part // 20), size=n_li), pa.int64()
+            ),
+            "l_linenumber": pa.array(li_num.astype(np.int32), pa.int32()),
+            "l_quantity": pa.array(qty, pa.float64()),
+            "l_extendedprice": pa.array(price, pa.float64()),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0.0, 0.1, size=n_li), 2), pa.float64()
+            ),
+            "l_tax": pa.array(
+                np.round(rng.uniform(0.0, 0.08, size=n_li), 2), pa.float64()
+            ),
+            "l_returnflag": pa.array(rf.tolist(), pa.string()),
+            "l_linestatus": pa.array(ls.tolist(), pa.string()),
+            "l_shipdate": pa.array(
+                (day0 + ship_days).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    return customer, orders, lineitem, n_li
+
+
 def main() -> None:
     outroot = sys.argv[1] if len(sys.argv) > 1 else "bigdata"
     words, weights = _measured_vocab()
@@ -158,8 +253,13 @@ def main() -> None:
         pq.write_table(docs, os.path.join(d, "documents.parquet"))
         pq.write_table(gen_embeddings(mult), os.path.join(d, "embeddings.parquet"))
         pq.write_table(gen_events(mult), os.path.join(d, "events.parquet"))
+        customer, orders, lineitem, n_li = gen_retail(mult)
+        pq.write_table(customer, os.path.join(d, "customer.parquet"))
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
         print(f"{d}: documents={total} embeddings={BASE_VECS*mult} "
-              f"events={BASE_EVENTS*mult}", flush=True)
+              f"events={BASE_EVENTS*mult} customers={BASE_CUST*mult} "
+              f"orders={BASE_ORDERS*mult} lineitem={n_li}", flush=True)
 
 
 if __name__ == "__main__":
