@@ -2220,3 +2220,113 @@ def q164_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         F.col("pr").cast("long").alias("pagerank_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering (q172): the third graph statistic
+# over the verified near-dup graph, after membership (q60 components)
+# and centrality (q164 PageRank). Triangle density separates CHAINS of
+# borderline matches (A~B~C with A,C unrelated — transitive-closure
+# false friends, low clustering) from genuine duplicate CLUSTERS
+# (everything matches everything, high clustering) — the diagnostic a
+# curator reads before trusting component-level dedup. Canonical
+# ordered-triple form: every triangle a<b<c is counted exactly once by
+# joining (a,b)+(b,c)+(a,c) over the already-canonical (doc_a < doc_b)
+# verified pair list.
+
+
+@register(
+    "q172_triangle_count",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM verified e1
+      JOIN verified e2 ON e2.doc_a = e1.doc_b
+      JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    members AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM verified
+        UNION ALL SELECT doc_b FROM verified
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * COALESCE(t.n_triangles, 0))
+                // NULLIF(g.degree * (g.degree - 1), 0) AS BIGINT)
+               AS clustering_ppm
+    FROM deg g
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY doc_id
+    ) t ON t.doc_id = g.doc_id
+    """,
+    doc="Triangle participation and local clustering coefficient per "
+    "node of the verified near-dup graph: chains of borderline matches "
+    "(the transitive-closure false friends that make component-level "
+    "dedup risky) show clustering near 0, genuine duplicate cliques "
+    "near 1e6 ppm — the diagnostic to read next to q117's component "
+    "sizes before trusting q60's components. Every triangle a<b<c is "
+    "counted exactly once by the canonical ordered-triple join "
+    "(a,b)+(b,c)+(a,c) over the already-canonical verified pair list; "
+    "clustering = 2*triangles / (deg*(deg-1)) in exact integer ppm "
+    "with a NULLIF guard for degree-1 nodes. Scale shape: two "
+    "equi-joins over the verified pair set whose degrees are BOUNDED "
+    "by the LSH hot-bucket caps upstream (max degree <= bands*cap), so "
+    "the ordered-triple join's fan-out is capped by construction — the "
+    "degree-ordered orientation trick big graphs need is already "
+    "enforced here by the candidate generator.",
+    tags=("dedup", "graph", "join"),
+)
+def q172_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = (
+        q21_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # three self-references below — one
+        # materialization instead of three LSH-ladder executions (the
+        # q164 lesson)
+    )
+    e1 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = verified.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+    )
+    tri_counts = members.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(verified.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(tri_counts, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "CAST(2000000 * coalesce(n_triangles, 0)"
+            " div nullif(degree * (degree - 1), 0) AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )

@@ -1665,3 +1665,169 @@ def q170_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_spans").cast("long").alias("n_spans"),
         F.sum("covered").cast("long").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive snapshot rollup (q171): balances/inventory/levels sum
+# across entities but NOT across time — the classic data-warehouse
+# semi-additive fact. The period total is the sum of each user's
+# CLOSING value (last event in the period), never the sum of all
+# events. Kimball's snapshot-fact pattern, expressed as one
+# fine-grained window + one keyed agg.
+
+
+@register(
+    "q171_semi_additive_snapshot",
+    oracle="""
+    WITH closing AS (
+      SELECT day, user_id, value FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS total_closing,
+           CAST(CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS max_closing
+    FROM closing GROUP BY day
+    """,
+    doc="Semi-additive snapshot rollup (the Kimball balance-fact "
+    "pattern): per DAY, the sum and max of each user's CLOSING value "
+    "— the last event in the day by (ts, event_id), a deterministic "
+    "total-order survivor like q02's — because level-style measures "
+    "(balances, inventory, account state) add across users but never "
+    "across time; summing every event would double-count every "
+    "intra-period update. Closing values go through per-row "
+    "DECIMAL(18,2) casts so the cross-user sum is exact and "
+    "shuffle-order-independent (the q08 money convention). Scale "
+    "shape: the survivor window partitions by (user_id, day) — "
+    "millions of small partitions, no skew, one shuffle — and the "
+    "day rollup is a days-sized second agg; composes with q104's "
+    "grid fill when carried-forward balances for silent days are "
+    "needed.",
+    tags=("events", "window", "warehouse", "decimal"),
+)
+def q171_semi_additive_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import decimal_str
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    closing = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    return closing.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        decimal_str(F.sum("v")).alias("total_closing"),
+        decimal_str(F.max("v")).alias("max_closing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift / PSI (q173): the population-stability-index the
+# monitoring layer computes between a reference window and the current
+# one — the standard "has this feature drifted" gate. q131's snapshot
+# diff sees row-level churn; PSI sees DISTRIBUTION-level drift even
+# when every row is new. Fixed-point exactness: the log-ratio goes
+# through the micro-nat table (the q88 convention — ln applied only to
+# distinct integer counts), the mass difference stays a rational with
+# an exact integer numerator, and their product runs in
+# DECIMAL(38,0)/HUGEINT before one integer floor-division — both
+# engines agree bit-for-bit per bin.
+PSI_SPLIT_TS = "2024-01-16 00:00:00"
+PSI_BIN_W = 25.0
+PSI_MAX_BIN = 24
+_PSI_L_DUCK = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q173_distribution_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST({PSI_MAX_BIN}, CAST(floor(value / {PSI_BIN_W}) AS INTEGER))
+                 AS bin,
+             CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 1 ELSE 0 END
+                 AS early
+      FROM events
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(early) AS BIGINT) AS cnt_e,
+             CAST(SUM(1 - early) AS BIGINT) AS cnt_l
+      FROM binned GROUP BY bin
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt_e) AS BIGINT) AS ne, CAST(SUM(cnt_l) AS BIGINT) AS nl
+      FROM counts
+    )
+    SELECT c.bin, c.cnt_e, c.cnt_l,
+           CASE WHEN c.cnt_e > 0 AND c.cnt_l > 0 THEN
+             CAST(((c.cnt_e::HUGEINT * t.nl - c.cnt_l::HUGEINT * t.ne)
+                   * ({_PSI_L_DUCK.format(x="c.cnt_e")}
+                      + {_PSI_L_DUCK.format(x="t.nl")}
+                      - {_PSI_L_DUCK.format(x="c.cnt_l")}
+                      - {_PSI_L_DUCK.format(x="t.ne")}))
+                  // (t.ne::HUGEINT * t.nl) AS BIGINT)
+           END AS psi_contrib_micro
+    FROM counts c CROSS JOIN totals t
+    """,
+    doc="Population stability index (PSI) of the event value "
+    "distribution between a reference window and the current one "
+    f"(split at {PSI_SPLIT_TS}, {PSI_MAX_BIN + 1} fixed-width bins): "
+    "per bin, both counts and the exact PSI contribution "
+    "(p_early - p_late) * ln(p_early/p_late) in integer micro-PSI — "
+    "the drift gate monitoring layers put on every feature, catching "
+    "distribution shift q131's row-level diff cannot see. Exactness: "
+    "ln runs only on the few distinct counts via the micro-nat table "
+    "(q88 convention), the mass difference keeps an exact integer "
+    "numerator, and the product is DECIMAL(38,0)/HUGEINT with one "
+    "final floor-division; bins empty on either side emit NULL "
+    "contribution (observable, never a silent epsilon fudge). Scale "
+    "shape: one scan to a bins-sized table, then scalar totals "
+    "broadcast back — the fact table is touched once regardless of "
+    "window sizes.",
+    tags=("events", "profiling", "log-form"),
+)
+def q173_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    binned = events.selectExpr(
+        f"LEAST({PSI_MAX_BIN}, CAST(floor(value / {PSI_BIN_W}D) AS INT))"
+        " AS bin",
+        f"CASE WHEN ts < TIMESTAMP_NTZ '{PSI_SPLIT_TS}' THEN 1 ELSE 0 END"
+        " AS early",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("early").cast("long").alias("cnt_e"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("cnt_l"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_e").cast("long").alias("ne"),
+        F.sum("cnt_l").cast("long").alias("nl"),
+    )
+    lmicro = (
+        "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return counts.crossJoin(F.broadcast(totals)).selectExpr(
+        "bin",
+        "cnt_e",
+        "cnt_l",
+        f"""CASE WHEN cnt_e > 0 AND cnt_l > 0 THEN
+          CAST(((CAST(cnt_e AS DECIMAL(38,0)) * nl
+                 - CAST(cnt_l AS DECIMAL(38,0)) * ne)
+                * ({lmicro.format(x="cnt_e")} + {lmicro.format(x="nl")}
+                   - {lmicro.format(x="cnt_l")} - {lmicro.format(x="ne")}))
+               div (CAST(ne AS DECIMAL(38,0)) * nl) AS BIGINT)
+        END AS psi_contrib_micro""",
+    )

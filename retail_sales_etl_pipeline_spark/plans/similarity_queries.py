@@ -1255,3 +1255,143 @@ def q150_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm2.alias("norm2"),
         ((norm2 < NORM2_LO) | (norm2 > NORM2_HI)).alias("is_degenerate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency audit (q174): the confident-learning-style
+# mislabel detector — for every vector, how many of its nearest
+# neighbors (by exact cosine, candidates from the RP-LSH buckets q32
+# already maintains) carry the SAME label. Low agreement flags likely
+# labeling noise before it poisons a classifier head or a
+# hard-negative miner (q101 treats cross-label neighbors as signal;
+# this query asks whether the LABEL, not the pair, is the problem).
+K_AUDIT = 5
+
+
+@register(
+    "q174_label_consistency_audit",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {t} AS tbl, ({e}) AS bucket FROM v"
+          for t, e in enumerate(_RP_DUCK)
+      )}
+    ),
+    okbuckets AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bucket_n
+        FROM buckets
+      ) WHERE bucket_n <= {RP_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM okbuckets a JOIN okbuckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, c.neighbor_id
+               ) AS rnk
+        FROM cand c
+        JOIN v a ON a.vec_id = c.query_id
+        JOIN v b ON b.vec_id = c.neighbor_id
+      ) WHERE rnk <= {K_AUDIT}
+    )
+    SELECT t.query_id AS vec_id, ql.label,
+           CAST(COUNT(*) AS BIGINT) AS k_found,
+           CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+    FROM topk t
+    JOIN embeddings ql ON ql.vec_id = t.query_id
+    JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+    GROUP BY t.query_id, ql.label
+    """,
+    doc="Label-consistency audit over approximate nearest neighbors "
+    f"(confident-learning shape): each vector's top-{K_AUDIT} exact-"
+    "cosine neighbors among its RP-LSH bucket-mates are checked for "
+    "label agreement, emitting k_found / n_agree / exact-ppm agreement "
+    "per vector — the mislabeled-sample shortlist is the low-agreement "
+    "tail. Candidates come from the SAME hot-bucket-capped (table, "
+    "bucket) equi-joins as q32 (never all-pairs; drops reported by "
+    "q59); ranking uses the bit-deterministic per-pair cosine with a "
+    "total-order tiebreak, so both engines pick identical neighbor "
+    "sets. Scale shape: bucket join work is capped per bucket, the "
+    "top-K window partitions by query (fine-grained, no skew), and "
+    "labels join on the vector key — the audit costs one candidate "
+    "pass over what the dedup path already computes.",
+    tags=("similarity", "training", "lsh"),
+)
+def q174_label_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import rp_buckets_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
+    )
+    labels = emb.select("vec_id", "label")
+    buckets = rp_buckets_pandas(emb)
+    w = Window.partitionBy("tbl", "bucket")
+    ok = (
+        buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= RP_MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    a, b = ok.alias("ba"), ok.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.tbl") == F.col("bb.tbl"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") != F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("query_id"),
+            F.col("bb.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        cand.join(v.alias("a"), F.col("a.vec_id") == F.col("query_id"))
+        .join(v.alias("b"), F.col("b.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= K_AUDIT)
+        .select("query_id", "neighbor_id")
+    )
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        # labels are corpus-sized (one row per vector): a key-equi join,
+        # NEVER a broadcast — the q88 lesson applies to small-by-
+        # construction tables only
+        topk.join(ql, "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"), F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_found"),
+            F.sum((F.col("n_label") == F.col("q_label")).cast("long"))
+            .cast("long").alias("n_agree"),
+            F.expr(
+                "CAST(sum(CAST(n_label = q_label AS LONG)) * 1000000"
+                " div count(1) AS BIGINT)"
+            ).alias("agree_ppm"),
+        )
+    )

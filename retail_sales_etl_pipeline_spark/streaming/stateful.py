@@ -43,3 +43,73 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval union — the stateful twin of the batch q170
+# (plans/event_queries.py): per-user running (n_islands, n_spans,
+# covered_us) over variable-length spans, where an island closes only
+# when a new span starts past the running max of ALL previous ends.
+# State per user is FIVE int64s (closed-island count + covered total +
+# the one open island + span count) — constant size regardless of
+# stream length, the property that lets it run forever against a
+# 100 TB/day event feed. Requires event-time-ordered arrival (the
+# file-source twin test feeds time-ordered micro-batches; a production
+# deployment puts a watermarked sort-within-trigger in front or
+# tolerates the documented reordering error).
+INTERVAL_OUTPUT_SCHEMA = (
+    "user_id long, n_islands long, n_spans long, covered_us long"
+)
+INTERVAL_STATE_SCHEMA = (
+    "closed_n long, closed_cov long, cur_s long, cur_e long, n_spans long"
+)
+INTERVAL_MAX_S = 600  # mirror of plans.event_queries.INTERVAL_MAX_S
+
+
+def interval_union_running(events: DataFrame) -> DataFrame:
+    """Streaming per-user interval union via custom state: emits the
+    running (n_islands, n_spans, covered_us) after every micro-batch;
+    the final emission equals the batch q170 row for the same data."""
+
+    def update(key, pdfs, state: GroupState):
+        closed_n, closed_cov, cur_s, cur_e, n_spans = (
+            state.get if state.exists else (0, 0, -1, -1, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            s_arr = pdf["ts"].astype("int64") // 1000  # ns -> us
+            dur = (
+                pdf["value"].clip(upper=INTERVAL_MAX_S) * 100
+            ).round().astype("int64") * 10_000
+            for s, d in zip(s_arr.tolist(), dur.tolist()):
+                e = s + d
+                n_spans += 1
+                if cur_s < 0:
+                    cur_s, cur_e = s, e
+                elif s > cur_e:
+                    closed_n += 1
+                    closed_cov += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+        state.update((closed_n, closed_cov, cur_s, cur_e, n_spans))
+        open_island = 1 if cur_s >= 0 else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_islands": [closed_n + open_island],
+                "n_spans": [n_spans],
+                "covered_us": [
+                    closed_cov + (cur_e - cur_s if open_island else 0)
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=INTERVAL_OUTPUT_SCHEMA,
+        stateStructType=INTERVAL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -58,6 +58,13 @@ SENSITIVE = [
     "q164_pagerank_neardup",
     "q166_pareto_frontier",
     "q168_zipf_slope",
+    # survivor-window + decimal merge shapes
+    "q169_incremental_rollup",
+    "q170_interval_union",
+    "q171_semi_additive_snapshot",
+    # triangle join + top-K label audit tiebreaks + decimal PSI products
+    "q172_triangle_count",
+    "q174_label_consistency_audit",
 ]
 
 

@@ -405,3 +405,160 @@ def test_interval_union_matches_python_sweep(spark, duck):
         assert got[uid]["n_islands"] == len(islands), uid
         assert got[uid]["n_spans"] == len(sp)
         assert got[uid]["covered_us"] == sum(e - s for s, e in islands)
+
+
+# ---------------------------------------------------------------- q171
+
+
+def test_semi_additive_snapshot_matches_bruteforce(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        q171_semi_additive_snapshot,
+    )
+
+    got = {
+        r["day"]: r for r in q171_semi_additive_snapshot(spark, SMOKE_SF_DIR).collect()
+    }
+    rows = duck.execute(
+        "SELECT strftime(ts, '%Y-%m-%d'), user_id, epoch_us(ts), event_id,"
+        " value FROM events"
+    ).fetchall()
+    last: dict[tuple, tuple] = {}
+    for day, uid, ep, eid, v in rows:
+        k = (day, uid)
+        if k not in last or (ep, eid) > last[k][0]:
+            last[k] = ((ep, eid), v)
+    per_day: dict[str, list] = {}
+    for (day, _uid), (_, v) in last.items():
+        per_day.setdefault(day, []).append(round(v * 100))
+    for day, cents in per_day.items():
+        assert got[day]["n_users"] == len(cents)
+        assert got[day]["total_closing"] == f"{sum(cents) / 100:.2f}"
+        assert got[day]["max_closing"] == f"{max(cents) / 100:.2f}"
+    assert set(got) == set(per_day)
+
+
+# ---------------------------------------------------------------- q172
+
+
+def test_triangle_count_matches_python_recount(spark):
+    from itertools import combinations
+
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        q21_ngram_jaccard_pairs,
+        q172_triangle_count,
+    )
+
+    got = {r["doc_id"]: r for r in q172_triangle_count(spark, SMOKE_SF_DIR).collect()}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q21_ngram_jaccard_pairs(spark, SMOKE_SF_DIR).collect()
+    }
+    neigh: dict[int, set[int]] = {}
+    for a, b in pairs:
+        neigh.setdefault(a, set()).add(b)
+        neigh.setdefault(b, set()).add(a)
+    tri_at: dict[int, int] = {n: 0 for n in neigh}
+    for n, ns in neigh.items():
+        for v, w in combinations(sorted(ns), 2):
+            if (v, w) in pairs or (w, v) in pairs:
+                tri_at[n] += 1
+    assert set(got) == set(neigh)
+    assert any(c > 0 for c in tri_at.values()), "smoke graph has triangles"
+    for n, r in got.items():
+        assert r["n_triangles"] == tri_at[n], n
+        assert r["degree"] == len(neigh[n])
+        if r["degree"] >= 2:
+            expect = 2_000_000 * tri_at[n] // (r["degree"] * (r["degree"] - 1))
+            assert r["clustering_ppm"] == expect
+            assert 0 <= r["clustering_ppm"] <= 1_000_000
+        else:
+            assert r["clustering_ppm"] is None
+
+
+# ---------------------------------------------------------------- q173
+
+
+def test_psi_contributions_match_python_float_recompute(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        PSI_BIN_W,
+        PSI_MAX_BIN,
+        q173_distribution_drift_psi,
+    )
+
+    got = {r["bin"]: r for r in q173_distribution_drift_psi(spark, SMOKE_SF_DIR).collect()}
+    rows = duck.execute(
+        "SELECT value, CAST(ts < TIMESTAMP '2024-01-16 00:00:00' AS INT)"
+        " FROM events"
+    ).fetchall()
+    from collections import Counter
+
+    ce: Counter = Counter()
+    cl: Counter = Counter()
+    for v, early in rows:
+        b = min(PSI_MAX_BIN, int(v // PSI_BIN_W))
+        (ce if early else cl)[b] += 1
+    ne, nl = sum(ce.values()), sum(cl.values())
+    assert set(got) == set(ce) | set(cl)
+    total_psi = 0.0
+    for b, r in got.items():
+        assert r["cnt_e"] == ce.get(b, 0)
+        assert r["cnt_l"] == cl.get(b, 0)
+        if r["cnt_e"] > 0 and r["cnt_l"] > 0:
+            p, q = r["cnt_e"] / ne, r["cnt_l"] / nl
+            want = (p - q) * math.log(p / q) * 1_000_000
+            # fixed-point floor + micro-nat rounding: within 2 micro-PSI
+            assert abs(r["psi_contrib_micro"] - want) <= 2, b
+            total_psi += want
+        else:
+            assert r["psi_contrib_micro"] is None
+    assert total_psi >= 0  # PSI is a sum of non-negative terms
+
+
+# ---------------------------------------------------------------- q174
+
+
+def test_label_audit_matches_bruteforce_topk(spark, duck):
+    import numpy as np
+
+    from retail_sales_etl_pipeline_spark.operators.similarity import (
+        RP_MAX_BUCKET,
+        rp_buckets_pandas,
+    )
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        K_AUDIT,
+        q174_label_consistency_audit,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table
+
+    got = {r["vec_id"]: r for r in q174_label_consistency_audit(spark, SMOKE_SF_DIR).collect()}
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    buckets = rp_buckets_pandas(emb).toPandas()
+    sizes = buckets.groupby(["tbl", "bucket"]).size()
+    ok = buckets[
+        buckets.set_index(["tbl", "bucket"]).index.map(sizes) <= RP_MAX_BUCKET
+    ]
+    cand: dict[int, set[int]] = {}
+    for (_, _), grp in ok.groupby(["tbl", "bucket"]):
+        ids = grp["vec_id"].tolist()
+        for q in ids:
+            cand.setdefault(q, set()).update(i for i in ids if i != q)
+    vecs = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in emb.collect()
+    }
+    checked = 0
+    for q, ns in list(cand.items())[:50]:
+        vq, lq = vecs[q]
+        nq = float(np.sqrt((vq * vq).sum()))
+        scored = sorted(
+            (
+                (-float(vq @ vecs[n][0]) / (nq * float(np.sqrt((vecs[n][0] ** 2).sum()))), n)
+                for n in ns
+            ),
+        )[:K_AUDIT]
+        agree = sum(1 for _, n in scored if vecs[n][1] == lq)
+        assert got[q]["k_found"] == len(scored)
+        assert got[q]["n_agree"] == agree, q
+        assert got[q]["label"] == lq
+        checked += 1
+    assert checked == 50

@@ -66,3 +66,76 @@ def test_state_carries_across_microbatches(spark, two_batch_events):
     # user 1 must have been emitted in both micro-batches (state carried):
     u1_emissions = [r for r in out if r["user_id"] == 1]
     assert len(u1_emissions) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval union (the q170 twin)
+
+
+@pytest.fixture()
+def ordered_span_batches(spark, tmp_path):
+    # Two time-ordered micro-batches with an island crossing the batch
+    # boundary: user 1's (t=0, 100s) span from batch 1 must swallow the
+    # (t=30, 10s) span arriving in batch 2, and user 1's (t=121, 5s)
+    # span must open a second island.
+    d = str(tmp_path / "events.parquet")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = "2024-01-01 10:00:"
+
+    def row(eid, uid, sec, dur):
+        return (eid, f"2024-01-01 10:{sec // 60:02d}:{sec % 60:02d}", uid,
+                "view", float(dur), "{}")
+
+    b1 = spark.createDataFrame(
+        [row(1, 1, 0, 100), row(2, 2, 10, 10)], schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [row(3, 1, 30, 10), row(4, 1, 95, 25), row(5, 1, 121, 5),
+         row(6, 2, 20, 10)],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+    return str(tmp_path)
+
+
+def test_streaming_interval_union_equals_batch_q170(
+    spark, ordered_span_batches
+):
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        q170_interval_union,
+    )
+    from retail_sales_etl_pipeline_spark.streaming.stateful import (
+        interval_union_running,
+    )
+
+    stream = read_events_stream(
+        spark,
+        ordered_span_batches + "/events.parquet",
+        max_files_per_trigger=1,
+    )
+    q = (
+        interval_union_running(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("interval_union")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM interval_union").collect()
+    last = {}
+    for r in out:  # memory sink appends in micro-batch order
+        last[r["user_id"]] = (r["n_islands"], r["n_spans"], r["covered_us"])
+
+    batch = {
+        r["user_id"]: (r["n_islands"], r["n_spans"], r["covered_us"])
+        for r in q170_interval_union(spark, ordered_span_batches).collect()
+    }
+    assert last == batch
+    # and the crafted semantics hold: the long span swallowed the short
+    assert last[1] == (2, 4, (120 - 0 + 5) * 1_000_000)
+    assert last[2] == (1, 2, 20 * 1_000_000)

@@ -63,6 +63,8 @@ MARQUEE_100X = {
     "q163_edit_distance_verify", "q164_pagerank_neardup",
     "q165_market_basket", "q166_pareto_frontier", "q167_zorder_layout",
     "q168_zipf_slope", "q169_incremental_rollup", "q170_interval_union",
+    "q171_semi_additive_snapshot", "q172_triangle_count",
+    "q173_distribution_drift_psi", "q174_label_consistency_audit",
 }
 
 
