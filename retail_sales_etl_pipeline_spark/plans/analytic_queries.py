@@ -1263,3 +1263,483 @@ def q169_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_str(F.sum("ps")).alias("month_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) join against SCD2 history (q175): the classic
+# warehouse correctness trap — joining a fact to a versioned dimension
+# must pick the version valid AT THE FACT'S TIMESTAMP, not the current
+# one (that's lookahead leakage) and not all of them (that's a fan-out
+# double count). Composes q107's SCD2 build with q40's union+last_value
+# as-of machinery; facts are pre-aggregated to the PIT grain first, so
+# the match needs no per-row identity and touches far fewer rows.
+
+
+@register(
+    "q175_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p
+      FROM orders
+    ),
+    seg AS (
+      SELECT *, SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS version
+      FROM ordered
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority AS priority, version,
+             MIN(o_orderdate) AS valid_from
+      FROM seg GROUP BY o_custkey, o_orderpriority, version
+    ),
+    day_hist AS (
+      SELECT o_custkey, priority, valid_from FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, valid_from ORDER BY version DESC
+        ) AS rn FROM hist
+      ) WHERE rn = 1
+    ),
+    fact AS (
+      SELECT o.o_custkey, l.l_shipdate,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2)))
+                  AS DECIMAL(38,4)) AS rev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey, l.l_shipdate
+    ),
+    pit AS (
+      SELECT l_shipdate, n_items, rev, priority FROM (
+        SELECT f.l_shipdate, f.n_items, f.rev, h.priority,
+               row_number() OVER (
+                 PARTITION BY f.o_custkey, f.l_shipdate
+                 ORDER BY h.valid_from DESC
+               ) AS rn
+        FROM fact f LEFT JOIN day_hist h
+          ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
+      ) WHERE rn = 1
+    )
+    SELECT priority AS priority_at_ship,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(SUM(n_items) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(rev) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+    FROM pit
+    GROUP BY priority, strftime(l_shipdate, '%Y-%m')
+    """,
+    doc="Point-in-time join of the lineitem fact against the SCD2 "
+    "priority history q107 builds: each shipped item is credited to the "
+    "customer's priority regime valid AT l_shipdate — never the current "
+    "version (lookahead leakage) and never a version fan-out (double "
+    "count; same-day runs collapse to the version that ends the day, so "
+    "the PIT key is unique by construction). Facts are pre-aggregated "
+    "to (custkey, ship_date) grain BEFORE the match — the PIT answer "
+    "depends only on that grain, so the as-of machinery touches a "
+    "fraction of the fact rows and needs no per-row identity (this "
+    "corpus's (l_orderkey, l_linenumber) is not unique — discovered by "
+    "probe, the reason the naive per-row oracle is impossible here). "
+    "Spark side: q40's union+last_value(ignore nulls) interleave on one "
+    "(custkey, date, src) sort — ONE shuffle, no range-join explosion — "
+    "with dim-before-fact ordering making valid_from <= shipdate "
+    "inclusive; items shipping before the customer's first version "
+    "(29k rows at sf0.01 ship before their own order date) surface as "
+    "an honest NULL-priority group, never silently dropped. The oracle "
+    "is the independent join-then-pick-latest form, so the hash match "
+    "proves the window trick equals the obvious semantics. Revenue is "
+    "exact decimal per row. Scale shape: the fact rollup is the only "
+    "lineitem-sized shuffle; history rows ride the same custkey "
+    "partitioning; final rollup is (priority x month)-sized.",
+    tags=("warehouse", "join", "asof", "scd2", "decimal"),
+)
+def q175_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seg = orders.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(seq).isNull()
+            | (F.lag("o_orderpriority").over(seq) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = seg.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("priority"), "version"
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    w_day = Window.partitionBy("o_custkey", "valid_from").orderBy(
+        F.desc("version")
+    )
+    day_hist = (
+        hist.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("valid_from").alias("pit_date"),
+            "priority",
+        )
+    )
+
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    fact = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", F.col("l_shipdate").alias("pit_date"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).cast("decimal(38,4)").alias("rev"),
+        )
+    )
+
+    # interleave: dim rows (src=0) sort before fact rows (src=1) at equal
+    # dates, so last_value picks a version with valid_from <= ship date
+    dim_rows = day_hist.select(
+        "o_custkey", "pit_date", F.lit(0).alias("src"), "priority",
+        F.lit(None).cast("long").alias("n_items"),
+        F.lit(None).cast("decimal(38,4)").alias("rev"),
+    )
+    fact_rows = fact.select(
+        "o_custkey", "pit_date", F.lit(1).alias("src"),
+        F.lit(None).cast("string").alias("priority"), "n_items", "rev",
+    )
+    w_pit = (
+        Window.partitionBy("o_custkey")
+        .orderBy("pit_date", "src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        dim_rows.unionByName(fact_rows)
+        .withColumn(
+            "priority_at_ship",
+            F.last("priority", ignorenulls=True).over(w_pit),
+        )
+        .filter(F.col("src") == 1)
+    )
+    return matched.groupBy(
+        "priority_at_ship",
+        F.date_format("pit_date", "yyyy-MM").alias("ship_month"),
+    ).agg(
+        F.sum("n_items").cast("long").alias("n_items"),
+        decimal_str(F.sum("rev"), 38, 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (q176): the standard retail marketing
+# segmentation — recency / frequency / monetary quintiles — computed
+# WITHIN each market segment so the windows stay partitioned (a global
+# NTILE would funnel every customer through one reducer; scoring
+# against segment peers is both the scalable form and the analytically
+# honest one).
+
+
+@register(
+    "q176_rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+    per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(date_diff('day', MAX(o.o_orderdate),
+                            (SELECT ref_date FROM ref)) AS BIGINT)
+                 AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS monetary
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT c_mktsegment, o_custkey, recency_days, n_orders,
+           CAST(monetary AS VARCHAR) AS monetary,
+           CAST(ntile(5) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY recency_days DESC, o_custkey
+           ) AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY n_orders ASC, o_custkey
+           ) AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY monetary ASC, o_custkey
+           ) AS INTEGER) AS m_score
+    FROM per_cust
+    """,
+    doc="RFM segmentation: per customer with at least one order, days "
+    "since last order (recency, against the corpus max order date so "
+    "the metric is reproducible), order count (frequency) and exact "
+    "decimal lifetime spend (monetary), each scored into quintiles "
+    "WITHIN the customer's market segment — score 5 = most recent / "
+    "most frequent / highest spend, ties broken by custkey so NTILE "
+    "assigns identically in both engines. Scoring within segment keeps "
+    "every window PARTITIONED (5 segments here, thousands of partitions "
+    "in a real catalog) — the naive global NTILE is a single-reducer "
+    "sort at 100 TB, the classic window-scaling trap; segment-relative "
+    "scores are also the analytically defensible form (a luxury-goods "
+    "buyer's frequency should not be scored against grocery). One "
+    "customer-sized agg, then three same-partition window sorts over "
+    "the small per-customer table.",
+    tags=("warehouse", "window", "retail", "decimal"),
+)
+def q176_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            money_sum("o_totalprice").cast("decimal(38,2)").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+        )
+    )
+    w_r = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("recency_days"), F.asc("o_custkey")
+    )
+    w_f = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("n_orders"), F.asc("o_custkey")
+    )
+    w_m = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("monetary"), F.asc("o_custkey")
+    )
+    return per_cust.select(
+        "c_mktsegment",
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        F.col("monetary").cast("string").alias("monetary"),
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (q178): data-profiling primitive — does
+# column A determine column B? Violated FDs are how denormalization
+# bugs, bad merges, and dirty dimension loads surface. One groupBy per
+# candidate FD; each result is determinant-cardinality-sized.
+
+FD_CANDIDATES = (
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_type->p_size", "part", "p_type", "p_size"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+)
+
+
+@register(
+    "q178_functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{fd}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_det,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_det,
+               CAST(MAX(n_dep) AS BIGINT) AS max_dep_per_det,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_rows_in_violation
+        FROM (
+          SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep,
+                 COUNT(*) AS n_rows
+          FROM {tbl} GROUP BY {det}
+        )
+        """
+        for fd, tbl, det, dep in FD_CANDIDATES
+    ),
+    doc="Functional-dependency audit over candidate column pairs "
+    "(brand→type, type→size, nationkey→segment, custkey→priority): for "
+    "each FD, how many determinant values exist, how many are violated "
+    "(more than one distinct dependent), the worst fan-out, and how "
+    "many rows sit under violated determinants — the ANALYZE-style "
+    "profiling primitive that catches denormalization drift, bad merges "
+    "and dirty dimension loads before they fan out a join (a violated "
+    "FD used as a join key IS a row-duplicating bug; see q143 for the "
+    "frequency-skew sibling). Per FD: one partial-aggregated groupBy "
+    "on the determinant with an exact COUNT DISTINCT of the dependent, "
+    "then a determinant-cardinality-sized rollup; the four audits union "
+    "into one result. Scale: each audit shuffles only (det, dep) pairs "
+    "— column-pruned scans, never full rows.",
+    tags=("profiling", "quality", "aggregate"),
+)
+def q178_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out: DataFrame | None = None
+    for fd, tbl, det, dep in FD_CANDIDATES:
+        per_det = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(det)
+            .agg(
+                F.countDistinct(dep).alias("n_dep"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        audit = per_det.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_det"),
+            F.sum((F.col("n_dep") > 1).cast("long")).cast("long")
+            .alias("n_violating_det"),
+            F.max("n_dep").cast("long").alias("max_dep_per_det"),
+            F.sum(
+                F.when(F.col("n_dep") > 1, F.col("n_rows")).otherwise(0)
+            ).cast("long").alias("n_rows_in_violation"),
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (q182): "small-quantity" revenue — lineitems whose
+# quantity is below 20% of their part's average quantity. The classic
+# correlated-aggregate filter, decorrelated into a per-part aggregate
+# joined back on the same key. The threshold compare is INTEGER-exact:
+# qty < sum/(5*cnt)  ⇔  5*qty*cnt < sum, and this corpus's quantities
+# are whole numbers (probed), so no double division ever happens.
+
+
+@register(
+    "q182_small_quantity_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             CAST(COUNT(*) AS BIGINT) AS qty_cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS small_qty_revenue
+    FROM lineitem l
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.qty_cnt < a.qty_sum
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape: revenue locked up in small-quantity orders — "
+    "lineitems with quantity below 20% of their part's average, rolled "
+    "up per brand (the 'would batching these into bulk orders pay?' "
+    "analysis; TPC-H 2.17.3 asks it for one brand, this asks it for "
+    "all). The correlated aggregate is decorrelated into a per-part "
+    "(sum, count) aggregate joined back on l_partkey — both sides of "
+    "that join shuffle on the SAME key, so Catalyst plans one exchange "
+    "each and no broadcast of anything fact-sized. The 0.2*avg "
+    "threshold is evaluated as 5*qty*cnt < sum in pure int64 (this "
+    "corpus's quantities are whole numbers — probed, and asserted by "
+    "the test): no double division, no rounding boundary, bit-equal "
+    "in both engines by construction. Revenue is exact decimal. Part "
+    "is joined only for the brand label (broadcast-sized dim).",
+    tags=("retail", "join", "aggregate", "decimal"),
+)
+def q182_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    small = lineitem.join(per_part, "l_partkey").filter(
+        5 * F.col("l_quantity").cast("long") * F.col("qty_cnt")
+        < F.col("qty_sum")
+    )
+    return (
+        small.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            small.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+            decimal_str(money_sum("l_extendedprice"))
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape (q183): top supplier(s) by revenue in a quarter —
+# aggregate, then keep the rows equal to the scalar max. Decimal
+# revenue makes the max and the equality exact (the double form would
+# be a flaky boundary).
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+@register(
+    "q183_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2)))
+                  AS DECIMAL(38,4)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+        AND l_shipdate < TIMESTAMP '{Q15_TO}'
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(total_revenue AS VARCHAR) AS total_revenue
+    FROM rev
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc=f"TPC-H Q15 shape: the supplier(s) with maximum revenue over "
+    f"[{Q15_FROM}, {Q15_TO}) — aggregate per supplier, then keep rows "
+    "equal to the scalar max (Q15's CREATE VIEW + subquery, as one "
+    "plan). Revenue is exact decimal (price x discount complement per "
+    "row), so the max and the tie-preserving equality are bit-exact — "
+    "the double form would hinge on last-ulp sum order, exactly the "
+    "flakiness the decimal convention exists to kill. Scale shape: the "
+    "shipdate filter pushes to the scan, the per-supplier agg is "
+    "map-side partial + one supplier-sized shuffle, and the scalar max "
+    "broadcasts back over the tiny aggregate — the fact table is "
+    "touched once.",
+    tags=("retail", "aggregate", "decimal", "subquery"),
+)
+def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev_expr = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).cast("decimal(38,4)").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "l_suppkey",
+            F.col("total_revenue").cast("string").alias("total_revenue"),
+        )
+    )

@@ -1831,3 +1831,235 @@ def q173_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                div (CAST(ne AS DECIMAL(38,0)) * nl) AS BIGINT)
         END AS psi_contrib_micro""",
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix (q177): P(next event type |
+# current event type) from per-user event sequences — the sequence
+# model behind next-action prediction, funnel leak detection, and
+# session simulation. 'START' is the synthetic state before each
+# user's first event, so row masses are observable per prior state.
+
+
+@register(
+    "q177_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT COALESCE(lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), 'START') AS prev_type,
+             event_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS p_ppm
+    FROM cnt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: count of (previous type -> type) transitions, ordered "
+    "by (ts, event_id) within user, with a synthetic 'START' prior "
+    "state for each user's first event, and the conditional transition "
+    "probability in exact integer ppm (n * 1e6 div row total). The "
+    "sequence-model readout behind next-action prediction and funnel "
+    "leak detection; q113's session paths enumerate whole trajectories "
+    "— this is their memoryless projection, dense and comparable "
+    "across corpora. Scale shape: one user_id shuffle for the lag "
+    "window, then the count table is (types+1)^2-sized — the ppm "
+    "window runs over ~36 rows regardless of corpus size.",
+    tags=("events", "window", "sequence"),
+)
+def q177_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("START")).alias(
+            "prev_type"
+        ),
+        "event_type",
+    )
+    cnt = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return cnt.withColumn("tot", F.sum("n").over(w_prev)).selectExpr(
+        "prev_type",
+        "event_type",
+        "n",
+        "CAST(n * 1000000 div tot AS BIGINT) AS p_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA features (q179): per-user exponentially-weighted
+# value average with decay 1/2, truncated at the last EWMA_K events —
+# the streaming-feature-store shape (recent behavior weighted over
+# old) in pure integer arithmetic. Weight of the k-th most recent
+# event is 2^(EWMA_K-k): all weights are exact powers of two, cents
+# ride the q171 DECIMAL(18,2) convention, and the final micro-value is
+# one integer floor-division — bit-equal across engines, no float
+# decay product anywhere.
+EWMA_K = 16
+
+
+@register(
+    "q179_ewma_features",
+    oracle=f"""
+    WITH recent AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << ({EWMA_K} - rn))) * 10000
+                // SUM(CAST(1 AS BIGINT) << ({EWMA_K} - rn))
+                AS BIGINT) AS ewma_micro
+    FROM recent WHERE rn <= {EWMA_K}
+    GROUP BY user_id
+    """,
+    doc=f"Per-user fixed-point EWMA of event value (decay 1/2, "
+    f"truncated at the {EWMA_K} most recent events by (ts, event_id)): "
+    "the feature-store recency-weighted average, computed entirely in "
+    "integers — the k-th most recent event carries weight "
+    f"2^({EWMA_K}-k), values become cents via the q171 DECIMAL(18,2) "
+    "cast, and the result is one floor-division to micro-value units. "
+    "The truncation bound is principled: dropped events carry < 2^-16 "
+    "of the mass, below the micro-unit output resolution. No float "
+    "decay product, no order-dependent double sum — both engines "
+    "agree bit-for-bit. Scale shape: one user_id shuffle for the "
+    "recency window (fine-grained partitions), then a keyed agg of at "
+    f"most {EWMA_K} rows per user; the streaming twin is a per-key "
+    "(ewma_num, ewma_den) pair in applyInPandasWithState.",
+    tags=("events", "window", "training", "fixed-point"),
+)
+def q179_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EWMA_K)
+        .select("user_id", "cents", "rn")
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.expr(
+            f"CAST(SUM(cents * shiftleft(CAST(1 AS BIGINT), {EWMA_K} - rn))"
+            f" * 10000 div SUM(shiftleft(CAST(1 AS BIGINT), {EWMA_K} - rn))"
+            " AS BIGINT)"
+        ).alias("ewma_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped multi-touch attribution (q180): credit each user's
+# conversion across their touch events — 40% to the first touch, 40%
+# to the last, the middle 20% split evenly — in exact integer ppm.
+# The position-based scheme marketing stacks default to when
+# first-touch and last-touch (q137) disagree. Event order is the
+# lexicographic (ts, event_id) pair — NEVER a packed epoch*K+id
+# integer, which overflows int64 (epoch_us * 1e7 > 2^63).
+
+
+@register(
+    "q180_multitouch_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, ts AS conv_ts, event_id AS conv_eid FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+             ) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.event_type IN ('view', 'click')
+        AND (e.ts, e.event_id) < (c.conv_ts, c.conv_eid)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE
+             WHEN n = 1 THEN 1000000
+             WHEN n = 2 THEN 500000
+             WHEN pos = 1 OR pos = n THEN 400000
+             ELSE 200000 // (n - 2)
+           END) AS BIGINT) AS credit_ppm
+    FROM touches
+    GROUP BY event_type
+    """,
+    doc="U-shaped (position-based) multi-touch attribution: each "
+    "converting user's first purchase is credited across their prior "
+    "view/click touches — 40% to the first touch, 40% to the last, "
+    "the middle 20% split evenly (100% / 50-50 for 1- and 2-touch "
+    "paths) — summed per touch type in exact integer ppm. The scheme "
+    "marketing stacks reach for when first-touch and last-touch "
+    "(q137) disagree; per-user credit sums to 1e6 up to the "
+    "documented floor-division remainder on the middle split (at most "
+    "n-3 ppm per user, observable, never silently redistributed). "
+    "Event order is the lexicographic (ts, event_id) pair compared as "
+    "a row value in both engines — a packed epoch*K+id integer key "
+    "would overflow int64. Scale shape: conversions are a per-user "
+    "min(struct) agg riding the same user_id shuffle as the touch "
+    "window — one exchange, then a types-sized rollup.",
+    tags=("events", "window", "attribution"),
+)
+def q180_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
+        .select(
+            "user_id",
+            F.col("c.ts").alias("conv_ts"),
+            F.col("c.event_id").alias("conv_eid"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    touches = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            | (
+                (F.col("ts") == F.col("conv_ts"))
+                & (F.col("event_id") < F.col("conv_eid"))
+            )
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400000)
+        .otherwise(F.expr("200000 div (n - 2)"))
+    )
+    return touches.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(credit).cast("long").alias("credit_ppm"),
+    )

@@ -1395,3 +1395,138 @@ def q174_label_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agree_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension recall (q181): how much ANN quality
+# survives keeping only the first MRL_DIMS of the embedding — the
+# evaluation behind Matryoshka representation learning (Kusupati et
+# al. 2022) and every "search the short prefix, re-rank full" serving
+# stack. recall@K of prefix-cosine top-K against full-cosine top-K,
+# per query, exact.
+MRL_DIMS = 8
+MRL_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0
+
+
+@register(
+    "q181_matryoshka_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             embedding[1:{MRL_DIMS}]::DOUBLE[] AS emb8,
+             {_NORM_D} AS nrm,
+             sqrt(list_dot_product(embedding[1:{MRL_DIMS}]::DOUBLE[],
+                                   embedding[1:{MRL_DIMS}]::DOUBLE[]))
+                 AS nrm8
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {MRL_SAMPLE_MOD} = 0),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+                              DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q a JOIN v b ON b.vec_id <> a.vec_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    trunc_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.emb8, b.emb8)
+                              / (a.nrm8 * b.nrm8) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q a JOIN v b ON b.vec_id <> a.vec_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_full,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    doc=f"Matryoshka truncated-dimension recall: for a deterministic "
+    f"query sample (vec_id % {MRL_SAMPLE_MOD} == 0), the exact-cosine "
+    f"top-{TOP_K} using only the first {MRL_DIMS} of 64 dims is "
+    f"compared against the full-dimension top-{TOP_K}; output is per-"
+    "query overlap and exact recall ppm — the evaluation behind "
+    "Matryoshka representation learning and 'search the prefix, "
+    "re-rank full' serving (q62's int8 stack trades precision per "
+    "dim; this trades dims). Both rankings use the bit-deterministic "
+    "index-ordered dot fold with the neighbor_id tiebreak, so the "
+    "sets are identical across engines and the recall is exact, not "
+    "estimated. Scale shape: brute-force cost is bounded by the "
+    "QUERY SAMPLE (|q| x N dots, map-side; the same contract as "
+    "q111's recall eval), and the prefix ranking is the cheap one a "
+    "production variant would route through the q32 bucket ladder.",
+    tags=("similarity", "eval"),
+)
+def q181_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot8_s, _ = dot_pair("a.emb8", "b.emb8")
+    norm8_src = _NORM_S.replace(
+        "embedding", f"slice(embedding, 1, {MRL_DIMS})"
+    )
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(
+            f"transform(slice(embedding, 1, {MRL_DIMS}),"
+            " x -> CAST(x AS DOUBLE))"
+        ).alias("emb8"),
+        F.expr(_NORM_S).alias("nrm"),
+        F.expr(norm8_src).alias("nrm8"),
+    )
+    q = v.filter(F.col("vec_id") % MRL_SAMPLE_MOD == 0)
+
+    def topk(score) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            q.alias("a")
+            .join(v.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                score.alias("score"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = topk(F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm")))
+    trunc_k = topk(F.expr(dot8_s) / (F.col("a.nrm8") * F.col("b.nrm8")))
+    # count overlap via left-semi style flag join on both key columns
+    overlap = (
+        full_k.join(trunc_k, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        full_k.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_full"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "k_full",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(coalesce(n_overlap, 0) * 1000000 div k_full AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -65,6 +65,14 @@ SENSITIVE = [
     # triangle join + top-K label audit tiebreaks + decimal PSI products
     "q172_triangle_count",
     "q174_label_consistency_audit",
+    # wave 3: PIT last_value interleave, NTILE quintiles, lag sequences,
+    # survivor-window EWMA, attribution position ranks, dual top-K recall
+    "q175_point_in_time_join",
+    "q176_rfm_segmentation",
+    "q177_markov_transitions",
+    "q179_ewma_features",
+    "q180_multitouch_attribution",
+    "q181_matryoshka_recall",
 ]
 
 
