@@ -113,3 +113,67 @@ def interval_union_running(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming fixed-point EWMA — the stateful twin of the batch q179
+# (plans/event_queries.py): per-user EWMA over the last EWMA_K events
+# with power-of-two weights, in pure integers. State per user is the
+# last EWMA_K cent values (a fixed-width int64 array) — bounded
+# regardless of stream length, and the emission is bit-equal to the
+# batch query on the same prefix. Requires event-time-ordered arrival
+# within each user (same contract as interval_union_running above).
+EWMA_K = 16  # mirror of plans.event_queries.EWMA_K
+EWMA_OUTPUT_SCHEMA = "user_id long, n_used long, ewma_micro long"
+# state: fixed-width recent-cents window, most recent first
+EWMA_STATE_SCHEMA = "recent array<long>"
+
+
+def ewma_running(events: DataFrame) -> DataFrame:
+    """Streaming per-user fixed-point EWMA: emits the running
+    (n_used, ewma_micro) after every micro-batch; the final emission
+    equals the batch q179 row for the same data."""
+
+    def update(key, pdfs, state: GroupState):
+        recent = list(state.get[0]) if state.exists else []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            # match the batch DECIMAL(18,2) cast exactly: Spark casts
+            # double->decimal via the shortest decimal repr with
+            # HALF_UP — pandas .round() is half-EVEN and differs on
+            # .xx5 boundaries
+            from decimal import ROUND_HALF_UP, Decimal
+
+            cents = [
+                int(
+                    Decimal(repr(v)).quantize(
+                        Decimal("0.01"), ROUND_HALF_UP
+                    )
+                    * 100
+                )
+                for v in pdf["value"].tolist()
+            ]
+            # most recent first, truncated to the fixed window
+            recent = list(reversed(cents)) + recent
+            recent = recent[:EWMA_K]
+        state.update((recent,))
+        num = sum(
+            c * (1 << (EWMA_K - k)) for k, c in enumerate(recent, 1)
+        )
+        den = sum(1 << (EWMA_K - k) for k in range(1, len(recent) + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_used": [len(recent)],
+                "ewma_micro": [num * 10_000 // den if den else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -139,3 +139,55 @@ def test_streaming_interval_union_equals_batch_q170(
     # and the crafted semantics hold: the long span swallowed the short
     assert last[1] == (2, 4, (120 - 0 + 5) * 1_000_000)
     assert last[2] == (1, 2, 20 * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (the q179 twin)
+
+
+def test_streaming_ewma_equals_batch_q179(spark, tmp_path):
+    import shutil
+
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        q179_ewma_features,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table
+    from retail_sales_etl_pipeline_spark.streaming.stateful import (
+        ewma_running,
+    )
+
+    # two time-ordered micro-batches carved from the real smoke events
+    from .conftest import SMOKE_SF_DIR
+
+    d = str(tmp_path / "events.parquet")
+    ev = load_table(spark, SMOKE_SF_DIR, "events").orderBy("ts", "event_id")
+    n = ev.count()
+    cutoff = ev.limit(n // 2).agg(F.max("ts")).collect()[0][0]
+    ev.filter(F.col("ts") <= F.lit(cutoff)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    ev.filter(F.col("ts") > F.lit(cutoff)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        ewma_running(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_running")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ewma_running").collect()
+    last = {}
+    for r in out:  # memory sink appends in micro-batch order
+        last[r["user_id"]] = (r["n_used"], r["ewma_micro"])
+
+    batch = {
+        r["user_id"]: (r["n_used"], r["ewma_micro"])
+        for r in q179_ewma_features(spark, SMOKE_SF_DIR).collect()
+    }
+    assert last == batch
+    shutil.rmtree(d, ignore_errors=True)
