@@ -1743,3 +1743,142 @@ def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("string").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort revenue triangle (q184): the classic retention economics
+# readout — customers grouped by first-order month, revenue tracked by
+# months-since-acquisition. The month arithmetic is pure integers
+# (year*12+month), never float date math.
+
+
+@register(
+    "q184_cohort_revenue_triangle",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
+           CAST((date_part('year', o.o_orderdate) * 12
+                 + date_part('month', o.o_orderdate))
+                - (date_part('year', f.first_dt) * 12
+                   + date_part('month', f.first_dt)) AS BIGINT)
+               AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+    FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Cohort revenue triangle: customers cohorted by first-order "
+    "month, each later order credited to (cohort, months-since-"
+    "acquisition) with distinct active customers, order count and "
+    "exact decimal revenue per cell — the retention-economics readout "
+    "(LTV curves, cohort decay) every subscription/retail business "
+    "reads weekly; q96 is its distinct-users day-grain sibling over "
+    "events. Month age is integer (year*12 + month) arithmetic — no "
+    "float date math, no months_between fractional semantics to "
+    "disagree on. Scale shape: the first-order aggregate and the "
+    "credit join both shuffle on o_custkey (one exchange, "
+    "co-partitioned), the triangle itself is (months x months)-sized; "
+    "COUNT(DISTINCT custkey) per cell is exact and partial-aggregated "
+    "because the cell count is bounded.",
+    tags=("warehouse", "retail", "aggregate", "decimal"),
+)
+def q184_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        orders.join(first_order, "o_custkey")
+        .groupBy(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            (midx(F.col("o_orderdate")) - midx(F.col("first_dt")))
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            decimal_str(money_sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit (q187): first-digit distribution of
+# order totals vs Benford's law — the classic fraud / synthetic-data
+# smell test. Expected shares are hardcoded integer ppm constants
+# (log10(1+1/d) pre-rounded, summing to exactly 1e6) — no runtime
+# transcendental, nothing to disagree on.
+
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "q187_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, n,
+           CAST(n * 1000000 // t AS BIGINT) AS observed_ppm,
+           CAST(CASE digit
+             {" ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())}
+           END AS BIGINT) AS benford_ppm,
+           CAST(n * 1000000 // t - CASE digit
+             {" ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())}
+           END AS BIGINT) AS deviation_ppm
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Benford's-law leading-digit audit of order totals: observed "
+    "first-digit counts and exact ppm shares against the hardcoded "
+    "Benford expectation (log10(1+1/d) pre-rounded to integer ppm, "
+    "summing to exactly 1e6 — no runtime transcendental, so both "
+    "engines agree by construction). Large deviations flag fabricated "
+    "or synthetically-generated amounts — the classic forensic "
+    "accounting screen, and a useful smell test on any pipeline's "
+    "numeric columns (this corpus's uniform-ish totals deviate "
+    "strongly, which IS the finding). Digit extraction goes through "
+    "the DECIMAL(18,2) string rendering both engines share, never "
+    "float log10. Scale shape: one scan to a 9-row table; the ppm "
+    "division happens on the 9-row side of a scalar broadcast.",
+    tags=("profiling", "quality", "retail"),
+)
+def q187_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                1, 1,
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "digit",
+        "n",
+        "CAST(n * 1000000 div t AS BIGINT) AS observed_ppm",
+        f"CAST({case} AS BIGINT) AS benford_ppm",
+        f"CAST(n * 1000000 div t - {case} AS BIGINT) AS deviation_ppm",
+    )

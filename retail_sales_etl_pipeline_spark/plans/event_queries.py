@@ -2063,3 +2063,195 @@ def q180_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum(credit).cast("long").alias("credit_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Balance carry-forward daily grid (q185): each user's daily closing
+# balance with last-observation-carried-forward over silent days —
+# the balance-sheet snapshot generator that turns an event stream
+# into the dense per-day state table BI tools and feature stores
+# expect. Composes q171's closing-value survivor with q104's dense
+# grid, swapping zero-fill for LOCF.
+
+
+@register(
+    "q185_balance_carry_forward",
+    oracle="""
+    WITH closing AS (
+      SELECT user_id, day, cents FROM (
+        SELECT user_id, ts::DATE AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (
+                 PARTITION BY user_id, ts::DATE
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (SELECT MAX(ts::DATE) AS max_day FROM events),
+    first_day AS (
+      SELECT user_id, MIN(day) AS first_day FROM closing GROUP BY user_id
+    ),
+    grid AS (
+      SELECT f.user_id, CAST(gs.g AS DATE) AS day
+      FROM first_day f CROSS JOIN bounds b,
+           LATERAL (
+             SELECT unnest(generate_series(
+               f.first_day::TIMESTAMP, b.max_day::TIMESTAMP,
+               INTERVAL 1 DAY)) AS g
+           ) gs
+    )
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           last_value(c.cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING
+           ) AS closing_cents,
+           c.cents IS NOT NULL AS is_observed
+    FROM grid g
+    LEFT JOIN closing c ON c.user_id = g.user_id AND c.day = g.day
+    """,
+    doc="Daily balance snapshot grid with last-observation-carried-"
+    "forward: per user, a dense day axis from their first active day "
+    "to the corpus high-water day, closing value (q171's survivor, in "
+    "exact cents) carried across silent days, with an is_observed "
+    "audit flag separating real readings from carried ones — the "
+    "snapshot-fact generator that turns event streams into the "
+    "per-day state table BI and feature stores expect (q104 is the "
+    "zero-fill sibling for flow measures; LOCF is the correct fill "
+    "for level measures). Scale shape: the survivor window and the "
+    "grid explode both partition by user_id — one exchange; the grid "
+    "is bounded by users x days, generated by sequence(), never a "
+    "cross join against a calendar table; the LOCF window rides the "
+    "same partitioning. Never carries ACROSS users by construction.",
+    tags=("events", "window", "warehouse", "grid"),
+)
+def q185_balance_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closing = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bounds = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    grid = (
+        closing.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("first_day", "max_day", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(closing, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("cents", ignorenulls=True).over(w_locf)
+            .alias("closing_cents"),
+            F.col("cents").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G-test of independence (q186): is event type independent of day of
+# week? The likelihood-ratio sibling of chi-square, chosen because its
+# log form rides the established micro-nat fixed point (q88/q173
+# convention) AND stays in range at any scale — chi-square's
+# (obs*N - row*col)^2 overflows even DECIMAL(38) at petabyte counts,
+# the same trap q118's PMI ratio hit at 100x.
+
+
+@register(
+    "q186_gtest_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.dow, o.event_type, o.n,
+             SUM(o.n) OVER (PARTITION BY o.dow) AS row_n,
+             SUM(o.n) OVER (PARTITION BY o.event_type) AS col_n,
+             SUM(o.n) OVER () AS tot
+      FROM obs o
+    )
+    SELECT dow, event_type, n,
+           CAST((CAST(2 * n AS DECIMAL(38,0))
+                 * ({{L_n}} + {{L_tot}} - {{L_row}} - {{L_col}}))
+                AS BIGINT) AS g_contrib_micro
+    FROM margins
+    """.format(
+        L_n="CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)",
+        L_tot="CAST(FLOOR(ln(CAST(tot AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+        L_row="CAST(FLOOR(ln(CAST(row_n AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+        L_col="CAST(FLOOR(ln(CAST(col_n AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+    ),
+    doc="G-test (likelihood-ratio) independence audit of event type vs "
+    "day of week: per contingency cell, the observed count and its "
+    "exact contribution 2*n*ln(n*N / (row*col)) in integer micro-nats "
+    "— the seasonality-confound detector (if type depends on weekday, "
+    "any weekday-imbalanced A/B readout like q142's is confounded; "
+    "q144 shows the shares, this tests them). The G form is chosen "
+    "over chi-square DELIBERATELY: its log rides the established "
+    "micro-nat table (ln only on the few distinct counts, q88/q173 "
+    "convention) and 2*n*(L(n)+L(N)-L(row)-L(col)) stays within "
+    "DECIMAL(38) at ANY corpus size, while chi-square's "
+    "(n*N - row*col)^2 needs ~4x the digits of N and overflows at "
+    "petabyte scale — the q118 overflow lesson applied at design "
+    "time. Scale shape: one scan to a (7 x types) table; margins are "
+    "windows over that tiny table. dow is 0=Sunday in both engines "
+    "(Spark dayofweek()-1 == DuckDB date_part('dow')).",
+    tags=("events", "profiling", "log-form", "stats"),
+)
+def q186_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    margins = (
+        obs.withColumn(
+            "row_n", F.sum("n").over(Window.partitionBy("dow"))
+        )
+        .withColumn(
+            "col_n", F.sum("n").over(Window.partitionBy("event_type"))
+        )
+        .withColumn(
+            "tot",
+            F.sum("n").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    lm = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    return margins.selectExpr(
+        "dow",
+        "event_type",
+        "n",
+        f"""CAST((CAST(2 * n AS DECIMAL(38,0))
+              * ({lm.format(x='n')} + {lm.format(x='tot')}
+                 - {lm.format(x='row_n')} - {lm.format(x='col_n')}))
+             AS BIGINT) AS g_contrib_micro""",
+    )

@@ -73,6 +73,9 @@ SENSITIVE = [
     "q179_ewma_features",
     "q180_multitouch_attribution",
     "q181_matryoshka_recall",
+    # wave 4: LOCF carry window + cohort distinct/decimal cells
+    "q184_cohort_revenue_triangle",
+    "q185_balance_carry_forward",
 ]
 
 
