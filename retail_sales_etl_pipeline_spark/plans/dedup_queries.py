@@ -2330,3 +2330,106 @@ def q172_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(degree * (degree - 1), 0) AS BIGINT)"
         ).alias("clustering_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup chain depth via recursive CTE (q188): the FOURTH graph
+# statistic over the verified pair list (after q60 membership, q164
+# centrality, q172 clustering) — and the declarative-recursion API
+# surface: Spark 4 ships WITH RECURSIVE, so the transitive-reachability
+# question q60 answers with hand-rolled big-star/small-star loops can
+# now be asked in one SQL statement on BOTH engines. Spark's recursion
+# supports UNION ALL only (no dedup step), so the recursion runs over
+# the CANONICAL DAG — pairs are already (doc_a < doc_b), ascending
+# edges can never cycle — which guarantees termination and makes the
+# per-path multiset identical across engines by construction.
+CHAIN_MAX_HOPS = 8
+
+
+@register(
+    "q188_neardup_chain_depth",
+    oracle=f"""
+    WITH RECURSIVE {{cand}},
+    d AS (
+      SELECT doc_id, {{tg}} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {{jac}}
+    ),
+    roots AS (
+      SELECT DISTINCT doc_a AS doc_id FROM verified v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM verified w WHERE w.doc_b = v.doc_a
+      )
+    ),
+    chain AS (
+      SELECT doc_id, 0 AS depth FROM roots
+      UNION ALL
+      SELECT v.doc_b, c.depth + 1
+      FROM chain c JOIN verified v ON v.doc_a = c.doc_id
+      WHERE c.depth < {CHAIN_MAX_HOPS}
+    )
+    SELECT doc_id,
+           CAST(MIN(depth) AS BIGINT) AS min_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM chain GROUP BY doc_id
+    """.format(
+        cand=_DUCK_CAND_CTE,
+        tg=token_ngrams_expr("text", 3)[1],
+        jac=NEARDUP_JACCARD,
+    ),
+    doc="Duplication chain depth via declarative recursion (Spark 4 "
+    "WITH RECURSIVE — the API-surface twin of q60's hand-rolled "
+    "large-star/small-star loops): from the near-dup DAG's roots "
+    "(docs never appearing as the larger member of a verified pair), "
+    "walk the canonical ascending edges and emit each reachable doc's "
+    "min/max chain depth and path count. Deep chains with shallow "
+    "clustering (q172) are the transitive-closure false friends that "
+    "make component-level dedup risky — min_depth tells a curator how "
+    "many borderline hops justify each doc's membership. Termination "
+    "is BY CONSTRUCTION: Spark recursion supports UNION ALL only (no "
+    "dedup between iterations), so the walk runs over the acyclic "
+    "canonical direction (doc_a < doc_b always ascends), with a "
+    f"depth cap of {CHAIN_MAX_HOPS} as an explicit fan-out bound — "
+    "path multiplicity on diamonds is bounded by the LSH hot-bucket "
+    "degree caps upstream. Each recursion step executes as one "
+    "distributed hash join per iteration, exactly the q60 loop "
+    "Catalyst now writes for us. Oracle: the identical WITH RECURSIVE "
+    "on DuckDB.",
+    tags=("dedup", "graph", "recursive", "spark4"),
+)
+def q188_neardup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = (
+        q21_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # the recursion references the
+        # pair list once per iteration — materialize the LSH ladder once
+    )
+    verified.createOrReplaceTempView("q188_verified")
+    return spark.sql(f"""
+      WITH RECURSIVE roots AS (
+        SELECT DISTINCT doc_a AS doc_id FROM q188_verified v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q188_verified w WHERE w.doc_b = v.doc_a
+        )
+      ),
+      chain AS (
+        SELECT doc_id, 0 AS depth FROM roots
+        UNION ALL
+        SELECT v.doc_b, c.depth + 1
+        FROM chain c JOIN q188_verified v ON v.doc_a = c.doc_id
+        WHERE c.depth < {CHAIN_MAX_HOPS}
+      )
+      SELECT doc_id,
+             CAST(MIN(depth) AS BIGINT) AS min_depth,
+             CAST(MAX(depth) AS BIGINT) AS max_depth,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM chain GROUP BY doc_id
+    """)

@@ -162,3 +162,47 @@ def test_benford_constants_and_counts(spark, duck):
         assert r["observed_ppm"] == r["n"] * 1_000_000 // tot
         assert r["deviation_ppm"] == r["observed_ppm"] - BENFORD_PPM[d]
         assert 1 <= d <= 9
+
+
+# ---------------------------------------------------------------- q188
+
+
+def test_chain_depth_matches_python_dag_walk(spark):
+    from collections import defaultdict
+
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        CHAIN_MAX_HOPS,
+        q21_ngram_jaccard_pairs,
+        q188_neardup_chain_depth,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q21_ngram_jaccard_pairs(spark, SMOKE_SF_DIR).collect()
+    ]
+    assert all(a < b for a, b in pairs)  # the acyclicity the walk rests on
+    out = defaultdict(set)
+    has_parent = {b for _, b in pairs}
+    for a, b in pairs:
+        out[a].add(b)
+    roots = sorted({a for a, _ in pairs} - has_parent)
+    # replicate UNION ALL multiset semantics: count every path
+    stats: dict[int, list] = {}  # doc -> [min_d, max_d, n_paths]
+
+    def visit(node, depth):
+        s = stats.setdefault(node, [depth, depth, 0])
+        s[0] = min(s[0], depth)
+        s[1] = max(s[1], depth)
+        s[2] += 1
+        if depth < CHAIN_MAX_HOPS:
+            for nxt in out.get(node, ()):
+                visit(nxt, depth + 1)
+
+    for r in roots:
+        visit(r, 0)
+    got = {r["doc_id"]: r for r in q188_neardup_chain_depth(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(stats)
+    for doc, (mn, mx, np_) in stats.items():
+        r = got[doc]
+        assert (r["min_depth"], r["max_depth"], r["n_paths"]) == (mn, mx, np_)
+    assert any(r["min_depth"] > 0 for r in got.values())  # walk went deep
