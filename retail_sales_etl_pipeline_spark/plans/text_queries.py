@@ -1009,3 +1009,64 @@ def q168_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
         ).alias("slope_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability (q193): the classic reading-ease composite
+# in integer micro-points. Sentence splitting, word counting and
+# vowel-group (syllable-proxy) counting are all regex primitives both
+# engines share; the three ratios become two integer floor-divisions.
+# A standard text-quality feature next to q25's ratios and q91's rule
+# stack. (This synthetic corpus has no sentence punctuation — every
+# doc scores as one sentence, which the n_sentences column makes
+# observable; on punctuated corpora the term varies.)
+
+
+@register(
+    "q193_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_vowel_groups,
+           CAST(206835000
+                - 1015000 * len(regexp_extract_all(text, '[^ ]+'))
+                  // (len(regexp_extract_all(text, '[.!?]+')) + 1)
+                - 84600000
+                  * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  // NULLIF(len(regexp_extract_all(text, '[^ ]+')), 0)
+                AS BIGINT) AS flesch_micro
+    FROM documents
+    """,
+    doc="Flesch reading-ease in exact integer micro-points: 206.835 - "
+    "1.015*(words/sentences) - 84.6*(vowel_groups/words), with words = "
+    "non-space runs, sentences = [.!?]+ runs + 1, and vowel groups as "
+    "the standard syllable proxy — all three regex primitives from the "
+    "Java-regex/RE2 common subset q92 established, and both divisions "
+    "integer floor-divisions (NULLIF-guarded for empty docs, the q160 "
+    "ANSI-div lesson). The classic readability feature text-quality "
+    "stacks put next to length/stopword ratios (q25) before a "
+    "perplexity model ever runs; on this punctuation-free synthetic "
+    "corpus the sentence term is constant (observable via "
+    "n_sentences), the syllable/word terms carry the signal. Scale "
+    "shape: embarrassingly parallel single scan, whole-stage codegen, "
+    "no shuffle at all.",
+    tags=("text", "quality", "fixed-point"),
+)
+def q193_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    words = "size(regexp_extract_all(text, '[^ ]+', 0))"
+    sents = "(size(regexp_extract_all(text, '[.!?]+', 0)) + 1)"
+    vgs = "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    return documents.selectExpr(
+        "doc_id",
+        f"CAST({words} AS BIGINT) AS n_words",
+        f"CAST({sents} AS BIGINT) AS n_sentences",
+        f"CAST({vgs} AS BIGINT) AS n_vowel_groups",
+        f"""CAST(206835000L
+             - 1015000L * {words} div {sents}
+             - 84600000L * {vgs} div NULLIF(CAST({words} AS BIGINT), 0)
+             AS BIGINT) AS flesch_micro""",
+    )

@@ -76,6 +76,10 @@ SENSITIVE = [
     # wave 4: LOCF carry window + cohort distinct/decimal cells
     "q184_cohort_revenue_triangle",
     "q185_balance_carry_forward",
+    # wave 5: recursive CUSUM walk, tiny-table G windows
+    "q186_gtest_independence",
+    "q189_cusum_changepoint",
+    "q190_ab_significance",
 ]
 
 

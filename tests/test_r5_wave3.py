@@ -33,6 +33,7 @@ from retail_sales_etl_pipeline_spark.plans.event_queries import (
 )
 from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
     MRL_DIMS,
+    MRL_MAX_QID,
     MRL_SAMPLE_MOD,
     TOP_K,
     q181_matryoshka_recall,
@@ -283,7 +284,7 @@ def test_matryoshka_recall_matches_numpy(spark, duck):
         ).fetchall()
     }
     ids = sorted(vecs)
-    queries = [i for i in ids if i % MRL_SAMPLE_MOD == 0]
+    queries = [i for i in ids if i % MRL_SAMPLE_MOD == 0 and i < MRL_MAX_QID]
     assert set(got) == set(queries)
 
     def topk(qid, dims):

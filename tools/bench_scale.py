@@ -65,6 +65,20 @@ MARQUEE_100X = {
     "q168_zipf_slope", "q169_incremental_rollup", "q170_interval_union",
     "q171_semi_additive_snapshot", "q172_triangle_count",
     "q173_distribution_drift_psi", "q174_label_consistency_audit",
+    # wave 3/4: PIT interleave, segment NTILE, lag matrix, survivor EWMA,
+    # attribution ranks, dual brute-force top-K, decorrelated Q17,
+    # cohort triangle, LOCF grid explode, recursive DAG walk
+    "q175_point_in_time_join", "q176_rfm_segmentation",
+    "q177_markov_transitions", "q178_functional_dependency_audit",
+    "q179_ewma_features", "q180_multitouch_attribution",
+    "q181_matryoshka_recall", "q182_small_quantity_revenue",
+    "q183_top_supplier", "q184_cohort_revenue_triangle",
+    "q185_balance_carry_forward", "q186_gtest_independence",
+    "q187_benford_audit", "q188_neardup_chain_depth",
+    # wave 5: recursive CUSUM walk, 2x2 G-test, integer OLS slopes
+    "q189_cusum_changepoint", "q190_ab_significance", "q191_trend_slopes",
+    # wave 6: exact correlation screen, regex readability scan
+    "q192_value_hour_correlation", "q193_readability",
 }
 
 
