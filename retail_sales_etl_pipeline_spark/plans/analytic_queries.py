@@ -1882,3 +1882,238 @@ def q187_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({case} AS BIGINT) AS benford_ppm",
         f"CAST(n * 1000000 div t - {case} AS BIGINT) AS deviation_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit (q194): the declarative quality-gate engine
+# (operators/contracts.py) run against the retail schema — one report
+# row per contract, all contracts on a table sharing ONE scan. The
+# ship-before-order rule REALLY fails on this corpus (29k rows at
+# sf0.01), which is the point: a contract engine that only ever
+# passes is untested.
+
+CONTRACTS_SQL = (
+    ("orders.positive_totalprice", "orders", "o_totalprice <= 0"),
+    ("orders.custkey_not_null", "orders", "o_custkey IS NULL"),
+    ("orders.status_in_domain", "orders",
+     "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("lineitem.quantity_in_range", "lineitem",
+     "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem.discount_in_range", "lineitem",
+     "l_discount < 0 OR l_discount > 0.1"),
+    ("lineitem.ship_after_order", "li_orders",
+     "l_shipdate < o_orderdate"),
+)
+
+
+@register(
+    "q194_data_contract_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS contract, '{tbl}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS violation_ppm
+        FROM {"(SELECT l.*, o.o_orderdate FROM lineitem l"
+              " JOIN orders o ON o.o_orderkey = l.l_orderkey)"
+              if tbl == "li_orders" else tbl}
+        """
+        for name, tbl, pred in CONTRACTS_SQL
+    ),
+    doc="Declarative data-contract audit over the retail schema (the "
+    "dbt-tests / expectations engine surface, operators/contracts.py): "
+    "six rules — domain bounds, null keys, value ranges, and the "
+    "cross-table ship-after-order ordering — each reported as checked/"
+    "violations/exact ppm. Rules are grouped BY TABLE and evaluated in "
+    "ONE scan per table as fused SUM(CASE) partial aggregates (N rules "
+    "never cost N scans); the cross-table rule rides a single "
+    "co-keyed join. The ship-after-order contract genuinely FAILS on "
+    "this corpus (~2.5% of lineitems ship before their order date — "
+    "the same data fact q175 had to design around), proving the "
+    "engine reports violations instead of vacuously passing; the "
+    "reference's row-count and file-existence ingestion guards "
+    "(dag1_ingest_csv.py) are two hardcoded instances of this general "
+    "form. Scale shape: one scan per table + one join, all map-side "
+    "partials, report is rules-sized.",
+    tags=("quality", "warehouse", "profiling"),
+)
+def q194_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contracts import Contract, audit_contracts
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li_orders = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    )
+    return audit_contracts(
+        spark,
+        {"orders": orders, "lineitem": lineitem, "li_orders": li_orders},
+        [Contract(n, t, p) for n, t, p in CONTRACTS_SQL],
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (q195): k-anonymity's necessary complement — a
+# large quasi-identifier group is still unsafe if everyone in it
+# shares the same SENSITIVE value (homogeneity attack). Per q123
+# group: distinct sensitive values (account-balance sign band) and
+# the dominant value's share.
+
+L_DIVERSITY = 2
+
+
+@register(
+    "q195_l_diversity",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END
+                 AS sens_band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT sens_band) AS BIGINT) AS l_distinct,
+             CAST(MAX(band_n) AS BIGINT) AS dominant_n
+      FROM (
+        SELECT c_mktsegment, c_nationkey, sens_band,
+               COUNT(*) OVER (
+                 PARTITION BY c_mktsegment, c_nationkey, sens_band
+               ) AS band_n
+        FROM tagged
+      ) GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, grp_n, l_distinct,
+           CAST(dominant_n * 1000000 // grp_n AS BIGINT)
+               AS dominant_share_ppm,
+           l_distinct < {L_DIVERSITY} AS homogeneity_risk
+    FROM g
+    """,
+    doc="l-diversity audit over the q123 quasi-identifier groups "
+    "(segment x nation), sensitive attribute = account-balance band "
+    "(neg/mid/high): per group, its size, the number of DISTINCT "
+    "sensitive values, the dominant band's exact ppm share, and the "
+    f"homogeneity flag (fewer than l={L_DIVERSITY} distinct values) — "
+    "k-anonymity's necessary complement, because a thousand-person "
+    "group where everyone is in the 'neg' band leaks the sensitive "
+    "attribute without identifying anyone (the homogeneity attack "
+    "k alone cannot see). Plan: one window + one exact-distinct "
+    "aggregate on the quasi-tuple — the window and the groupBy share "
+    "the (segment, nation) partitioning, bounded key space, pure "
+    "integer decision. Composes with q123: release gates check BOTH "
+    "flags.",
+    tags=("governance", "aggregate", "window"),
+)
+def q195_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "sens_band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high"),
+    )
+    w = Window.partitionBy("c_mktsegment", "c_nationkey", "sens_band")
+    g = (
+        cust.withColumn("band_n", F.count(F.lit(1)).over(w))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("grp_n"),
+            F.countDistinct("sens_band").cast("long").alias("l_distinct"),
+            F.max("band_n").cast("long").alias("dominant_n"),
+        )
+    )
+    return g.selectExpr(
+        "c_mktsegment",
+        "c_nationkey",
+        "grp_n",
+        "l_distinct",
+        "CAST(dominant_n * 1000000 div grp_n AS BIGINT)"
+        " AS dominant_share_ppm",
+        f"l_distinct < {L_DIVERSITY} AS homogeneity_risk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (q196): the robust per-group center where each
+# row counts with a weight — here, median extended price per brand
+# weighted by quantity ("the price of the median UNIT sold", not the
+# median line). Integer rank arithmetic over cumulative weights, the
+# q78 exact-order-statistic machinery generalized to weights.
+
+
+@register(
+    "q196_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cum AS (
+      SELECT p_brand, cents, w,
+             SUM(w) OVER (
+               PARTITION BY p_brand ORDER BY cents, w
+               ROWS UNBOUNDED PRECEDING
+             ) AS cw,
+             SUM(w) OVER (PARTITION BY p_brand) AS tw
+      FROM pts
+    )
+    SELECT p_brand,
+           CAST(tw AS BIGINT) AS total_units,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents
+    FROM (
+      SELECT p_brand, cents, tw FROM cum WHERE 2 * cw >= tw
+    ) GROUP BY p_brand, tw
+    """,
+    doc="Exact weighted median per brand: the extended price of the "
+    "median UNIT sold (each lineitem weighted by its quantity) — the "
+    "lower weighted median, defined as the smallest value whose "
+    "cumulative weight reaches half the total, computed with pure "
+    "integer rank arithmetic (2*cum >= total avoids any half-total "
+    "division) over cents. Weighted medians answer 'what does the "
+    "typical unit cost' where q78's unweighted median answers 'what "
+    "does the typical line cost' — they diverge exactly when quantity "
+    "correlates with price, which is the interesting case. Ties are "
+    "ordered (cents, w) so both engines accumulate identically. Scale "
+    "shape: one (brand) shuffle, the cumulative window and the total "
+    "ride the same sort; per-group state is the sort, not a "
+    "collection.",
+    tags=("retail", "window", "aggregate", "robust"),
+)
+def q196_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    cum = pts.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_tot)
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("p_brand", "tw")
+        .agg(F.min("cents").cast("long").alias("weighted_median_cents"))
+        .select(
+            "p_brand",
+            F.col("tw").cast("long").alias("total_units"),
+            "weighted_median_cents",
+        )
+    )

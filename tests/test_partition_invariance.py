@@ -80,6 +80,9 @@ SENSITIVE = [
     "q186_gtest_independence",
     "q189_cusum_changepoint",
     "q190_ab_significance",
+    # wave 7: l-diversity dominant-band window, weighted-median cumsum
+    "q195_l_diversity",
+    "q196_weighted_median",
 ]
 
 
