@@ -1070,3 +1070,135 @@ def q193_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 84600000L * {vgs} div NULLIF(CAST({words} AS BIGINT), 0)
              AS BIGINT) AS flesch_micro""",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters with exact verification (q197): the
+# bounded-memory frequency pattern. q70's exact top tokens needs a
+# vocabulary-sized aggregate; the count-min sketch needs D*W cells
+# (4KB here) no matter how large the vocabulary grows, at the price
+# of one-sided overestimation — so the production shape is
+# sketch-to-candidates, then an exact count restricted to the
+# candidate stream. Both phases integer-deterministic.
+from ..functions.scalar import POLY_MOD  # noqa: E402
+
+CM_D = 4
+CM_W = 1024
+CM_SALTS = ((131, 7), (137, 11), (139, 13), (149, 17))
+CM_FREQ_DIV = 200  # heavy hitter: count >= total_tokens / 200
+
+
+def _cm_bucket(h: str, d: int) -> str:
+    a, b = CM_SALTS[d]
+    return f"(({a} * {h} + {b}) % {POLY_MOD}) % {CM_W}"
+
+
+@register(
+    "q197_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT token,
+             {poly_hash_pair("token", "token")[1]} AS h
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE len(token) > 0
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    cells AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM (
+        SELECT unnest([{", ".join(str(d) for d in range(CM_D))}]) AS d,
+               unnest([{", ".join(_cm_bucket("h", d) for d in range(CM_D))}])
+                   AS bucket
+        FROM toks
+      ) GROUP BY d, bucket
+    ),
+    vocab AS (SELECT DISTINCT token, h FROM toks),
+    est AS (
+      SELECT v.token, CAST(MIN(c.cell_n) AS BIGINT) AS est_count
+      FROM vocab v
+      JOIN cells c ON (c.d, c.bucket) IN (
+        {", ".join(f"({d}, {_cm_bucket('v.h', d)})" for d in range(CM_D))}
+      )
+      GROUP BY v.token
+    ),
+    cand AS (
+      SELECT e.token, e.est_count FROM est e CROSS JOIN total t
+      WHERE e.est_count * {CM_FREQ_DIV} >= t.n
+    )
+    SELECT c.token, c.est_count,
+           CAST(x.n AS BIGINT) AS exact_count,
+           CAST(c.est_count - x.n AS BIGINT) AS overestimate
+    FROM cand c JOIN (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ) x ON x.token = c.token
+    """,
+    doc="Count-min heavy hitters with exact verification: token "
+    f"frequencies are sketched into a {CM_D}x{CM_W} cell table "
+    "(4 salted affine hashes over the shared polynomial token hash), "
+    "candidates are every token whose sketch estimate (min over the "
+    f"{CM_D} cells) reaches 1/{CM_FREQ_DIV} of total token mass, and "
+    "the exact pass counts ONLY the candidate-filtered stream — the "
+    "bounded-memory frequency pattern for vocabularies too large to "
+    "aggregate exactly (q70's exact form is vocabulary-sized; the "
+    "sketch is 4 KB at ANY vocabulary, mergeable across partitions "
+    "by cell addition, and one-sided: overestimate >= 0 by "
+    "construction, asserted per token in the output). Scale shape: "
+    "one token scan to D*W cells (map-side partials on a bounded key "
+    "space), a vocab-sized probe against the broadcast cell table, "
+    "then the exact count over a candidate-semi-joined stream — the "
+    "full-vocabulary aggregate never happens.",
+    tags=("text", "sketch", "aggregate"),
+)
+def q197_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    hash_s = poly_hash_pair("token", "token")[0]
+    toks = (
+        documents.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .selectExpr("token", f"{hash_s} AS h")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        toks.selectExpr(
+            "explode(arrays_zip("
+            f"array({', '.join(str(d) for d in range(CM_D))}), "
+            f"array({', '.join(_cm_bucket('h', d) for d in range(CM_D))})"
+            ")) AS z"
+        )
+        .selectExpr("z.`0` AS d", "z.`1` AS bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_n"))
+    )
+    vocab = toks.distinct()
+    probes = vocab.selectExpr(
+        "token",
+        "explode(arrays_zip("
+        f"array({', '.join(str(d) for d in range(CM_D))}), "
+        f"array({', '.join(_cm_bucket('h', d) for d in range(CM_D))})"
+        ")) AS z",
+    ).selectExpr("token", "z.`0` AS d", "z.`1` AS bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell_n").cast("long").alias("est_count"))
+    )
+    cand = (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * CM_FREQ_DIV >= F.col("n"))
+        .select("token", "est_count")
+    )
+    exact = (
+        toks.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return cand.join(exact, "token").select(
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).cast("long")
+        .alias("overestimate"),
+    )

@@ -112,3 +112,32 @@ def test_weighted_median_matches_python_expansion(spark, duck):
         lower_median = units[(tw - 1) // 2]
         assert got[b]["total_units"] == tw
         assert got[b]["weighted_median_cents"] == lower_median, b
+
+
+# ---------------------------------------------------------------- q197
+
+
+def test_countmin_overestimates_and_finds_all_heavy_hitters(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.text_queries import (
+        CM_FREQ_DIV,
+        q197_countmin_heavy_hitters,
+    )
+
+    got = {r["token"]: r for r in q197_countmin_heavy_hitters(spark, SMOKE_SF_DIR).collect()}
+    rows = duck.execute(
+        "SELECT token, COUNT(*) FROM ("
+        " SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") WHERE len(token) > 0 GROUP BY token"
+    ).fetchall()
+    exact = dict(rows)
+    total = sum(exact.values())
+    # CM guarantee 1: estimates never underestimate
+    for t, r in got.items():
+        assert r["exact_count"] == exact[t]
+        assert r["overestimate"] >= 0, t
+        assert r["est_count"] >= r["exact_count"]
+    # CM guarantee 2: every TRUE heavy hitter is found (no false
+    # negatives — overestimation can only ADD candidates)
+    true_heavy = {t for t, n in exact.items() if n * CM_FREQ_DIV >= total}
+    assert true_heavy <= set(got)
+    assert true_heavy  # the threshold actually selects something here

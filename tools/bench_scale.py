@@ -79,6 +79,10 @@ MARQUEE_100X = {
     "q189_cusum_changepoint", "q190_ab_significance", "q191_trend_slopes",
     # wave 6: exact correlation screen, regex readability scan
     "q192_value_hour_correlation", "q193_readability",
+    # wave 7: fused contract scans, l-diversity window
+    "q194_data_contract_audit", "q195_l_diversity",
+    # wave 8: bounded-memory frequency sketch + exact verify
+    "q197_countmin_heavy_hitters",
 }
 
 
