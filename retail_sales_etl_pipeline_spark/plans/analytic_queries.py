@@ -2117,3 +2117,85 @@ def q196_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration audit (q198): how much of each segment's
+# revenue comes from its top decile of customers — the 80/20
+# dependence readout (customer-concentration risk; q136 is the
+# token-mass sibling on documents). Decile by NTILE within segment
+# (deterministic ties), shares in exact ppm from decimal cents.
+
+
+@register(
+    "q198_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, cents,
+             ntile(10) OVER (
+               PARTITION BY c_mktsegment ORDER BY cents DESC, o_custkey
+             ) AS decile
+      FROM per_cust
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN decile = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top_decile,
+           CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS top_decile_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) * 1000000
+                // SUM(cents) AS BIGINT) AS top_decile_share_ppm
+    FROM ranked GROUP BY c_mktsegment
+    """,
+    doc="Customer-concentration audit: per market segment, the share "
+    "of lifetime revenue held by the top decile of customers (NTILE "
+    "within segment on exact decimal cents, ties broken by custkey) — "
+    "the 80/20 dependence readout that quantifies revenue-at-risk if "
+    "the biggest accounts churn, and the retail twin of q136's "
+    "token-mass Gini (doc-level curation decisions becoming "
+    "token-level bias there; account-level dependence here). All "
+    "integer: cents from the decimal cast, shares in exact ppm. "
+    "Scale shape: customer-grain aggregate on the custkey shuffle, "
+    "then a segment-partitioned NTILE over the small per-customer "
+    "table and a segments-sized rollup — the q176 window discipline "
+    "(never a global single-reducer sort).",
+    tags=("retail", "window", "aggregate", "warehouse"),
+)
+def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w))
+    top = (F.col("decile") == 1).cast("long")
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(top).cast("long").alias("n_top_decile"),
+        F.sum(top * F.col("cents")).cast("long").alias("top_decile_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) * 1000000"
+            " div SUM(cents) AS BIGINT)"
+        ).alias("top_decile_share_ppm"),
+    )

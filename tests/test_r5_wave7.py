@@ -141,3 +141,41 @@ def test_countmin_overestimates_and_finds_all_heavy_hitters(spark, duck):
     true_heavy = {t for t, n in exact.items() if n * CM_FREQ_DIV >= total}
     assert true_heavy <= set(got)
     assert true_heavy  # the threshold actually selects something here
+
+
+# ---------------------------------------------------------------- q198
+
+
+def test_revenue_concentration_matches_python(spark, duck):
+    from retail_sales_etl_pipeline_spark.plans.analytic_queries import (
+        q198_revenue_concentration,
+    )
+
+    got = {r["c_mktsegment"]: r for r in q198_revenue_concentration(spark, SMOKE_SF_DIR).collect()}
+    rows = duck.execute(
+        "SELECT c.c_mktsegment, o.o_custkey,"
+        " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_seg = defaultdict(list)
+    for seg, ck, cents in rows:
+        per_seg[seg].append((cents, ck))
+    assert set(got) == set(per_seg)
+    for seg, custs in per_seg.items():
+        custs.sort(key=lambda t: (-t[0], t[1]))
+        n = len(custs)
+        # NTILE(10): first (n % 10) buckets get ceil(n/10)
+        top_size = n // 10 + (1 if n % 10 >= 1 else 0)
+        top_cents = sum(c for c, _ in custs[:top_size])
+        total = sum(c for c, _ in custs)
+        r = got[seg]
+        assert r["n_customers"] == n
+        assert r["n_top_decile"] == top_size
+        assert r["top_decile_cents"] == top_cents
+        assert r["total_cents"] == total
+        assert r["top_decile_share_ppm"] == top_cents * 1_000_000 // total
+        # concentration must exceed the uniform 10% floor
+        assert r["top_decile_share_ppm"] > 100_000

@@ -166,9 +166,150 @@ def main() -> None:
     print(f"debounce stream==batch: {got == want} "
           f"({len(got)} survivors)", file=sys.stderr)
 
+    # --- update-mode stateful twins (collected via foreachBatch) -------
+    # interval union / EWMA emit per-key running rows in update mode (no
+    # parquet append); drive them with a collecting sink and assert the
+    # final emissions equal their batch queries over the same corpus.
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        q170_interval_union,
+        q179_ewma_features,
+        q173_distribution_drift_psi,
+        PSI_SPLIT_TS,
+    )
+    from retail_sales_etl_pipeline_spark.streaming.stateful import (
+        ewma_running,
+        interval_union_running,
+    )
+    from retail_sales_etl_pipeline_spark.streaming.drift import (
+        bin_counts_stream,
+        psi_against_reference,
+    )
+
+    sf_dir = os.path.dirname(events_path)
+
+    def drive_update(name: str, df, final_cols, batch_df, key_col,
+                     extra: dict | None = None) -> None:
+        ckpt = os.path.join(work, f"ckpt_{name}")
+        last: dict = {}
+        n_emissions = 0
+
+        def sink(bdf, _bid):
+            nonlocal n_emissions
+            rows = bdf.collect()
+            n_emissions += len(rows)
+            for r in rows:
+                last[r[key_col]] = tuple(r[c] for c in final_cols)
+
+        t0 = time.time()
+        q = (
+            df.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        batch = {
+            r[key_col]: tuple(r[c] for c in final_cols)
+            for r in batch_df.collect()
+        }
+        results[name] = {
+            "seconds": round(dt, 2),
+            "rows_per_sec": int(n_rows / dt),
+            "micro_batches": len(q.recentProgress),
+            "state_keys": len(last),
+            "emissions": n_emissions,
+            "final_state_equals_batch_query": last == batch,
+            **(extra or {}),
+        }
+        print(f"{name}: {dt:.1f}s, {int(n_rows/dt)} rows/s, "
+              f"stream==batch: {last == batch}", file=sys.stderr, flush=True)
+
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    drive_update(
+        "stateful_interval_union",
+        interval_union_running(stream),
+        ("n_islands", "n_spans", "covered_us"),
+        q170_interval_union(spark, sf_dir),
+        "user_id",
+    )
+
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    drive_update(
+        "stateful_ewma",
+        ewma_running(stream),
+        ("n_used", "ewma_micro"),
+        q179_ewma_features(spark, sf_dir),
+        "user_id",
+    )
+
+    # drift monitor: complete-mode bin counts + per-batch PSI vs the
+    # early-window reference; final PSI must equal the batch q173 total
+    ref = bin_counts_stream(
+        spark.read.parquet(src_dir).filter(
+            F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
+        )
+    ).cache()
+    ref.count()
+    late_dir = os.path.join(work, "late_files")
+    late = spark.read.parquet(src_dir).filter(
+        F.col("ts") >= F.lit(PSI_SPLIT_TS).cast("timestamp")
+    )
+    late.coalesce(4).write.mode("overwrite").parquet(late_dir)
+    psi_readings: list[int] = []
+
+    def psi_sink(bdf, _bid):
+        psi = psi_against_reference(bdf, ref)
+        if psi is not None:
+            psi_readings.append(psi)
+
+    t0 = time.time()
+    q = (
+        bin_counts_stream(read_events_stream(spark, late_dir,
+                                             max_files_per_trigger=1))
+        .writeStream.outputMode("complete")
+        .foreachBatch(psi_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    batch_psi = (
+        q173_distribution_drift_psi(spark, sf_dir)
+        .agg(F.sum("psi_contrib_micro").alias("s")).collect()[0]["s"]
+    )
+    results["drift_monitor"] = {
+        "seconds": round(dt, 2),
+        "psi_readings": len(psi_readings),
+        "final_psi_micro": psi_readings[-1] if psi_readings else None,
+        "final_psi_equals_batch_q173": (
+            bool(psi_readings) and psi_readings[-1] == batch_psi
+        ),
+    }
+    print(f"drift_monitor: {dt:.1f}s, final PSI {psi_readings[-1:]} "
+          f"== batch: {results['drift_monitor']['final_psi_equals_batch_q173']}",
+          file=sys.stderr, flush=True)
+
     out_path = os.path.join(ROOT, "BENCH_STREAMING.json")
+    label = (
+        f"{os.path.basename(os.path.dirname(events_path))}"
+        f"_{n_rows // 1_000_000}M_rows"
+    )
+    doc: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+    doc[label] = results
+    doc.setdefault(
+        "note",
+        "file-source micro-batch runs driven with trigger(availableNow);"
+        " time-ordered slices; *_equals_batch flags assert the streaming"
+        " operator's final state equals its batch-query twin in-run",
+    )
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "streaming_bench_done", "out": out_path}))
