@@ -2151,8 +2151,10 @@ def q196_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) AS BIGINT)
                AS top_decile_cents,
            CAST(SUM(cents) AS BIGINT) AS total_cents,
-           CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) * 1000000
-                // SUM(cents) AS BIGINT) AS top_decile_share_ppm
+           CAST(FLOOR(CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END)
+                          AS DOUBLE) * 1000000.0
+                      / CAST(SUM(cents) AS DOUBLE))
+                AS BIGINT) AS top_decile_share_ppm
     FROM ranked GROUP BY c_mktsegment
     """,
     doc="Customer-concentration audit: per market segment, the share "
@@ -2195,7 +2197,13 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(top * F.col("cents")).cast("long").alias("top_decile_cents"),
         F.sum("cents").cast("long").alias("total_cents"),
         F.expr(
-            "CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) * 1000000"
-            " div SUM(cents) AS BIGINT)"
+            # one deterministic IEEE double ratio (q192 convention):
+            # integer cents*1e6 overflows int64 at the 100x corpus
+            # (caught by EXECUTING the scale run), and Spark decimal
+            # `div` disagrees with DuckDB `//` on decimals — the
+            # identical double expression floors identically in both
+            "CAST(FLOOR(CAST(SUM(CASE WHEN decile = 1 THEN cents"
+            " ELSE 0 END) AS DOUBLE) * 1000000.0D"
+            " / CAST(SUM(cents) AS DOUBLE)) AS BIGINT)"
         ).alias("top_decile_share_ppm"),
     )

@@ -83,6 +83,7 @@ SENSITIVE = [
     # wave 7: l-diversity dominant-band window, weighted-median cumsum
     "q195_l_diversity",
     "q196_weighted_median",
+    "q198_revenue_concentration",
 ]
 
 

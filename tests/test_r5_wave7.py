@@ -176,6 +176,10 @@ def test_revenue_concentration_matches_python(spark, duck):
         assert r["n_top_decile"] == top_size
         assert r["top_decile_cents"] == top_cents
         assert r["total_cents"] == total
-        assert r["top_decile_share_ppm"] == top_cents * 1_000_000 // total
+        import math as _m
+
+        assert r["top_decile_share_ppm"] == _m.floor(
+            top_cents * 1_000_000.0 / total
+        )
         # concentration must exceed the uniform 10% floor
         assert r["top_decile_share_ppm"] > 100_000

@@ -82,7 +82,7 @@ MARQUEE_100X = {
     # wave 7: fused contract scans, l-diversity window
     "q194_data_contract_audit", "q195_l_diversity",
     # wave 8: bounded-memory frequency sketch + exact verify
-    "q197_countmin_heavy_hitters",
+    "q197_countmin_heavy_hitters", "q198_revenue_concentration",
 }
 
 
