@@ -496,3 +496,72 @@ def test_q162_span_plan_is_pair_shaped_not_match_shuffle(spark):
     )
     assert _op_count(q162, "Window") == _op_count(q22, "Window")
     assert "MapInPandas" in q162
+
+
+def test_pit_join_is_one_union_one_carry_window(spark):
+    """q175's PIT match must stay the union+last_value interleave (ONE
+    Union, bounded window count) — a decay to a range join or a
+    per-fact-row match would multiply fact-sized shuffles."""
+    plan = _formatted_plan(
+        REGISTRY["q175_point_in_time_join"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    # SCD2 build (lag + running-sum + day-dedup rn) + the PIT carry;
+    # anything beyond ~5 windows means a regression to per-row matching
+    assert 1 <= _op_count(plan, "Window") <= 5
+    assert _op_count(plan, "Union") == 1
+    assert "Cartesian" not in plan
+
+
+def test_rfm_ntile_is_segment_partitioned(spark):
+    """q176's NTILE windows must be PARTITIONED by segment — a global
+    (unpartitioned) NTILE is a single-reducer sort at 100 TB, the
+    classic window-scaling trap."""
+    plan = _formatted_plan(
+        REGISTRY["q176_rfm_segmentation"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    import re as _re
+
+    for m in _re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "c_mktsegment" in m.group(1), plan[:2000]
+
+
+def test_small_qty_threshold_join_is_copartitioned_not_broadcast(spark):
+    """q182's per-part aggregate joins back to lineitem on the SAME key:
+    at scale both sides hash-partition on l_partkey and the fact-derived
+    aggregate must NOT broadcast (it grows with the fact table), while
+    the explicitly-hinted part dim still does. At smoke scale AQE
+    broadcasts everything, so the scale plan is revealed by disabling
+    the size-based threshold — the explicit hint is the ONLY broadcast
+    that survives."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(
+            REGISTRY["q182_small_quantity_revenue"].spark_fn(
+                spark, SMOKE_SF_DIR
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert _op_count(plan, "BroadcastExchange") == 1  # hinted part dim only
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cusum_plans_as_windows_not_iteration(spark):
+    """q189 must stay the two-window drawdown form: zero recursion
+    nodes (UnionLoop), and both windows riding one (type, day) sort."""
+    plan = _formatted_plan(
+        REGISTRY["q189_cusum_changepoint"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "UnionLoop" not in plan and "CTERelation" not in plan
+    assert _op_count(plan, "Window") <= 2
+
+
+def test_recursive_chain_depth_uses_native_recursion(spark):
+    """q188 IS the recursion showcase: the plan must contain Spark's
+    recursive-CTE execution node, proving the declarative form (not a
+    driver loop) executes the walk."""
+    plan = _formatted_plan(
+        REGISTRY["q188_neardup_chain_depth"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "UnionLoop" in plan or "Recursi" in plan, plan[:1500]
