@@ -1,14 +1,14 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE compact JSON line (the LAST stdout line):
+Prints TWO JSON lines; the LAST stdout line is a compact (~400 byte)
+self-contained summary guaranteed to fit any tail-capture window:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01": sec, ...}, "sf": 0.1, "detail": "BENCH_LOCAL.json"}
-
-The summary line uses short query keys (q01, q02, ...) to stay well under
-any tail-capture window — round 3's record was lost because the full-name
-line outgrew the driver's capture buffer and its head was truncated. The
-full-name per-query timings are written to BENCH_LOCAL.json next to this
-script; human-readable per-query lines go to stderr.
+     "queries": {"q01": sec, ... 16 headline queries}, "n_queries": N,
+     "sf": 0.1, "detail": "BENCH_LOCAL.json"}
+The line before it carries all short-key per-query timings; the full-name
+per-query timings are written to BENCH_LOCAL.json next to this script
+(rounds 3 and 5 lost their driver records because the all-queries line
+outgrew the ~2,000-char capture buffer). Human-readable lines → stderr.
 
 Each query is executed with a `noop`-format write so the full distributed
 plan runs (scan → shuffle → agg) without materializing results on the
@@ -104,6 +104,28 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": short,
+                "sf": sf,
+                "detail": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
+        )
+    )
+    # The registry outgrew the driver's ~2,000-char tail-capture window: with
+    # 196 queries even the short-key line is >2 KB, so its head (the "value"
+    # field) fell outside the window and round 5's record shows parsed:null.
+    # The LAST stdout line is therefore a compact, self-contained JSON object
+    # (~400 bytes) holding the full-registry total plus the 16 reference-
+    # parity headline queries — guaranteed to sit entirely inside any tail
+    # window and parse on its own. Full per-query detail: BENCH_LOCAL.json.
+    headline = {k: v for k, v in short.items() if re.fullmatch(r"q0[0-9]|q1[0-6]", k)}
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": headline,
+                "n_queries": len(timings),
                 "sf": sf,
                 "detail": "BENCH_LOCAL.json",
             },

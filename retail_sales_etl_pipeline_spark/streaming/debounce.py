@@ -12,8 +12,26 @@ case — ``applyInPandasWithState`` with one `last_kept_us` long per key.
 Ordering contract: events are processed in (ts, event_id) order WITHIN a
 micro-batch, and batches in arrival order — the standard at-ingest
 debouncing assumption. Late (out-of-order) events across batches would
-need watermark-held reordering upstream; at 100 TB state is one long per
-key in the RocksDB state store, partitioned by user_id.
+need watermark-held reordering upstream.
+
+State growth at scale (the round-5 finding): with ``NoTimeout`` the
+state store holds one entry per user id EVER SEEN, forever — at 100 TB
+event volume that store grows without bound and the per-batch
+maintenance cost with it (measured: 12.6x wall for 10x rows at 10M
+events / 150K keys). The fix is ``expire_state=True``, which bounds the
+store with an event-time timeout that is EXACTLY correct for this
+operator, not an approximation: debounce state only influences decisions
+for events with ``ts <= last_kept + gap``. Once the watermark passes
+``last_kept + gap``, every event that can still arrive (watermark
+filtering drops older ones before the stateful operator runs) has
+``ts > last_kept + gap`` and is kept regardless of state — so dropping
+the key's state changes nothing. Expiry therefore yields the identical
+survivor set while keeping the live state proportional to users active
+within one debounce window of the watermark, not users ever seen.
+Pair with the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
+so even the bounded working set lives off-heap with incremental
+checkpoints (tools/bench_streaming.py --rocksdb wires it).
 """
 
 from __future__ import annotations
@@ -28,19 +46,49 @@ OUTPUT_SCHEMA = "event_id long, user_id long, ts_us long"
 STATE_SCHEMA = "last_kept_us long"
 
 DEBOUNCE_SECONDS = 600
+# Watermark delay for the expire_state form: how much cross-batch event-
+# time disorder is tolerated before a row counts as late. The bench's
+# time-ordered slices need ~0; real ingest pipelines pick their lateness
+# SLA. State lifetime = debounce window + this delay past the newest
+# event seen.
+EXPIRE_WATERMARK = "2 hours"
 
 
 def debounce_events(
-    events: DataFrame, debounce_seconds: int = DEBOUNCE_SECONDS
+    events: DataFrame,
+    debounce_seconds: int = DEBOUNCE_SECONDS,
+    expire_state: bool = False,
+    watermark_delay: str = EXPIRE_WATERMARK,
 ) -> DataFrame:
     """Keep an event only if it is > ``debounce_seconds`` after the last
-    KEPT event of the same user; survivors emitted in append mode."""
+    KEPT event of the same user; survivors emitted in append mode.
+
+    ``expire_state=True`` watermarks ``ts`` by ``watermark_delay`` and
+    expires each key's state once the watermark passes
+    ``last_kept + gap`` — identical survivors (see module doc for the
+    proof sketch), bounded state store.
+    """
     gap_us = int(debounce_seconds) * 1_000_000
+    gap_ms = int(debounce_seconds) * 1_000
+    expire = bool(expire_state)
+    if expire:
+        events = events.withWatermark("ts", watermark_delay)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         # self-contained: no module globals (workers may run with a
         # different cwd — see the verify skill's closure gotcha)
         import pandas as _pd
+
+        if expire and state.hasTimedOut:
+            # watermark passed last_kept + gap: state can no longer
+            # change any decision (every non-late future event clears
+            # the gap on its own) — drop it.
+            state.remove()
+            yield _pd.DataFrame(
+                {"event_id": [], "user_id": [], "ts_us": []}
+            ).astype({"event_id": "int64", "user_id": "int64",
+                      "ts_us": "int64"})
+            return
 
         last = int(state.get[0]) if state.exists else None
         parts = [p for p in pdfs if len(p)]
@@ -57,6 +105,13 @@ def debounce_events(
                     last = int(us[i])
         if last is not None:
             state.update((last,))
+            if expire:
+                # Expire when the watermark passes last_kept + gap. The
+                # +1 ms guards the boundary case watermark == last+gap
+                # (setTimeoutTimestamp requires a value strictly beyond
+                # the current watermark; rows reaching here satisfy
+                # ts >= watermark, so last+gap >= ts >= watermark).
+                state.setTimeoutTimestamp(last // 1000 + gap_ms + 1)
         yield _pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -64,5 +119,9 @@ def debounce_events(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if expire
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -87,6 +87,67 @@ def test_kept_relative_debounce_across_batches(spark, two_batch_dir):
     assert 22 not in got and 11 not in got and 13 not in got
 
 
+def test_debounce_expire_state_same_survivors(spark, two_batch_dir):
+    # the bounded-state form must produce the IDENTICAL survivor set —
+    # expiry only ever removes state the watermark has proven irrelevant
+    stream = read_events_stream(spark, two_batch_dir, max_files_per_trigger=1)
+    q = (
+        debounce_events(stream, expire_state=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("debounced_exp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM debounced_exp").collect()
+    )
+    assert got == sequential_recount([BATCH1, BATCH2])
+
+
+def test_debounce_expire_state_drops_idle_keys(spark, tmp_path):
+    # user 3's last activity is one watermark-delay + gap behind the
+    # stream head by batch 2: its state must be EXPIRED (store holds only
+    # user 1), while the survivor set is untouched.
+    batch_a = [
+        (30, "2024-01-01 08:00:00", 3, "view", 0.0, "{}"),
+        (40, "2024-01-01 12:00:00", 1, "click", 0.0, "{}"),
+    ]
+    batch_b = [
+        (41, "2024-01-01 12:30:00", 1, "click", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "ev_exp")
+    for rows in (batch_a, batch_b):
+        (
+            spark.createDataFrame(rows, SCHEMA)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        debounce_events(stream, expire_state=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("debounced_idle")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM debounced_idle").collect()
+    )
+    assert got == [30, 40, 41]
+    # batch 2 ran with watermark 10:00 (12:00 - 2h) > user 3's
+    # last_kept+gap (08:10) -> its state row was removed in-run
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == 1
+
+
 def test_debounce_empty_batch_preserves_state(spark, tmp_path):
     # a single batch: baseline sanity of the operator on one trigger
     d = str(tmp_path / "ev1")

@@ -83,6 +83,8 @@ MARQUEE_100X = {
     "q194_data_contract_audit", "q195_l_diversity",
     # wave 8: bounded-memory frequency sketch + exact verify
     "q197_countmin_heavy_hitters", "q198_revenue_concentration",
+    # round 6: the part-dependent trio (gen corpora carry part now)
+    "q196_weighted_median",
 }
 
 

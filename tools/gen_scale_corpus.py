@@ -152,6 +152,52 @@ def gen_events(mult: int):
     )
 
 
+def gen_part(mult: int):
+    """part catalog at sf0.1 density x mult, same value families as the
+    driver's testdata (probed: 25 brands Brand#1..25, 6 types, size 1-50,
+    retailprice 900-999.9, names 'adjective noun' over an 8x8 vocab).
+    Scales with mult — the same convention as lineitem's l_partkey range —
+    so q178's FD audit, q182's per-part decorrelated aggregate, and
+    q196's weighted median see a realistically-growing catalog, not a
+    fixed dim that would make the per-part aggregate artificially cheap."""
+    rng = np.random.default_rng(SEED + 4)
+    n_part = BASE_PARTS * mult
+    adjectives = np.array(
+        ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+    )
+    nouns = np.array(
+        ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+    )
+    types = np.array(
+        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    )
+    names = [
+        f"{a} {b}"
+        for a, b in zip(
+            adjectives[rng.integers(0, 8, size=n_part)],
+            nouns[rng.integers(0, 8, size=n_part)],
+        )
+    ]
+    brands = [f"Brand#{b}" for b in rng.integers(1, 26, size=n_part)]
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(brands, pa.string()),
+            "p_type": pa.array(
+                types[rng.integers(0, 6, size=n_part)].tolist(), pa.string()
+            ),
+            "p_size": pa.array(
+                rng.integers(1, 51, size=n_part).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900.0, 999.9, size=n_part), 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def gen_retail(mult: int):
     """customer / orders / lineitem at sf0.1 density x mult, same value
     families as the driver's testdata (statuses, segments, priority mix,
@@ -244,22 +290,47 @@ def gen_retail(mult: int):
 
 
 def main() -> None:
-    outroot = sys.argv[1] if len(sys.argv) > 1 else "bigdata"
-    words, weights = _measured_vocab()
-    for mult in (1, 10, 100):
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outroot = args[0] if args else "bigdata"
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    mults = (1, 10, 100)
+    for a in sys.argv[1:]:
+        if a.startswith("--mults="):
+            mults = tuple(int(m) for m in a[len("--mults="):].split(","))
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
+    words = weights = None
+    if want("documents"):
+        words, weights = _measured_vocab()
+    for mult in mults:
         d = os.path.join(outroot, f"gen{mult}x")
         os.makedirs(d, exist_ok=True)
-        docs, total = gen_documents(mult, words, weights)
-        pq.write_table(docs, os.path.join(d, "documents.parquet"))
-        pq.write_table(gen_embeddings(mult), os.path.join(d, "embeddings.parquet"))
-        pq.write_table(gen_events(mult), os.path.join(d, "events.parquet"))
-        customer, orders, lineitem, n_li = gen_retail(mult)
-        pq.write_table(customer, os.path.join(d, "customer.parquet"))
-        pq.write_table(orders, os.path.join(d, "orders.parquet"))
-        pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
-        print(f"{d}: documents={total} embeddings={BASE_VECS*mult} "
-              f"events={BASE_EVENTS*mult} customers={BASE_CUST*mult} "
-              f"orders={BASE_ORDERS*mult} lineitem={n_li}", flush=True)
+        if want("documents"):
+            docs, total = gen_documents(mult, words, weights)
+            pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        if want("embeddings"):
+            pq.write_table(
+                gen_embeddings(mult), os.path.join(d, "embeddings.parquet")
+            )
+        if want("events"):
+            pq.write_table(gen_events(mult), os.path.join(d, "events.parquet"))
+        if want("retail"):
+            customer, orders, lineitem, n_li = gen_retail(mult)
+            pq.write_table(customer, os.path.join(d, "customer.parquet"))
+            pq.write_table(orders, os.path.join(d, "orders.parquet"))
+            pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+            print(f"{d}: customers={BASE_CUST*mult} "
+                  f"orders={BASE_ORDERS*mult} lineitem={n_li}", flush=True)
+        if want("part"):
+            pq.write_table(gen_part(mult), os.path.join(d, "part.parquet"))
+            print(f"{d}: part={BASE_PARTS*mult}", flush=True)
+        print(f"{d}: done ({'all' if only is None else ','.join(sorted(only))})",
+              flush=True)
 
 
 if __name__ == "__main__":
