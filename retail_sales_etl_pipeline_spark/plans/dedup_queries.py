@@ -2082,9 +2082,18 @@ EDIT_SIM_MIN_PPM = 500_000
     tags=("dedup", "join"),
 )
 def q163_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_distance_verify(spark, sf_dir, EDIT_PREFIX)
+
+
+def edit_distance_verify(
+    spark: SparkSession, sf_dir: str, prefix: int
+) -> DataFrame:
+    """q163 parameterized by prefix length — the cost knob is the DP area
+    (cells ∝ prefix²); tools/sweep_edit_prefix.py measures the wall-time /
+    recall trade at gen scale (the round-6 directive #4 evidence)."""
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pfx")
+        "doc_id", F.substring("text", 1, prefix).alias("pfx")
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
@@ -2100,7 +2109,7 @@ def q163_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("pfx_a", "pfx_b", EDIT_PREFIX // 2)
+            F.levenshtein("pfx_a", "pfx_b", prefix // 2)
             .cast("long").alias("lev_dist"),
             F.greatest(
                 F.length("pfx_a"), F.length("pfx_b"), F.lit(1)
@@ -2190,16 +2199,23 @@ def _pagerank_duck_iter(prev: str, out: str) -> str:
 )
 def q164_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = verified.select(
+    return pagerank_from_pairs(verified)
+
+
+def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Integer PageRank over a canonical (doc_a < doc_b) verified pair
+    frame — the computation shared by the self-contained q164 and its
+    from-materialized twin q199; both hash against the same oracle."""
+    edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
-        verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     # Materialize the edge list ONCE (the operators/graph.py convention):
-    # without this every iteration's join re-executes the whole
-    # LSH->shingle->Jaccard subtree — measured at the gen10x scale run as
-    # a ~4x constant on an otherwise sub-linear query. localCheckpoint
-    # also truncates the lineage the iterations would otherwise stack.
+    # without this every iteration's join re-executes the whole upstream
+    # subtree — measured at the gen10x scale run as a ~4x constant on an
+    # otherwise sub-linear query. localCheckpoint also truncates the
+    # lineage the iterations would otherwise stack.
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pr = deg.select(F.col("src").alias("doc_id"), F.lit(1000000).cast("long").alias("pr"))
@@ -2296,13 +2312,17 @@ def q164_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "join"),
 )
 def q172_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    verified = (
-        q21_ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # three self-references below — one
-        # materialization instead of three LSH-ladder executions (the
-        # q164 lesson)
-    )
+    verified = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return triangles_from_pairs(verified)
+
+
+def triangles_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Triangle participation + clustering over a canonical verified pair
+    frame — shared by the self-contained q172 and its from-materialized
+    twin q200."""
+    verified = pairs.localCheckpoint(eager=True)  # three self-references
+    # below — one materialization instead of three upstream executions
+    # (the q164 lesson)
     e1 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = verified.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -2406,25 +2426,31 @@ CHAIN_MAX_HOPS = 8
     tags=("dedup", "graph", "recursive", "spark4"),
 )
 def q188_neardup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    verified = (
-        q21_ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # the recursion references the
-        # pair list once per iteration — materialize the LSH ladder once
-    )
-    verified.createOrReplaceTempView("q188_verified")
+    verified = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return chain_depth_from_pairs(spark, verified, view="q188_verified")
+
+
+def chain_depth_from_pairs(
+    spark: SparkSession, pairs: DataFrame, view: str
+) -> DataFrame:
+    """Recursive chain-depth walk over a canonical verified pair frame —
+    shared by the self-contained q188 and its from-materialized twin
+    q201 (distinct ``view`` names keep the temp views independent)."""
+    verified = pairs.localCheckpoint(eager=True)  # the recursion
+    # references the pair list once per iteration — materialize once
+    verified.createOrReplaceTempView(view)
     return spark.sql(f"""
       WITH RECURSIVE roots AS (
-        SELECT DISTINCT doc_a AS doc_id FROM q188_verified v
+        SELECT DISTINCT doc_a AS doc_id FROM {view} v
         WHERE NOT EXISTS (
-          SELECT 1 FROM q188_verified w WHERE w.doc_b = v.doc_a
+          SELECT 1 FROM {view} w WHERE w.doc_b = v.doc_a
         )
       ),
       chain AS (
         SELECT doc_id, 0 AS depth FROM roots
         UNION ALL
         SELECT v.doc_b, c.depth + 1
-        FROM chain c JOIN q188_verified v ON v.doc_a = c.doc_id
+        FROM chain c JOIN {view} v ON v.doc_a = c.doc_id
         WHERE c.depth < {CHAIN_MAX_HOPS}
       )
       SELECT doc_id,
@@ -2433,3 +2459,99 @@ def q188_neardup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_paths
       FROM chain GROUP BY doc_id
     """)
+
+
+# ---------------------------------------------------------------------------
+# From-materialized graph twins (q199-q201): the round-5 scale run showed
+# q164/q172/q188 each respending ~80% of their 100x budget recomputing the
+# LSH -> shingle -> Jaccard ladder that is identical across all three. The
+# production shape (the q155/q157 lesson, applied to the whole graph
+# family): verify the pair list ONCE per corpus snapshot, write it as
+# parquet, and run every graph statistic from that checkpoint. These
+# twins register that shape: the first one executed in a session pays the
+# ladder and materializes; the rest read the parquet. Their oracles are
+# the self-contained entries' oracles SPLICED VERBATIM, so the hash match
+# proves materialize/read-back loses nothing — twin == self-contained.
+# ---------------------------------------------------------------------------
+
+_PAIRS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def materialize_verified_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Run the LSH->verify ladder ONCE per (session, corpus) and write
+    the canonical verified near-dup pair list as parquet; later calls in
+    the same session return the existing checkpoint path. Keyed by
+    (applicationId, corpus dir) so a new session — or a different corpus
+    — always recomputes; within a session the corpus snapshot under a
+    given path is immutable by the engine's own conventions (the same
+    assumption every registry query already makes twice per run)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources import fs
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
+    path = fs.join(_tempfile.mkdtemp(prefix="neardup_pairs_"), "verified_pairs")
+    (
+        q21_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _PAIRS_CACHE[key] = path
+    return path
+
+
+def _materialized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(materialize_verified_pairs(spark, sf_dir))
+
+
+@register(
+    "q199_pagerank_materialized",
+    oracle=_registered_oracle("q164_pagerank_neardup"),
+    doc="q164's integer PageRank computed FROM THE MATERIALIZED verified "
+    "pair checkpoint (materialize_verified_pairs): the ladder is paid "
+    "once per session/corpus, the Pregel-by-joins iterations read a "
+    "two-column parquet. Oracle is q164's, spliced verbatim — the hash "
+    "match proves twin == self-contained. Scale shape: whichever of "
+    "q199/q200/q201 runs first pays the one ladder execution; the "
+    "others scan the checkpoint (the q155 materialize-once claim, "
+    "extended to the whole graph family).",
+    tags=("dedup", "graph", "iterative", "composition"),
+)
+def q199_pagerank_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_from_pairs(_materialized_pairs(spark, sf_dir))
+
+
+@register(
+    "q200_triangles_materialized",
+    oracle=_registered_oracle("q172_triangle_count"),
+    doc="q172's triangle participation / clustering coefficient computed "
+    "from the materialized verified pair checkpoint — ordered-triple "
+    "join over a parquet scan instead of three LSH-ladder executions. "
+    "Oracle spliced verbatim from q172; hash match == twin identity.",
+    tags=("dedup", "graph", "join", "composition"),
+)
+def q200_triangles_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles_from_pairs(_materialized_pairs(spark, sf_dir))
+
+
+@register(
+    "q201_chain_depth_materialized",
+    oracle=_registered_oracle("q188_neardup_chain_depth"),
+    doc="q188's recursive chain-depth walk computed from the materialized "
+    "verified pair checkpoint — the WITH RECURSIVE joins re-read a "
+    "two-column parquet per iteration instead of re-deriving the pair "
+    "list. Oracle spliced verbatim from q188; hash match == twin "
+    "identity.",
+    tags=("dedup", "graph", "recursive", "spark4", "composition"),
+)
+def q201_chain_depth_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return chain_depth_from_pairs(
+        spark, _materialized_pairs(spark, sf_dir), view="q201_verified"
+    )

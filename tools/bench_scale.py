@@ -85,6 +85,9 @@ MARQUEE_100X = {
     "q197_countmin_heavy_hitters", "q198_revenue_concentration",
     # round 6: the part-dependent trio (gen corpora carry part now)
     "q196_weighted_median",
+    # round 6: from-materialized graph twins — the ladder paid once
+    "q199_pagerank_materialized", "q200_triangles_materialized",
+    "q201_chain_depth_materialized",
 }
 
 
