@@ -18,7 +18,18 @@ row-identical, so the throughput number belongs to a verified-correct
 operator, not a lucky one. Results land in BENCH_STREAMING.json and the
 headline numbers in BASELINE.md.
 
+Round-6 state-growth fix flags:
+  --rocksdb   run stateful queries on the RocksDB state store provider
+              (off-heap working set, incremental/changelog checkpoints)
+  --expire    debounce with expire_state=True (event-time timeout at
+              last_kept+gap — provably identical survivors, state
+              bounded by users active within one window of the
+              watermark instead of users ever seen)
+  --only-debounce   run just the stateful debounce + its batch-twin
+              assertion (the decade re-measurement loop)
+
 Usage: python tools/bench_streaming.py [--events DIR] [--files N]
+           [--rocksdb] [--expire] [--only-debounce]
 """
 
 from __future__ import annotations
@@ -45,6 +56,9 @@ def main() -> None:
         events_path = args[args.index("--events") + 1]
     if "--files" in args:
         n_files = int(args[args.index("--files") + 1])
+    use_rocksdb = "--rocksdb" in args
+    use_expire = "--expire" in args
+    only_debounce = "--only-debounce" in args
 
     from retail_sales_etl_pipeline_spark.session import get_spark
     from retail_sales_etl_pipeline_spark.streaming import (
@@ -63,6 +77,20 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if use_rocksdb:
+        # session-level conf is captured by each streaming query at start;
+        # changelog checkpointing uploads per-batch deltas instead of
+        # re-snapshotting the whole store.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     src_dir = os.path.join(work, "events_files")
@@ -94,9 +122,12 @@ def main() -> None:
     sliced.unpersist()
 
     results: dict[str, dict] = {"n_rows": n_rows, "n_files": n_files,
-                                "events_path": events_path}
+                                "events_path": events_path,
+                                "state_store": (
+                                    "rocksdb" if use_rocksdb else "hdfs"),
+                                "debounce_expire_state": use_expire}
 
-    def drive(name: str, df, extra: dict | None = None) -> None:
+    def drive(name: str, df, extra: dict | None = None):
         out = os.path.join(work, f"sink_{name}")
         ckpt = os.path.join(work, f"ckpt_{name}")
         t0 = time.time()
@@ -122,20 +153,32 @@ def main() -> None:
         print(f"{name}: {dt:.1f}s, {int(n_rows/dt)} rows/s, "
               f"{batches} micro-batches, {out_rows} output rows",
               file=sys.stderr, flush=True)
+        return q
 
-    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
-    drive("windowed_counts",
-          windowed_event_counts(stream, window="1 hour", slide="15 minutes",
-                                watermark="2 hours"))
+    if not only_debounce:
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        drive("windowed_counts",
+              windowed_event_counts(stream, window="1 hour",
+                                    slide="15 minutes", watermark="2 hours"))
 
     stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
     n_users = ev.select("user_id").distinct().count()
-    drive("stateful_debounce", debounce_events(stream),
-          extra={"state_keys": n_users})
+    dq = drive("stateful_debounce",
+               debounce_events(stream, expire_state=use_expire),
+               extra={"state_keys": n_users})
+    # final store size: with expire_state the live rows should track
+    # users active near the stream head, not users ever seen
+    try:
+        results["stateful_debounce"]["final_state_rows"] = (
+            dq.lastProgress["stateOperators"][0]["numRowsTotal"]
+        )
+    except Exception:  # noqa: BLE001
+        pass
 
-    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
-    drive("watermark_dedup",
-          dedup_stream_within_watermark(fingerprint_events(stream)))
+    if not only_debounce:
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        drive("watermark_dedup",
+              dedup_stream_within_watermark(fingerprint_events(stream)))
 
     # correctness at this scale: the debounce survivors equal the batch
     # kept-relative recompute on the same rows (same session, same zone)
@@ -165,6 +208,27 @@ def main() -> None:
     results["debounce_matches_batch_twin"] = got == want
     print(f"debounce stream==batch: {got == want} "
           f"({len(got)} survivors)", file=sys.stderr)
+
+    if only_debounce:
+        out_path = os.path.join(ROOT, "BENCH_STREAMING.json")
+        label = (
+            f"{os.path.basename(os.path.dirname(events_path))}"
+            f"_{n_rows // 1_000_000}M_rows"
+            f"_{results['state_store']}"
+            f"{'_expire' if use_expire else ''}_debounce"
+        )
+        doc = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                doc = json.load(f)
+        doc[label] = results
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({"metric": "streaming_bench_done",
+                          "out": out_path, "label": label}))
+        return
 
     # --- update-mode stateful twins (collected via foreachBatch) -------
     # interval union / EWMA emit per-key running rows in update mode (no
