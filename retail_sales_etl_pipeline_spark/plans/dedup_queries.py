@@ -2555,3 +2555,457 @@ def q201_chain_depth_materialized(
     return chain_depth_from_pairs(
         spark, _materialized_pairs(spark, sf_dir), view="q201_verified"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (q204) — the MOSS/Schleimer-Wilkerson-Aiken
+# local-fingerprint scheme: hash every positional token k-gram, slide a
+# w-window over the hash sequence, keep each window's MINIMUM hash. The
+# guarantee: any shared token run of length >= k + w - 1 between two
+# documents shares at least one selected fingerprint, so the inverted
+# index over fingerprints finds every sufficiently-long overlap while
+# storing ~2/(w+1) of the k-gram hashes. This is the third candidate
+# rung next to MinHash-LSH (q22, whole-doc similarity) and SimHash (q23):
+# winnowing is LOCAL — it catches a copied paragraph inside an otherwise
+# unrelated document, which whole-doc sketches dilute away.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3        # token k-gram width
+WINNOW_W = 4        # winnowing window (guarantee length = k + w - 1 = 6)
+WINNOW_MAX_DOCS = 64   # hot-fingerprint cap, the q22 convention
+WINNOW_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
+
+
+@register(
+    "q204_winnowing_fingerprints",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(toks) - {WINNOW_K - 2}),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             ) AS kgs
+      FROM tk
+    ),
+    h AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS pos, sha256(kgs[CAST(p AS INTEGER)]) AS h
+      FROM kg, unnest(range(1, len(kgs) + 1)) AS t(p)
+    ),
+    wm AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+             ) AS wmin
+      FROM h
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin AS fp
+      FROM wm WHERE pos >= {WINNOW_W}
+    ),
+    nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id),
+    hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DOCS}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN hot USING (fp) JOIN fp b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           CAST(p.n_shared * 1000000
+                // (na.n_fp + nb.n_fp - p.n_shared) AS BIGINT) AS overlap_ppm
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.doc_a
+    JOIN nfp nb ON nb.doc_id = p.doc_b
+    """,
+    doc="Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS "
+    f"scheme): positional token {WINNOW_K}-gram sha256 hashes, window-"
+    f"of-{WINNOW_W} minimum selection (fixed-width hex MIN == numeric "
+    "MIN), DISTINCT selected hashes per doc, then an inverted-index "
+    "self-join over fingerprints with the q22 hot-bucket cap "
+    f"({WINNOW_MAX_DOCS} docs) and a >= {WINNOW_MIN_SHARED}-shared-"
+    "fingerprint floor. Any shared token run of length >= "
+    f"{WINNOW_K + WINNOW_W - 1} is guaranteed to share a fingerprint — "
+    "the LOCAL-overlap detector (copied passages) next to the whole-doc "
+    "sketches. Scale shape: the window-min is partition-local per doc "
+    "(docs are KB-sized), the fingerprint store is ~2/(w+1) of k-gram "
+    "volume, and pairing is an equi-key join bounded by the cap — never "
+    "all-pairs. The ppm overlap uses exact integer division.",
+    tags=("dedup", "fingerprint", "join"),
+)
+def q204_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.filter(
+        F.size(F.split("text", " ")) >= WINNOW_K + WINNOW_W - 1
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    kgs = tk.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(toks) - {WINNOW_K}), "
+            "i -> concat_ws(' ', "
+            + ", ".join(f"toks[i+{d}]" for d in range(WINNOW_K))
+            + "))"
+        ).alias("kgs"),
+    )
+    h = kgs.select(
+        "doc_id", F.posexplode("kgs").alias("pos0", "kg")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.sha2("kg", 256).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    fp = (
+        h.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("pos") >= WINNOW_W)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    nfp = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") <= WINNOW_MAX_DOCS
+    ).select("fp")
+    fpk = fp.join(hot, "fp")
+    pairs = (
+        fpk.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    na = nfp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+            F.expr(
+                "CAST(n_shared * 1000000 div (n_fp_a + n_fp_b - n_shared)"
+                " AS LONG)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering all-pairs similarity join (q205) — the Bayardo/
+# Chaudhuri "AllPairs" exact-recall alternative to LSH: order each
+# document's distinct tokens globally rarest-first; for Jaccard
+# threshold t, two sets can only reach t if they share a token within
+# each other's first (m - ceil(t*m) + 1) rarest tokens, so indexing ONLY
+# those prefixes finds every qualifying pair with zero recall loss
+# (unlike MinHash, which is probabilistic). The index is dominated by
+# RARE tokens by construction — posting lists stay short where it
+# matters; the common-token tail never enters the index for
+# high-threshold joins.
+# ---------------------------------------------------------------------------
+
+PF_JACCARD_NUM, PF_JACCARD_DEN = 7, 10  # threshold t = 0.7, kept rational
+
+
+@register(
+    "q205_prefix_filter_pairs",
+    oracle=f"""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok GROUP BY tok),
+    m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM dtok GROUP BY doc_id),
+    ranked AS (
+      SELECT d.doc_id, d.tok,
+             row_number() OVER (
+               PARTITION BY d.doc_id ORDER BY f.df, d.tok
+             ) AS r
+      FROM dtok d JOIN dfr f ON f.tok = d.tok
+    ),
+    pfx AS (
+      SELECT r.doc_id, r.tok
+      FROM ranked r JOIN m ON m.doc_id = r.doc_id
+      WHERE r.r <= m.m - ({PF_JACCARD_NUM} * m.m + {PF_JACCARD_DEN - 1})
+                          // {PF_JACCARD_DEN} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN dtok ta ON ta.doc_id = c.doc_a
+      JOIN dtok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           ma.m + mb.m - i.n_inter AS n_union,
+           CAST(i.n_inter * 1000000 // (ma.m + mb.m - i.n_inter) AS BIGINT)
+               AS jacc_ppm
+    FROM inter i
+    JOIN m ma ON ma.doc_id = i.doc_a
+    JOIN m mb ON mb.doc_id = i.doc_b
+    WHERE {PF_JACCARD_DEN} * i.n_inter
+          >= {PF_JACCARD_NUM} * (ma.m + mb.m - i.n_inter)
+    """,
+    doc="Prefix-filtering all-pairs Jaccard join (Bayardo et al. "
+    "'Scaling Up All Pairs Similarity Search' / Chaudhuri's SSJoin): "
+    "distinct tokens per doc, global document frequency, rarest-first "
+    "ordering, and an inverted index over ONLY each doc's first "
+    "m - ceil(0.7m) + 1 tokens — exact recall at Jaccard >= 0.7 with an "
+    "index a fraction of the posting volume, the deterministic "
+    "complement to probabilistic MinHash-LSH (q22). Verification counts "
+    "shared distinct tokens per candidate and keeps pairs by the exact "
+    "RATIONAL comparison 10*inter >= 7*union (no float thresholding); "
+    "jacc_ppm is exact integer division. Scale shape: every join is "
+    "equi-key (token / doc id); prefix postings are rare-token-dominated "
+    "by construction, which is the algorithm's own skew bound — a "
+    "token enters the index only when it sits inside the rarest 30% of "
+    "some document's vocabulary.",
+    tags=("dedup", "join"),
+)
+def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    m = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    rw = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = dtok.join(dfr, "tok").withColumn("r", F.row_number().over(rw))
+    pfx = (
+        ranked.join(m, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("m")
+            - F.expr(
+                f"({PF_JACCARD_NUM} * m + {PF_JACCARD_DEN - 1})"
+                f" div {PF_JACCARD_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = dtok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = dtok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    return (
+        inter.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("n_union", F.col("m_a") + F.col("m_b") - F.col("n_inter"))
+        .filter(
+            PF_JACCARD_DEN * F.col("n_inter")
+            >= PF_JACCARD_NUM * F.col("n_union")
+        )
+        .select(
+            "doc_a", "doc_b", "n_inter", "n_union",
+            F.expr("CAST(n_inter * 1000000 div n_union AS LONG)").alias(
+                "jacc_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (q208) and degree assortativity (q209): two more
+# graph statistics over the verified near-dup graph, both computed FROM
+# THE MATERIALIZED pair checkpoint (the q199-q201 convention — the LSH
+# ladder is paid once per session/corpus). k-core separates dense
+# duplication CLUSTERS (template farms, boilerplate families — every
+# member still has >= k near-dup partners after peeling) from incidental
+# chains; assortativity says whether high-degree docs link to other
+# high-degree docs (a template hub network) or to leaves (one canonical
+# page with many variants).
+# ---------------------------------------------------------------------------
+
+_DUCK_VERIFIED_PRELUDE = f"""{_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    )"""
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _kcore_duck_rounds() -> str:
+    steps = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+    deg{r} AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM {prev} GROUP BY src),
+    keep{r} AS (SELECT src AS node FROM deg{r} WHERE deg >= {KCORE_K}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN keep{r} ka ON ka.node = e.src
+      JOIN keep{r} kb ON kb.node = e.dst
+    )""")
+        prev = f"e{r}"
+    return ",".join(steps)
+
+
+@register(
+    "q208_kcore_decomposition",
+    oracle=f"""
+    WITH {_DUCK_VERIFIED_PRELUDE},
+    e0 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    {_kcore_duck_rounds()}
+    SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e{KCORE_ROUNDS} GROUP BY src
+    """,
+    doc=f"{KCORE_K}-core of the verified near-dup graph by "
+    f"{KCORE_ROUNDS} fixed peeling rounds (each round drops nodes with "
+    f"degree < {KCORE_K} and their edges): survivors are docs embedded "
+    "in DENSE duplication structure — every remaining member keeps >= "
+    f"{KCORE_K} near-dup partners even after fringe removal — i.e. the "
+    "template-farm signal, where q60's components also merge incidental "
+    "chains. Fixed-round peeling is the hash-verifiable contract (the "
+    "q164 fixed-iteration convention); on these corpora peeling reaches "
+    "its fixed point in fewer rounds (planted twins form stars and "
+    "small cliques), and the round count is a constant, not data-"
+    "dependent. Scale shape: reads the materialized pair checkpoint "
+    "(ladder paid once, q199-q201 convention); each round is one keyed "
+    "degree aggregate plus two semi-join-shaped filters on the shrinking "
+    "edge list.",
+    tags=("dedup", "graph", "iterative", "composition"),
+)
+def q208_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _materialized_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
+@register(
+    "q209_degree_assortativity",
+    oracle=f"""
+    WITH {_DUCK_VERIFIED_PRELUDE},
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    xy AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM xy
+    )
+    SELECT m AS n_directed_edges, sx AS sum_deg, sxy AS sum_xy,
+           sxx AS sum_xx,
+           CAST(FLOOR(CAST(m * sxy - sx * sx AS DOUBLE) * 1000000.0
+                      / CAST(NULLIF(m * sxx - sx * sx, 0) AS DOUBLE))
+                AS BIGINT) AS assortativity_ppm
+    FROM sums
+    """,
+    doc="Degree assortativity of the verified near-dup graph (Newman's "
+    "r): Pearson correlation of endpoint degrees over the directed edge "
+    "list (each undirected pair counted in both directions, which makes "
+    "the x/y marginals symmetric and the formula collapse to "
+    "(m*Sxy - Sx^2) / (m*Sxx - Sx^2)). Positive r = hubs link to hubs "
+    "(a template network duplicating each other); negative r = "
+    "star-shaped duplication (one canonical doc, many leaf variants) — "
+    "the planted-twin structure of these corpora. All moments are exact "
+    "int64 (degrees are LSH-cap-bounded, so m*Sxx stays ~1e15 even at "
+    "gen1000x); the final ratio is the shared deterministic double-floor "
+    "ppm expression (q192/q198 convention). Scale shape: reads the "
+    "materialized checkpoint; two keyed aggregates and one single-row "
+    "reduce.",
+    tags=("dedup", "graph", "composition"),
+)
+def q209_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _materialized_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    xy = (
+        e.join(deg.withColumnRenamed("src", "s2").alias("da"),
+               F.col("src") == F.col("s2"))
+        .select("dst", F.col("da.deg").alias("x"))
+        .join(deg.withColumnRenamed("src", "s3").alias("db"),
+              F.col("dst") == F.col("s3"))
+        .select("x", F.col("db.deg").alias("y"))
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxy").alias("sum_xy"),
+        F.col("sxx").alias("sum_xx"),
+        F.expr(
+            "CAST(FLOOR(CAST(m * sxy - sx * sx AS DOUBLE) * 1000000.0"
+            " / CAST(NULLIF(m * sxx - sx * sx, 0) AS DOUBLE)) AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )

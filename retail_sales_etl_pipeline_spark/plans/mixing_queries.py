@@ -966,3 +966,85 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
             .alias("logw_micronat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic (low-variance) resampling by token mass (q206): the third
+# sampling discipline next to Bernoulli keep-probability (q106) and
+# min-k per-group (q119). Systematic sampling lays RESAMPLE_N equally-
+# spaced points over the cumulative token-mass axis and assigns each
+# document the number of points that land inside its mass interval —
+# expected multiplicity is exactly n*w_i/W like multinomial sampling,
+# but the variance is the strict minimum (each multiplicity differs
+# from its expectation by < 1), which is why particle filters and
+# dataset up-weighting use it: a 3x-weight document appears ~3 times,
+# never 0 or 30. Everything is exact integer arithmetic: points sit at
+# odd multiples of W/(2n), so multiplicity is a difference of the
+# closed-form counter f(c) = (((2n*c) div W) + 1) div 2.
+# ---------------------------------------------------------------------------
+
+RESAMPLE_N = 500  # sample points (documents drawn, with multiplicity)
+
+
+@register(
+    "q206_systematic_resample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM d
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w FROM d)
+    SELECT doc_id, source, n_tokens, cum,
+           ((2 * {RESAMPLE_N} * cum // w) + 1) // 2
+             - ((2 * {RESAMPLE_N} * (cum - n_tokens) // w) + 1) // 2
+             AS multiplicity
+    FROM c, tot
+    WHERE ((2 * {RESAMPLE_N} * cum // w) + 1) // 2
+          - ((2 * {RESAMPLE_N} * (cum - n_tokens) // w) + 1) // 2 >= 1
+    """,
+    doc=f"Systematic resampling of {RESAMPLE_N} documents proportional "
+    "to token mass: cumulative token sums ordered by doc_id, sample "
+    "points at odd multiples of W/(2n), per-doc multiplicity as the "
+    "exact integer point-counter difference — minimum-variance "
+    "proportional sampling (multiplicity always within 1 of its "
+    "expectation n*w_i/W), the resampler a mixing pipeline runs AFTER "
+    "q158's DSIR weights or q75's temperature weights decide the "
+    "proportions. All arithmetic is int64 (2n*W ~ 3e11 at gen1000x); "
+    "both engines truncate integer division toward zero identically. "
+    "Scale shape: one global ordered cumsum — a prefix-sum, which Spark "
+    "executes as a single-partition window; at 100 TB this becomes the "
+    "classic two-pass distributed prefix sum (per-partition totals, "
+    "broadcast offsets), the same upgrade path the doc notes for q185; "
+    "the sampling itself is then a pure map.",
+    tags=("mixing", "sampling"),
+)
+def q206_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    tot = d.agg(F.sum("n_tokens").cast("long").alias("w"))
+    mult = (
+        f"((2 * {RESAMPLE_N} * cum div w) + 1) div 2"
+        f" - ((2 * {RESAMPLE_N} * (cum - n_tokens) div w) + 1) div 2"
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("multiplicity", F.expr(f"CAST({mult} AS LONG)"))
+        .filter(F.col("multiplicity") >= 1)
+        .select("doc_id", "source", "n_tokens", "cum", "multiplicity")
+    )

@@ -1539,3 +1539,229 @@ def q181_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantized Gram/covariance matrix (q202) and fixed-point power-
+# iteration PCA (q203): the linear-algebra plumbing a training pipeline
+# needs over an embedding corpus (PCA whitening, drift detection on the
+# covariance, low-rank diagnostics). The scale design: the only
+# corpus-sized pass is a mapInPandas partial Gram — each Arrow batch
+# contributes one d x d integer matrix (numpy int64 matmul, exact), so a
+# partition emits O(d^2) rows REGARDLESS of row count, and the shuffle
+# carries ~d^2/2 cells per partition, never the data. Quantization is
+# centi-units (floor(x*100 + 0.5)): with |x| <= ~4 and corpora up to
+# gen1000x (2e6 vectors) every moment stays inside int64 —
+# gram <= 2e6 * 400^2 = 3.2e11, n*gram <= 6.4e17, s_i*s_j <= 6.4e17 —
+# so the covariance numerator n*G_ij - S_i*S_j is EXACT integer
+# arithmetic, shuffle-order-independent, and bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+
+GRAM_SCALE = 100  # centi-unit quantization (see int64 budget above)
+POWER_ITERS = 3   # fixed-point power-method iterations (q203)
+
+_GRAM_DUCK_CELLS = f"""
+    qv AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * {GRAM_SCALE} + 0.5) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram_centi2
+      FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s1 FROM qv GROUP BY i),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+"""
+
+
+def gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, val) cell stream: upper-triangle Gram cells (1-based, i<=j),
+    per-dimension sums as (i, 0, s_i), and the vector count as (0, 0, n).
+    One corpus pass; every partition emits a bounded d^2-sized partial."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    scale = GRAM_SCALE
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Q = np.floor(X * scale + 0.5).astype(np.int64)
+            G = Q.T @ Q  # int64 matmul: exact
+            acc = G if acc is None else acc + G
+            s = Q.sum(axis=0) if s is None else s + Q.sum(axis=0)
+            n += Q.shape[0]
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu = np.triu_indices(d)
+        out = pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int32"),
+                "j": (iu[1] + 1).astype("int32"),
+                "val": acc[iu].astype("int64"),
+            }
+        )
+        sums = pd.DataFrame(
+            {
+                "i": np.arange(1, d + 1, dtype="int32"),
+                "j": np.zeros(d, dtype="int32"),
+                "val": s.astype("int64"),
+            }
+        )
+        cnt = pd.DataFrame(
+            {
+                "i": np.zeros(1, dtype="int32"),
+                "j": np.zeros(1, dtype="int32"),
+                "val": np.array([n], dtype="int64"),
+            }
+        )
+        yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    cells = emb.mapInPandas(part, "i int, j int, val long")
+    return cells.groupBy("i", "j").agg(F.sum("val").cast("long").alias("val"))
+
+
+@register(
+    "q202_embedding_gram",
+    oracle=f"""
+    WITH {_GRAM_DUCK_CELLS}
+    SELECT g.i, g.j, nv.n AS n_vecs, g.gram_centi2,
+           sa.s1 AS s_i, sb.s1 AS s_j,
+           CAST(nv.n * g.gram_centi2 - sa.s1 * sb.s1 AS BIGINT) AS cov_num
+    FROM g
+    CROSS JOIN nv
+    JOIN s sa ON sa.i = g.i
+    JOIN s sb ON sb.i = g.j
+    """,
+    doc="Exact quantized Gram + covariance-numerator matrix over the "
+    "embedding corpus: upper-triangle cells G_ij = sum q_i q_j in "
+    "centi-units, per-dimension sums, and the exact integer covariance "
+    "numerator n*G_ij - S_i*S_j (population covariance times n^2, "
+    "scaled by 1e4) — the fit artifact for PCA/whitening (q203 consumes "
+    "it) and a corpus drift fingerprint next to q103's per-dimension "
+    "moments. Scale shape: mapInPandas partial Gram — one d x d int64 "
+    "matmul per Arrow batch, O(d^2) rows out per PARTITION independent "
+    "of row count, one bounded-key aggregate; the covariance assembly "
+    "joins d^2/2 cells against two broadcast d-row frames. All moments "
+    "are int64-exact through gen1000x (see module budget note).",
+    tags=("similarity", "linalg", "pandas-udf"),
+)
+def q202_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = gram_cells(spark, sf_dir)
+    gram = cells.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("val").alias("gram_centi2")
+    )
+    sums = cells.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        "i", F.col("val").alias("s1")
+    )
+    n = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("val").alias("n_vecs")
+    )
+    sa = F.broadcast(sums.select(F.col("i").alias("_ia"), F.col("s1").alias("s_i")))
+    sb = F.broadcast(sums.select(F.col("i").alias("_ib"), F.col("s1").alias("s_j")))
+    return (
+        gram.crossJoin(F.broadcast(n))
+        .join(sa, F.col("i") == F.col("_ia"))
+        .join(sb, F.col("j") == F.col("_ib"))
+        .select(
+            "i", "j", "n_vecs", "gram_centi2", "s_i", "s_j",
+            (
+                F.col("n_vecs") * F.col("gram_centi2")
+                - F.col("s_i") * F.col("s_j")
+            ).cast("long").alias("cov_num"),
+        )
+    )
+
+
+def _power_iter_duck() -> str:
+    """Chained-CTE fixed-point power iterations (the q164 oracle
+    convention: iterative does not mean unverifiable)."""
+    steps = []
+    prev = "v0"
+    for k in range(1, POWER_ITERS + 1):
+        steps.append(f"""
+    u{k} AS (
+      SELECT gn.i, CAST(SUM(gn.g * {prev}.v) AS BIGINT) AS u
+      FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY gn.i
+    ),
+    m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k}),
+    v{k} AS (SELECT i, CAST(u * 1000000 // m AS BIGINT) AS v FROM u{k}, m{k})""")
+        prev = f"v{k}"
+    return ",".join(steps)
+
+
+@register(
+    "q203_pca_power_iteration",
+    oracle=f"""
+    WITH {_GRAM_DUCK_CELLS},
+    gf AS (
+      SELECT i, j, gram_centi2 AS gram FROM g
+      UNION ALL
+      SELECT j, i, gram_centi2 FROM g WHERE i < j
+    ),
+    gm AS (SELECT MAX(ABS(gram)) AS m FROM gf),
+    gn AS (SELECT i, j, CAST(gram * 1000000 // m AS BIGINT) AS g
+           FROM gf, gm),
+    v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM gn),
+    {_power_iter_duck()}
+    SELECT v.i, v.v AS eig_micro, u.u AS iterate_raw
+    FROM v{POWER_ITERS} v JOIN u{POWER_ITERS} u ON u.i = v.i
+    """,
+    doc="Top principal direction by fixed-point power iteration over the "
+    f"quantized Gram matrix ({POWER_ITERS} iterations, all-ones start): "
+    "the matrix is normalized to 1e6 fixed point by its max |cell|, each "
+    "iteration is one matvec (64-term integer dot per dimension, "
+    "max |term| 1e12, sum <= 6.4e13 — far inside int64) followed by "
+    "max-|u| renormalization, so the whole iteration chain is exact "
+    "integer arithmetic and hash-matches DuckDB's chained-CTE twin "
+    "bit-for-bit. Scale shape: the corpus pass is q202's bounded "
+    "mapInPandas Gram; the iterations run on a d^2-row frame — constant "
+    "work regardless of corpus size (the right asymptotics for PCA at "
+    "100 TB: one data pass, then driver-scale linear algebra kept "
+    "relational for verifiability).",
+    tags=("similarity", "linalg", "iterative"),
+)
+def q203_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = gram_cells(spark, sf_dir)
+    gram = cells.filter((F.col("i") > 0) & (F.col("j") > 0))
+    gf = gram.select("i", "j", F.col("val").alias("gram")).unionByName(
+        gram.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.col("val").alias("gram"),
+        )
+    )
+    # d^2 rows after the one corpus pass — materialize once, iterate on it
+    gf = gf.localCheckpoint(eager=True)
+    gm = gf.agg(F.max(F.abs(F.col("gram"))).alias("m"))
+    gn = gf.crossJoin(F.broadcast(gm)).select(
+        "i", "j", F.expr("CAST(gram * 1000000 div m AS LONG)").alias("g")
+    )
+    v = gn.select("i").distinct().select(
+        "i", F.lit(1000000).cast("long").alias("v")
+    )
+    u = None
+    for _ in range(POWER_ITERS):
+        u = (
+            gn.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "i", F.expr("CAST(u * 1000000 div m AS LONG)").alias("v")
+        )
+    return v.join(u, "i").select(
+        "i", F.col("v").alias("eig_micro"), F.col("u").alias("iterate_raw")
+    )

@@ -1202,3 +1202,94 @@ def q197_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_count") - F.col("exact_count")).cast("long")
         .alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chance-corrected classifier agreement (q207): Cohen's kappa between
+# the heuristic language-ID (q24's argmax, spliced from the shared
+# constants) and the labeled language. Raw accuracy over-states a
+# classifier on skewed label mixes (predicting the majority class looks
+# good); kappa subtracts the agreement two independent raters with
+# these marginals would reach by chance — the honest scalar for "is the
+# lang-ID good enough to drive q75's mixing", computed next to q147's
+# full confusion matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q207_lang_id_kappa",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled, {_predict_expr(_DUCK_SCORES)} AS predicted
+      FROM documents
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN labeled = predicted THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM pred
+    ),
+    rowm AS (SELECT labeled AS cls, CAST(COUNT(*) AS BIGINT) AS r
+             FROM pred GROUP BY labeled),
+    colm AS (SELECT predicted AS cls, CAST(COUNT(*) AS BIGINT) AS c
+             FROM pred GROUP BY predicted),
+    pe AS (
+      SELECT CAST(COALESCE(SUM(rowm.r * colm.c), 0) AS BIGINT) AS pe_num
+      FROM rowm JOIN colm ON colm.cls = rowm.cls
+    )
+    SELECT n.n AS n_docs, n.agree AS n_agree, pe.pe_num,
+           CAST(FLOOR(CAST(n.n * n.agree - pe.pe_num AS DOUBLE) * 1000000.0
+                      / CAST(NULLIF(n.n * n.n - pe.pe_num, 0) AS DOUBLE))
+                AS BIGINT) AS kappa_ppm
+    FROM n, pe
+    """,
+    doc="Cohen's kappa for the language-ID heuristic against the gold "
+    "label: po = agree/N, pe = sum_c row_c*col_c / N^2, kappa = "
+    "(po-pe)/(1-pe) computed as the exact integer expression "
+    "(N*agree - pe_num) / (N^2 - pe_num) rendered with the shared "
+    "deterministic double-floor ppm (q192/q198 convention). All counts "
+    "are int64-exact (N^2 ~ 2.5e13 at gen1000x). Scale shape: one "
+    "map-side classification pass (constant-folded stopword scores), "
+    "one count aggregate, two languages-sized marginal aggregates "
+    "joined broadcast — the languages^2 key space never leaves the "
+    "executors unaggregated.",
+    tags=("text", "eval"),
+)
+def q207_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled"),
+        F.expr(_predict_expr(_SPARK_SCORES)).alias("predicted"),
+    )
+    n = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("labeled") == F.col("predicted"), 1).otherwise(0)
+        ).cast("long").alias("agree"),
+    )
+    rowm = pred.groupBy(F.col("labeled").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    colm = pred.groupBy(F.col("predicted").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pe = (
+        rowm.join(colm, "cls")
+        .agg(
+            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    return (
+        n.crossJoin(pe)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            "pe_num",
+            F.expr(
+                "CAST(FLOOR(CAST(n * agree - pe_num AS DOUBLE) * 1000000.0"
+                " / CAST(NULLIF(n * n - pe_num, 0) AS DOUBLE)) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
