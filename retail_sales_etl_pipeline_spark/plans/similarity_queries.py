@@ -1697,7 +1697,8 @@ def _power_iter_duck() -> str:
       FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY gn.i
     ),
     m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k}),
-    v{k} AS (SELECT i, CAST(u * 1000000 // m AS BIGINT) AS v FROM u{k}, m{k})""")
+    v{k} AS (SELECT i, CAST(u // greatest(m // 1000000, 1) AS BIGINT) AS v
+             FROM u{k}, m{k})""")
         prev = f"v{k}"
     return ",".join(steps)
 
@@ -1719,11 +1720,20 @@ def _power_iter_duck() -> str:
     SELECT v.i, v.v AS eig_micro, u.u AS iterate_raw
     FROM v{POWER_ITERS} v JOIN u{POWER_ITERS} u ON u.i = v.i
     """,
-    doc="Top principal direction by fixed-point power iteration over the "
-    f"quantized Gram matrix ({POWER_ITERS} iterations, all-ones start): "
+    doc=f"{POWER_ITERS} exact power-iteration steps of the PCA solver "
+    "over the quantized Gram matrix (all-ones start) — the verifiable "
+    "inner loop of top-eigenvector extraction; production runs this "
+    "same step until the spectral gap says stop (on near-degenerate "
+    "spectra like an evenly-clustered corpus that is O(1/gap) rounds, "
+    "each one cheap d^2 work), while the registry entry fixes the "
+    "round count so the result is a deterministic hash-checkable "
+    "contract (the q164 convention): "
     "the matrix is normalized to 1e6 fixed point by its max |cell|, each "
     "iteration is one matvec (64-term integer dot per dimension, "
     "max |term| 1e12, sum <= 6.4e13 — far inside int64) followed by "
+    "DIVIDE-side renormalization v = u div max(floor(max|u|/1e6), 1) — "
+    "never u*1e6, whose worst case 6.4e19 would overflow int64 (a bug "
+    "this query's recurrence-identity pytest caught at design time) — "
     "max-|u| renormalization, so the whole iteration chain is exact "
     "integer arithmetic and hash-matches DuckDB's chained-CTE twin "
     "bit-for-bit. Scale shape: the corpus pass is q202's bounded "
@@ -1760,7 +1770,10 @@ def q203_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
         v = u.crossJoin(F.broadcast(m)).select(
-            "i", F.expr("CAST(u * 1000000 div m AS LONG)").alias("v")
+            "i",
+            F.expr(
+                "CAST(u div greatest(m div 1000000, 1) AS LONG)"
+            ).alias("v"),
         )
     return v.join(u, "i").select(
         "i", F.col("v").alias("eig_micro"), F.col("u").alias("iterate_raw")
