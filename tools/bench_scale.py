@@ -35,10 +35,13 @@ SCALE_DIRS = {
     "1x": os.path.join(ROOT, "bigdata", "gen1x"),
     "10x": os.path.join(ROOT, "bigdata", "gen10x"),
     "100x": os.path.join(ROOT, "bigdata", "gen100x"),
+    # round 6: a further decade for the cheapest-per-row dedup family
+    # (documents + embeddings only — tools/gen_scale_corpus.py --mults=1000)
+    "1000x": os.path.join(ROOT, "bigdata", "gen1000x"),
 }
 # Rows (documents+planted, embeddings, events) per scale — for
 # rows-per-second context in the report.
-N_DOCS = {"1x": 5_210, "10x": 52_100, "100x": 521_000}
+N_DOCS = {"1x": 5_210, "10x": 52_100, "100x": 521_000, "1000x": 5_210_000}
 
 # Queries executed at 100x: the families whose scale behavior the design
 # claims hinge on (dedup ladder, CC, ANN, surprisal/LM, batched
@@ -88,6 +91,12 @@ MARQUEE_100X = {
     # round 6: from-materialized graph twins — the ladder paid once
     "q199_pagerank_materialized", "q200_triangles_materialized",
     "q201_chain_depth_materialized",
+    # round 6 wave: Gram/PCA, winnowing, prefix-filter join, systematic
+    # resample, kappa, k-core, assortativity
+    "q202_embedding_gram", "q203_pca_power_iteration",
+    "q204_winnowing_fingerprints", "q205_prefix_filter_pairs",
+    "q206_systematic_resample", "q207_lang_id_kappa",
+    "q208_kcore_decomposition", "q209_degree_assortativity",
 }
 
 
@@ -139,10 +148,13 @@ def main() -> None:
         # q59_cap_report entry holds row dicts, not seconds)
         for name, row in results.items():
             a, b, c = row.get("1x"), row.get("10x"), row.get("100x")
+            d = row.get("1000x")
             if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
                 row["r10"] = round(b / a, 2)
             if isinstance(b, (int, float)) and isinstance(c, (int, float)) and b:
                 row["r100"] = round(c / b, 2)
+            if isinstance(c, (int, float)) and isinstance(d, (int, float)) and c:
+                row["r1000"] = round(d / c, 2)
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -189,9 +201,25 @@ def main() -> None:
             cleanup()
             flush()
 
-        if only is not None:
+        if only is not None and "q59_lsh_bucket_stats" not in only:
             # focused re-measurement run: the driver + cap-report
             # context rows are already in the main record
+            continue
+        if only is not None:
+            # focused run that asked for the cap report (e.g. the 1000x
+            # decade): record q59's bucket rows, skip the curation driver
+            try:
+                rows = [
+                    r.asDict()
+                    for r in registry["q59_lsh_bucket_stats"]
+                    .spark_fn(spark, sf_dir)
+                    .collect()
+                ]
+                results.setdefault("q59_cap_report", {})[scale] = rows
+            except Exception as e:  # noqa: BLE001
+                results.setdefault("q59_cap_report", {})[scale] = str(e)[:200]
+            cleanup()
+            flush()
             continue
 
         # curation driver end-to-end at each scale (materialized stages)
