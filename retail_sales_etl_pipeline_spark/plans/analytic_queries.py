@@ -2207,3 +2207,130 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(SUM(cents) AS DOUBLE)) AS BIGINT)"
         ).alias("top_decile_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple linear regression via normal equations (q214): the third
+# linalg fixed point (after q202's Gram matrix and q203's power
+# iteration) — closed-form OLS of lineitem revenue on quantity and
+# discount from ONE distributed pass of exact integer sufficient
+# statistics. This is how regression actually runs at 100 TB: the k*k
+# normal-equations system is built from k(k+3)/2 exact sums in a single
+# map-side-combined aggregation (here k=2: 9 sums), then solved in
+# closed form (Cramer) — no gradient iterations, no corpus re-scans,
+# and the sums are mergeable across shards/days like every other
+# algebraic aggregate in the engine. Coefficients are IEEE expressions
+# of the exact integer sums (identical expression tree in both
+# dialects → bit-equal doubles).
+
+
+@register(
+    "q214_ols_normal_equations",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM obs
+    )
+    SELECT n, sx1, sx2, sy, sx1x1, sx2x2, sx1x2, sx1y, sx2y, syy,
+           (
+             (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
+               * (CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+             - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+               * (CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+           ) / (
+             (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
+               * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
+             - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+               * (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+           ) AS beta_qty_cents,
+           (
+             (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
+               * (CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+             - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+               * (CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+           ) / (
+             (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
+               * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
+             - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+               * (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
+           ) AS beta_disc_cents
+    FROM s
+    """,
+    doc="Closed-form multiple linear regression (OLS) of lineitem "
+    "revenue-in-cents on quantity and discount-in-percent via the "
+    "normal equations: ONE distributed pass accumulates the 10 exact "
+    "integer sufficient statistics (n, first/second moments, "
+    "cross-moments — all int64-safe: quantity <= 50, discount <= 10, "
+    "price-cents < 1e7, so the largest per-row term x2*y < 1e8 sums to "
+    "< 1e17 even at 1e9 rows; past that the same plan promotes the "
+    "sums to DECIMAL(38)), then the centered 2x2 system is solved by "
+    "Cramer's rule as a pure expression of those integers. This is the "
+    "production shape of regression at 100 TB: sufficient statistics "
+    "are algebraic aggregates (map-side combined, shard-mergeable, "
+    "incremental across daily increments); the k*k solve is O(k^3) "
+    "driver-free math on one row, valid up to the k~100s where feature "
+    "engineering hands over to SGD. Exactness: the integer sums are "
+    "shuffle-order-independent; the coefficients are IEEE expressions "
+    "of those exact integers with IDENTICAL expression trees in both "
+    "dialects, so even the doubles hash bit-equal. (Expected: "
+    "beta_qty ~ mean part price — extendedprice = qty*price; beta_disc "
+    "~ 0 — discount is independent of revenue in TPC-H.)",
+    tags=("analytics", "linalg", "aggregate"),
+)
+def q214_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(6,2)") * 100)
+        .cast("long")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # Centered second moments as doubles-of-exact-ints; same operation
+    # order as the oracle so the IEEE results are bit-identical.
+    s11 = "(CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)"
+    s22 = "(CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)"
+    s12 = "(CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)"
+    s1y = "(CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)"
+    s2y = "(CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)"
+    det = f"({s11} * {s22} - {s12} * {s12})"
+    return s.select(
+        "n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y",
+        "sx2y", "syy",
+        F.expr(f"({s22} * {s1y} - {s12} * {s2y}) / {det}").alias(
+            "beta_qty_cents"
+        ),
+        F.expr(f"({s11} * {s2y} - {s12} * {s1y}) / {det}").alias(
+            "beta_disc_cents"
+        ),
+    )

@@ -3009,3 +3009,130 @@ def q209_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(m * sxx - sx * sx, 0) AS DOUBLE)) AS BIGINT)"
         ).alias("assortativity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (q211): the SEVENTH graph statistic over
+# the verified near-dup graph. For every pair that shares at least one
+# common neighbor, AA = sum over common neighbors z of 1/ln(deg(z)) —
+# the classic "weighted common neighbors" score (Adamic & Adar 2003).
+# Unlinked pairs (is_linked=0) rank which near-dup edges the verifier
+# most likely MISSED (a chain A~B~C where A,C also share rare neighbors
+# is probably a real duplicate the Jaccard threshold clipped); linked
+# pairs get an edge-strength re-ranking. Each
+# 1/ln(deg) term is held as exact integer micro-units via the shared
+# micro-nat fixed point (1e12 div ln_micro(deg) — deg >= 2 for any
+# common neighbor, so ln_micro >= 693147 and the division is always
+# defined), making the per-pair sum order-independent and bit-equal
+# across engines.
+
+
+@register(
+    "q211_adamic_adar_linkpred",
+    oracle=f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / CAST(len(list_distinct(a.tg || b.tg)) AS DOUBLE)
+            >= {NEARDUP_JACCARD}
+    ),
+    adj AS (
+      SELECT doc_a AS u, doc_b AS z FROM verified
+      UNION ALL SELECT doc_b AS u, doc_a AS z FROM verified
+    ),
+    deg AS (
+      SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u
+    ),
+    wedges AS (
+      SELECT a1.u AS doc_u, a2.u AS doc_v, a1.z
+      FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.u < a2.u
+    ),
+    flagged AS (
+      SELECT w.doc_u, w.doc_v, w.z,
+             CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS linked
+      FROM wedges w
+      LEFT JOIN verified e ON e.doc_a = w.doc_u AND e.doc_b = w.doc_v
+    )
+    SELECT w.doc_u, w.doc_v,
+           CAST(MAX(w.linked) AS BIGINT) AS is_linked,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(
+             1000000000000 // CAST(FLOOR(
+               ln(CAST(g.deg AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           ) AS BIGINT) AS aa_score_micro
+    FROM flagged w JOIN deg g ON g.z = w.z
+    GROUP BY w.doc_u, w.doc_v
+    """,
+    doc="Adamic-Adar scoring over the verified near-dup graph: for "
+    "EVERY document pair sharing at least one common neighbor, the sum "
+    "over common neighbors z of 1/ln(deg(z)) — rare shared neighbors "
+    "weigh more than promiscuous ones (Adamic & Adar 2003). Pairs NOT "
+    "already linked (is_linked=0) are the link-prediction output — the "
+    "near-dup edges the Jaccard verifier most plausibly clipped, i.e. "
+    "the human-review queue after a dedup run; pairs already linked "
+    "get an edge-strength re-ranking (a clique's internal pairs score "
+    "high, a chain's bridge scores low — the q172 chain-vs-clique "
+    "diagnostic per EDGE instead of per node). On a planted-duplicate "
+    "corpus the graph is near-clique, so most co-neighbor pairs are "
+    "linked — exactly what the flag makes visible. Exactness: each "
+    "1/ln(deg) term is integer micro-units via the shared micro-nat "
+    "fixed point (1e12 div ln_micro(deg); common neighbors always have "
+    "deg >= 2, so the divisor is >= ln(2)e6 and never zero), making "
+    "the sum shuffle-order-independent and bit-equal across engines. "
+    "Scale shape: the wedge join fans out deg(z)^2 per node — BOUNDED "
+    "by the LSH hot-bucket caps upstream (max degree <= bands*cap), the "
+    "same guarantee q172's triangle join rides; the non-adjacency check "
+    "is a broadcast-able anti-join against the (canonical) edge list; "
+    "grouping key space is capped by the wedge count. Never all-pairs.",
+    tags=("dedup", "graph", "log-form"),
+)
+def q211_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = (
+        q21_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # 3 self-references below, pay once
+    )
+    adj = verified.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("z")
+    ).unionByName(
+        verified.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("z"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedges = a1.join(
+        a2,
+        (F.col("a1.z") == F.col("a2.z")) & (F.col("a1.u") < F.col("a2.u")),
+    ).select(
+        F.col("a1.u").alias("doc_u"),
+        F.col("a2.u").alias("doc_v"),
+        F.col("a1.z").alias("z"),
+    )
+    flagged = wedges.join(
+        verified.select(
+            F.col("doc_a").alias("doc_u"),
+            F.col("doc_b").alias("doc_v"),
+            F.lit(1).alias("linked"),
+        ),
+        ["doc_u", "doc_v"],
+        "left",
+    ).withColumn("linked", F.coalesce("linked", F.lit(0)))
+    return (
+        flagged.join(deg, "z")
+        .groupBy("doc_u", "doc_v")
+        .agg(
+            F.max("linked").cast("long").alias("is_linked"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST(SUM(1000000000000 div CAST(FLOOR("
+                "ln(CAST(deg AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("aa_score_micro"),
+        )
+    )

@@ -2672,3 +2672,290 @@ def q192_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * CAST(n * syy - sy * sy AS DOUBLE))
            ) AS BIGINT) AS r2_ppm""",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch with exact audit (q213): the
+# third cardinality sketch in the engine (after q161's KMV bottom-k and
+# q197's count-min), and the one every 100 TB pipeline actually ships —
+# per-key distinct counts in m registers of memory, mergeable across
+# partitions/shards/days by register-wise MAX (Flajolet et al. 2007).
+# The whole sketch is exact integer arithmetic on a portable affine
+# hash, so the register table, both estimators, and the chosen estimate
+# are bit-identical across engines — and the EXACT distinct count is
+# computed alongside to audit the sketch's error in-engine.
+
+HLL_P = 10                    # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_SALT_A = 824393           # affine permutation over Z_POLY_MOD
+HLL_SALT_B = 104729
+_HLL_MOD = 1_000_000_007      # POLY_MOD: hash range => 20 usable w-bits
+# alpha_m * m^2 in micro-units for m=1024 (Flajolet et al. 2007, Fig. 3)
+HLL_ALPHA_M2_MICRO = 755_541_746_198
+# w = h div 2^p < POLY_MOD/2^p < 2^20: rho = leading zeros in the 20-bit
+# field + 1, generated as an exact integer CASE chain (no log2 floats).
+_RHO_CASE = (
+    "(CASE "
+    + " ".join(
+        f"WHEN w >= {1 << (19 - i)} THEN {i + 1}" for i in range(20)
+    )
+    + " ELSE 21 END)"
+)
+
+
+@register(
+    "q213_hll_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rho AS (
+      SELECT event_type, h % {HLL_M} AS bucket, w, {_RHO_CASE} AS r
+      FROM (SELECT event_type, h, h // {HLL_M} AS w FROM hashed)
+    ),
+    registers AS (
+      SELECT event_type, bucket, CAST(MAX(r) AS BIGINT) AS m_j
+      FROM rho GROUP BY event_type, bucket
+    ),
+    sketch AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS occupied,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS zeros,
+             CAST(SUM(1 << (21 - m_j)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * {1 << 21} AS denom_scaled
+      FROM registers GROUP BY event_type
+    ),
+    ests AS (
+      SELECT event_type, occupied, zeros,
+             ({HLL_ALPHA_M2_MICRO} * {1 << 21}) // denom_scaled // 1000000
+                 AS est_hll,
+             CASE WHEN zeros > 0 THEN
+               ({HLL_M} * (6931472 - CAST(FLOOR(
+                  ln(CAST(zeros AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)))
+               // 1000000
+             END AS est_lc
+      FROM sketch
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_exact, e.occupied, e.zeros,
+           CAST(e.est_hll AS BIGINT) AS est_hll,
+           CAST(e.est_lc AS BIGINT) AS est_lc,
+           CAST(CASE WHEN e.est_hll <= {(5 * HLL_M) // 2} AND e.zeros > 0
+                THEN e.est_lc ELSE e.est_hll END AS BIGINT) AS est_chosen,
+           CAST(((CASE WHEN e.est_hll <= {(5 * HLL_M) // 2} AND e.zeros > 0
+                  THEN e.est_lc ELSE e.est_hll END) - x.n_exact) * 1000000
+                // x.n_exact AS BIGINT) AS err_ppm
+    FROM ests e JOIN exact x ON x.event_type = e.event_type
+    """,
+    doc=f"HyperLogLog distinct-user sketch per event type with an "
+    f"in-engine exact audit: a portable affine hash over Z_(1e9+7) is "
+    f"split into a {HLL_P}-bit register index and a 20-bit pattern "
+    "field whose leading-zero rank is computed by an exact integer "
+    "CASE chain (no float log2 anywhere near a register); registers "
+    "are MAX-merged per (type, bucket) — the merge that makes the "
+    "sketch shard-, day-, and partition-composable at 100 TB, which "
+    "exact COUNT(DISTINCT) fundamentally is not. Both Flajolet "
+    "estimators are exact integer expressions: the raw harmonic-mean "
+    "estimate via a 2^21-scaled denominator (empty registers "
+    "contribute 2^21 each), and the small-range linear-counting "
+    "correction m*ln(m/V) via the shared micro-nat fixed point, with "
+    "the standard <= 2.5m switch — so estimate AND sketch hash "
+    "bit-equal across engines, and err_ppm against the exact count is "
+    "the committed evidence of sketch accuracy. Scale shape: the "
+    "register build is a two-stage hash agg on (type, bucket) keys "
+    "(<= types*m rows after the map-side partial — bounded regardless "
+    "of corpus size); the exact audit is the only corpus-cardinality "
+    "aggregation, and it exists precisely to be dropped at scale.",
+    tags=("events", "sketch", "aggregate"),
+)
+def q213_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    hashed = ev.select(
+        "event_type",
+        (
+            (F.lit(HLL_SALT_A) * F.col("user_id") + F.lit(HLL_SALT_B))
+            % F.lit(_HLL_MOD)
+        ).alias("h"),
+    )
+    rho = hashed.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select("event_type", "bucket", F.expr(_RHO_CASE).alias("r"))
+    registers = rho.groupBy("event_type", "bucket").agg(
+        F.max("r").cast("long").alias("m_j")
+    )
+    sketch = registers.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("zeros"),
+        (
+            F.sum(F.expr("CAST(shiftleft(1, 21 - m_j) AS BIGINT)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 21)
+        )
+        .cast("long")
+        .alias("denom_scaled"),
+    )
+    ests = sketch.select(
+        "event_type",
+        "occupied",
+        "zeros",
+        F.expr(
+            f"({HLL_ALPHA_M2_MICRO}L * {1 << 21}) div denom_scaled"
+            " div 1000000"
+        ).alias("est_hll"),
+        F.expr(
+            f"CASE WHEN zeros > 0 THEN ({HLL_M} * (6931472 - CAST(FLOOR("
+            "ln(CAST(zeros AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)))"
+            " div 1000000 END"
+        ).alias("est_lc"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    chosen = (
+        f"CASE WHEN est_hll <= {(5 * HLL_M) // 2} AND zeros > 0"
+        " THEN est_lc ELSE est_hll END"
+    )
+    return ests.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "occupied",
+        "zeros",
+        F.col("est_hll").cast("long").alias("est_hll"),
+        F.col("est_lc").cast("long").alias("est_lc"),
+        F.expr(f"CAST({chosen} AS BIGINT)").alias("est_chosen"),
+        F.expr(
+            f"CAST((({chosen}) - n_exact) * 1000000 div n_exact AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast + MASE evaluation (q215): the forecasting
+# baseline every capacity-planning / anomaly pipeline must beat before
+# shipping a model (Hyndman & Koehler 2006 — MASE is the scale-free
+# forecast error that, unlike MAPE, survives zero-count hours). The
+# per-type hourly series is DENSIFIED first (q104's grid pattern):
+# lag-based forecasts over a sparse series silently compare
+# non-adjacent hours, which flatters the naive baseline exactly when
+# traffic is burstiest.
+
+MASE_SEASON_H = 24  # daily seasonality on an hourly grid
+
+
+@register(
+    "q215_seasonal_naive_mase",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT event_type, MIN(hour_start) AS lo, MAX(hour_start) AS hi
+      FROM counts GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, CAST(h AS TIMESTAMP) AS hour_start
+      FROM spans, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    dense AS (
+      SELECT g.event_type, g.hour_start, COALESCE(c.n, 0) AS n,
+             row_number() OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_start
+             ) AS pos
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.hour_start = g.hour_start
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, {MASE_SEASON_H}) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+             ) AS n_season,
+             lag(n, 1) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+             ) AS n_prev,
+             pos
+      FROM dense
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+           CAST(SUM(abs(n - n_season)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(abs(n - n_prev)) AS BIGINT) AS sae_naive1,
+           CAST(SUM(abs(n - n_season)) * 1000000
+                // NULLIF(SUM(abs(n - n_prev)), 0) AS BIGINT) AS mase_ppm
+    FROM lagged
+    WHERE pos > {MASE_SEASON_H}
+    GROUP BY event_type
+    """,
+    doc=f"Seasonal-naive forecast evaluation: forecast each hour's "
+    f"per-type event count by the count {MASE_SEASON_H} hours earlier "
+    "(same hour yesterday), and score it with MASE — the ratio of the "
+    "seasonal forecast's total absolute error to the one-step-naive "
+    "baseline's, in exact integer ppm (Hyndman & Koehler 2006: "
+    "mase < 1e6 ppm means daily seasonality genuinely predicts this "
+    "stream, and any real model must beat BOTH). The series is "
+    "densified per type over its own [first, last] hour span before "
+    "lagging (q104's explode(sequence) grid — output-proportional, "
+    "never a calendar cross join): lags over a SPARSE series compare "
+    "non-adjacent hours and corrupt both error sums exactly where "
+    "traffic is burstiest. Scored hours start past the first season so "
+    "both lags exist — no NULL-padding bias. Scale shape: one (type, "
+    "hour) aggregate, the grid fan-out, and two lag windows sharing "
+    "one (type)-partitioned sort; per-type state during the scan is "
+    f"{MASE_SEASON_H + 1} rows. All counts and errors are exact "
+    "integers; the final ratio is integer ppm with a NULLIF guard.",
+    tags=("events", "window", "monitoring"),
+)
+def q215_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+            "hour_start"
+        ),
+    )
+    dense = grid.join(counts, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    lagged = dense.select(
+        "event_type",
+        "n",
+        F.lag("n", MASE_SEASON_H).over(w).alias("n_season"),
+        F.lag("n", 1).over(w).alias("n_prev"),
+        F.row_number().over(w).alias("pos"),
+    )
+    return (
+        lagged.filter(F.col("pos") > MASE_SEASON_H)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours_scored"),
+            F.sum(F.abs(F.col("n") - F.col("n_season")))
+            .cast("long")
+            .alias("sae_seasonal"),
+            F.sum(F.abs(F.col("n") - F.col("n_prev")))
+            .cast("long")
+            .alias("sae_naive1"),
+            F.expr(
+                "CAST(SUM(abs(n - n_season)) * 1000000"
+                " div NULLIF(SUM(abs(n - n_prev)), 0) AS BIGINT)"
+            ).alias("mase_ppm"),
+        )
+    )

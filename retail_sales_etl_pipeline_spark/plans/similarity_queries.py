@@ -1778,3 +1778,151 @@ def q203_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(u, "i").select(
         "i", F.col("v").alias("eig_micro"), F.col("u").alias("iterate_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-quality evaluation of the ANN index (q210): recall (q111) treats
+# the top-k as a SET; MRR and nDCG grade the ORDER — the metrics a
+# retrieval deployment actually tunes against (RAG context ranking,
+# recommendation slates). Both are held in exact integer fixed point:
+# the log2 discount table is precomputed in Python and inlined as
+# identical literals in both dialects, so DCG/IDCG are pure integer
+# sums and nDCG an integer ppm ratio — bit-equal across engines.
+
+# floor(1e6 / log2(r + 1) + 0.5) for r = 1..TOP_K — the standard nDCG
+# position discount as a micro-unit lookup table.
+import math as _math
+
+_DISCOUNT_MICRO = {
+    r: int(1e6 / _math.log2(r + 1) + 0.5) for r in range(1, TOP_K + 1)
+}
+
+
+def _discount_case(rank_col: str) -> str:
+    """CASE expression mapping a 1-based rank to its micro-discount —
+    valid in both Spark SQL and DuckDB (shared literal table)."""
+    whens = " ".join(
+        f"WHEN {r} THEN {d}" for r, d in _DISCOUNT_MICRO.items()
+    )
+    return f"(CASE {rank_col} {whens} ELSE 0 END)"
+
+
+# Graded relevance from the exact rank: top-1 is highly relevant (3),
+# ranks 2-5 relevant (2), 6-10 marginal (1), not in the exact top-k: 0.
+_REL_CASE = (
+    "(CASE WHEN {gt} IS NULL THEN 0 WHEN {gt} <= 1 THEN 3 "
+    "WHEN {gt} <= 5 THEN 2 ELSE 1 END)"
+)
+
+
+@register(
+    "q210_ann_rank_eval",
+    # Ground-truth and candidate sides spliced from the registered q30/q31
+    # oracles (the q111 convention): the eval can never drift from the
+    # retrievals it grades.
+    oracle=f"""
+    WITH exact AS ({_registered_oracle("q30_ann_bruteforce")}),
+    approx AS ({_registered_oracle("q31_ann_ivf")}),
+    graded AS (
+      SELECT a.query_id, a.rank AS a_rank,
+             {_REL_CASE.format(gt="e.rank")} AS rel
+      FROM approx a
+      LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    ideal AS (
+      SELECT query_id, rel,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, a_rank
+             ) AS i_rank
+      FROM graded
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(rel * {_discount_case("a_rank")}) AS BIGINT)
+                 AS dcg_micro
+      FROM graded GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(rel * {_discount_case("i_rank")}) AS BIGINT)
+                 AS idcg_micro
+      FROM ideal GROUP BY query_id
+    ),
+    rr AS (
+      SELECT a.query_id,
+             CAST(COALESCE(MIN(1000000 // a.rank), 0) AS BIGINT) AS rr_ppm
+      FROM approx a
+      JOIN exact e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       AND e.rank = 1
+      GROUP BY a.query_id
+    )
+    SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+           CAST(1000000 * d.dcg_micro // NULLIF(i.idcg_micro, 0) AS BIGINT)
+               AS ndcg_ppm,
+           CAST(COALESCE(r.rr_ppm, 0) AS BIGINT) AS rr_ppm
+    FROM dcg d
+    JOIN idcg i ON i.query_id = d.query_id
+    LEFT JOIN rr r ON r.query_id = d.query_id
+    """,
+    doc=f"Rank-quality evaluation of the IVF index against the exact "
+    "ground truth: nDCG@k with graded relevance derived from the exact "
+    "rank (top-1 -> 3, 2-5 -> 2, 6-10 -> 1, miss -> 0) and MRR of the "
+    "exact top-1 — the ORDER-sensitive complement to q111's set recall, "
+    "and the pair of numbers a RAG/recsys deployment actually tunes "
+    "nprobe and K against. Exactness: the log2 position discounts are a "
+    f"precomputed {TOP_K}-entry micro-unit literal table shared by both "
+    "dialects, so DCG and the ideal-ordering IDCG are exact integer "
+    "sums and nDCG an integer ppm ratio — no transcendental evaluated "
+    "in-engine, bit-equal everywhere. Scale shape: both retrievals run "
+    "their production plans over a FIXED query panel; the grading join "
+    "is panel-sized (Q*k rows) and the window sort for the ideal "
+    "ordering touches k rows per query — driver never involved.",
+    tags=("similarity", "eval"),
+)
+def q210_ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    exact = q30_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("gt_rank")
+    )
+    approx = q31_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    )
+    graded = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "a_rank",
+        F.expr(_REL_CASE.format(gt="gt_rank")).alias("rel"),
+        "gt_rank",
+    )
+    iw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("a_rank"))
+    ideal = graded.withColumn("i_rank", F.row_number().over(iw))
+    dcg = graded.groupBy("query_id").agg(
+        F.expr(f"CAST(SUM(rel * {_discount_case('a_rank')}) AS BIGINT)").alias(
+            "dcg_micro"
+        )
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.expr(f"CAST(SUM(rel * {_discount_case('i_rank')}) AS BIGINT)").alias(
+            "idcg_micro"
+        )
+    )
+    rr = (
+        graded.filter(F.col("gt_rank") == 1)
+        .groupBy("query_id")
+        .agg(F.expr("CAST(MIN(1000000 div a_rank) AS BIGINT)").alias("rr_ppm"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(rr, "query_id", "left")
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "CAST(1000000 * dcg_micro div nullif(idcg_micro, 0) AS BIGINT)"
+            ).alias("ndcg_ppm"),
+            F.coalesce("rr_ppm", F.lit(0)).cast("long").alias("rr_ppm"),
+        )
+    )

@@ -635,3 +635,346 @@ def q160_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum_chars * 1000000) div NULLIF(sum_tokens, 0) AS LONG)"
         ).alias("chars_per_token_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM (q212): the production n-gram scoring scheme
+# (Brants et al. 2007, "Large Language Models in Machine Translation" —
+# built FOR distributed count tables) extended from q105's bigram
+# in-corpus scorer to a held-out trigram scorer: the model trains on one
+# half of the corpus (doc_id % 2 = 0) and scores the OTHER half, so
+# unseen n-grams genuinely occur and the backoff chain
+# trigram -> 0.4*bigram -> 0.16*unigram is actually exercised (an
+# in-corpus trigram scorer never backs off — every scored trigram was
+# counted). All probabilities are exact integer ppm with a fixed
+# evaluation order (the 0.4 factor as *4 div 10 AFTER the ppm division),
+# so both engines agree bit-for-bit.
+
+BACKOFF_LEVELS = ("tri", "bi", "uni", "unseen")
+
+
+@register(
+    "q212_trigram_backoff_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             doc_id % 2 = 0 AS is_train
+      FROM documents WHERE text IS NOT NULL
+    ),
+    train_uni AS (
+      SELECT unnest(t) AS w FROM toks WHERE is_train
+    ),
+    c1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM train_uni GROUP BY w
+    ),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train_uni),
+    train_bi AS (
+      SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE is_train AND len(t) >= 2
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train_bi GROUP BY w1, w2
+    ),
+    train_tri AS (
+      SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2,
+             t[CAST(i AS INTEGER) + 2] AS w3
+      FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE is_train AND len(t) >= 3
+    ),
+    c3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train_tri GROUP BY w1, w2, w3
+    ),
+    score_tri AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+             t[CAST(i AS INTEGER) + 1] AS w2,
+             t[CAST(i AS INTEGER) + 2] AS w3
+      FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE NOT is_train AND len(t) >= 3
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             CASE
+               WHEN t3.c IS NOT NULL THEN (t3.c * 1000000) // b12.c
+               WHEN b23.c IS NOT NULL
+                 THEN (4 * ((b23.c * 1000000) // u2.c)) // 10
+               WHEN u3.c IS NOT NULL
+                 THEN (16 * ((u3.c * 1000000) // n_tot.n)) // 100
+               ELSE 0
+             END AS p_ppm,
+             CASE WHEN t3.c IS NOT NULL THEN 'tri'
+                  WHEN b23.c IS NOT NULL THEN 'bi'
+                  WHEN u3.c IS NOT NULL THEN 'uni'
+                  ELSE 'unseen' END AS level
+      FROM score_tri s
+      LEFT JOIN c3 t3 ON t3.w1 = s.w1 AND t3.w2 = s.w2 AND t3.w3 = s.w3
+      LEFT JOIN c2 b12 ON b12.w1 = s.w1 AND b12.w2 = s.w2
+      LEFT JOIN c2 b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+      LEFT JOIN c1 u2 ON u2.w = s.w2
+      LEFT JOIN c1 u3 ON u3.w = s.w3
+      CROSS JOIN n_tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+           CAST(SUM(CASE WHEN level = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(SUM(CASE WHEN level = 'bi' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bi_backoff,
+           CAST(SUM(CASE WHEN level = 'uni' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uni_backoff,
+           CAST(SUM(CASE WHEN level = 'unseen' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Stupid-backoff trigram LM scoring (Brants et al. 2007 — the "
+    "n-gram smoothing designed for distributed count tables: no "
+    "normalization pass, just score = c3/c2 backing off to 0.4*c2/c1 "
+    "then 0.4^2*c1/N), trained on the doc_id-even half and scored on "
+    "the held-out odd half so unseen n-grams genuinely occur and every "
+    "backoff rung is exercised — the honest LM-quality filter, unlike "
+    "in-corpus scoring where no trigram is ever novel. Probabilities "
+    "are exact integer ppm with a FIXED evaluation order (ppm division "
+    "first, then *4 div 10), so per-doc sums are shuffle-order-"
+    "independent and bit-equal across engines; per-doc backoff-level "
+    "counts expose how much of each score is interpolation. Scale "
+    "shape: n-gram expansion is map-side (slice+zip, JVM-only); the "
+    "count tables are n-gram-TYPE-sized (far below corpus size, "
+    "Zipf-bounded) so AQE broadcasts them at realistic vocabularies "
+    "and hash-joins otherwise; one final groupBy(doc_id). The 50/50 "
+    "hash split generalizes to the production shape: train on last "
+    "week's corpus, score this week's increment.",
+    tags=("text", "tokenizer", "lm", "eval"),
+)
+def q212_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("t"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+    )
+    train = toks.filter("is_train")
+    score = toks.filter(~F.col("is_train"))
+
+    uni = train.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_tot = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def bigrams(df):
+        return df.filter(F.size("t") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("b"),
+        ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    def trigrams(df):
+        return df.filter(F.size("t") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 2).alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 2)").alias("w2"),
+                    F.expr("slice(t, 3, size(t) - 2)").alias("w3"),
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+
+    c2 = (
+        bigrams(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c3 = (
+        trigrams(train)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    s = trigrams(score).alias("s")
+    t3 = c3.alias("t3")
+    b12 = c2.alias("b12")
+    b23 = c2.alias("b23")
+    u2 = c1.alias("u2")
+    u3 = c1.alias("u3")
+    scored = (
+        s.join(
+            t3,
+            (F.col("t3.w1") == F.col("s.w1"))
+            & (F.col("t3.w2") == F.col("s.w2"))
+            & (F.col("t3.w3") == F.col("s.w3")),
+            "left",
+        )
+        .join(
+            b12,
+            (F.col("b12.w1") == F.col("s.w1"))
+            & (F.col("b12.w2") == F.col("s.w2")),
+            "left",
+        )
+        .join(
+            b23,
+            (F.col("b23.w1") == F.col("s.w2"))
+            & (F.col("b23.w2") == F.col("s.w3")),
+            "left",
+        )
+        .join(u2, F.col("u2.w") == F.col("s.w2"), "left")
+        .join(u3, F.col("u3.w") == F.col("s.w3"), "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.expr(
+                "CASE"
+                " WHEN t3.c IS NOT NULL THEN (t3.c * 1000000) div b12.c"
+                " WHEN b23.c IS NOT NULL"
+                "   THEN (4 * ((b23.c * 1000000) div u2.c)) div 10"
+                " WHEN u3.c IS NOT NULL"
+                "   THEN (16 * ((u3.c * 1000000) div n)) div 100"
+                " ELSE 0 END"
+            ).alias("p_ppm"),
+            F.expr(
+                "CASE WHEN t3.c IS NOT NULL THEN 'tri'"
+                " WHEN b23.c IS NOT NULL THEN 'bi'"
+                " WHEN u3.c IS NOT NULL THEN 'uni'"
+                " ELSE 'unseen' END"
+            ).alias("level"),
+        )
+    )
+    lvl = [
+        F.sum(F.when(F.col("level") == lv, 1).otherwise(0))
+        .cast("long")
+        .alias(al)
+        for lv, al in zip(
+            BACKOFF_LEVELS,
+            ("n_tri_hits", "n_bi_backoff", "n_uni_backoff", "n_unseen"),
+        )
+    ]
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("p_ppm").cast("long").alias("sum_p_ppm"),
+        F.expr("sum(p_ppm) div count(1)").cast("long").alias("mean_p_ppm"),
+        *lvl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-exponent fit (q216): log-log OLS of token frequency on rank over
+# the top of the frequency table — the corpus-health statistic that
+# detects TEMPLATE/BOILERPLATE corpora (slope far from -1, r2 near 1
+# with a kink) and MACHINE-GENERATED text (too-flat tails) before any
+# model ever trains on them. Natural-language corpora follow
+# freq ~ rank^(-s) with s ~ 1 (Zipf 1949); the fitted exponent is the
+# single number to watch drift across ingestion batches.
+
+ZIPF_TOP_R = 200  # fit over the head of the distribution
+
+
+@register(
+    "q216_zipf_exponent_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP_R}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n, sx, sy, sxx, sxy, syy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS zipf_slope,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS r_squared
+    FROM s
+    """,
+    doc=f"Zipf-exponent fit: OLS of ln(frequency) on ln(rank) over the "
+    f"top-{ZIPF_TOP_R} tokens of the corpus frequency table — natural "
+    "text follows freq ~ rank^(-s) with s ~ 1 (Zipf 1949), and the "
+    "fitted exponent is the one-number corpus-health check that flags "
+    "template-heavy, machine-generated, or wrongly-tokenized batches "
+    "before training (slope and r2 drifting across ingestion batches "
+    "is the alarm). Exactness: both log coordinates go through the "
+    "shared micro-nat fixed point, the six sufficient statistics are "
+    "exact int64 sums (|L| <= 2.1e7, so L^2 sums stay < 1e17 at any "
+    "rank cap), and slope/r2 are IEEE expressions of those integers "
+    "with identical trees in both dialects — bit-equal doubles, same "
+    "closed form as q214's normal equations. Scale shape: the "
+    "frequency table is vocab-sized (Zipf-bounded far below corpus "
+    "size); the rank window runs on the bounded pool after a "
+    f"TakeOrdered top-{ZIPF_TOP_R} — never a corpus-wide sort. One "
+    "row out.",
+    tags=("text", "tokenizer", "profiling", "log-form"),
+)
+def q216_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # TakeOrdered the bounded pool, then rank inside it (the q99/q12
+    # convention — no global sort of the full vocab).
+    pool = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_TOP_R)
+    ranked = pool.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    )
+    pts = ranked.select(
+        F.expr(
+            "CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    dxx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    dyy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    return s.select(
+        "n", "sx", "sy", "sxx", "sxy", "syy",
+        F.expr(f"{num} / {dxx}").alias("zipf_slope"),
+        F.expr(f"({num} * {num}) / ({dxx} * {dyy})").alias("r_squared"),
+    )

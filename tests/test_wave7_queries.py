@@ -1,0 +1,284 @@
+"""Value-checking tests for the round-6 second wave (q210-q216): each
+query's CLAIMED property is verified independently of the DuckDB oracle
+(the oracle proves cross-engine agreement; these prove the math).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from retail_sales_etl_pipeline_spark.plans import analytic_queries as aq
+from retail_sales_etl_pipeline_spark.plans import dedup_queries as dq
+from retail_sales_etl_pipeline_spark.plans import event_queries as eq
+from retail_sales_etl_pipeline_spark.plans import similarity_queries as sq
+from retail_sales_etl_pipeline_spark.plans import tokenizer_queries as kq
+from retail_sales_etl_pipeline_spark.sources import load_table
+
+from .conftest import SMOKE_SF_DIR
+
+
+def tdiv(a: int, b: int) -> int:
+    """SQL div: integer division truncating toward zero."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_ann_rank_eval_matches_direct(spark):
+    """q210's DCG/IDCG/nDCG/MRR == a direct Python recomputation from
+    the very q30/q31 frames it grades, using the same discount table."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in sq.q30_ann_bruteforce(spark, SMOKE_SF_DIR).collect()
+    }
+    approx = defaultdict(list)
+    for r in sq.q31_ann_ivf(spark, SMOKE_SF_DIR).collect():
+        approx[r.query_id].append((r.rank, r.neighbor_id))
+    got = {r.query_id: r for r in sq.q210_ann_rank_eval(spark, SMOKE_SF_DIR).collect()}
+
+    def rel(q, n):
+        gt = exact.get((q, n))
+        if gt is None:
+            return 0
+        return 3 if gt <= 1 else (2 if gt <= 5 else 1)
+
+    for q, items in approx.items():
+        rels = [(rk, rel(q, n)) for rk, n in sorted(items)]
+        dcg = sum(r * sq._DISCOUNT_MICRO[rk] for rk, r in rels)
+        ideal = sorted((r for _, r in rels), reverse=True)
+        idcg = sum(
+            r * sq._DISCOUNT_MICRO[i + 1] for i, r in enumerate(ideal)
+        )
+        top1 = next(
+            (rk for rk, n in sorted(items) if exact.get((q, n)) == 1), None
+        )
+        row = got[q]
+        assert row.dcg_micro == dcg
+        assert row.idcg_micro == idcg
+        assert row.ndcg_ppm == (tdiv(1000000 * dcg, idcg) if idcg else None)
+        assert row.rr_ppm == (tdiv(1000000, top1) if top1 else 0)
+        assert row.ndcg_ppm <= 1000000
+
+
+def test_adamic_adar_matches_direct(spark):
+    """q211 == direct AA recomputation from q21's verified pairs with the
+    identical micro-nat integer formula, including the is_linked flag."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dq.q21_ngram_jaccard_pairs(spark, SMOKE_SF_DIR)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    edge_set = set(pairs)
+    want = {}
+    for z, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg < 2:  # no wedge through a degree-1 node
+            continue
+        inv = tdiv(10**12, int(math.floor(math.log(deg) * 1e6 + 0.5)))
+        for u in nbrs:
+            for v in nbrs:
+                if u < v:
+                    lk, c, s = want.get(
+                        (u, v), (1 if (u, v) in edge_set else 0, 0, 0)
+                    )
+                    want[(u, v)] = (lk, c + 1, s + inv)
+    got = {
+        (r.doc_u, r.doc_v): (r.is_linked, r.n_common, r.aa_score_micro)
+        for r in dq.q211_adamic_adar_linkpred(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # planted dups guarantee co-neighbor pairs
+
+
+def test_trigram_backoff_matches_direct(spark):
+    """q212 == a pure-Python stupid-backoff scorer with the identical
+    integer evaluation order, per held-out doc; every backoff level
+    that occurs is counted."""
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+        if r.text is not None
+    }
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    n_tot = 0
+    for d, t in docs.items():
+        if d % 2 == 0:
+            c1.update(t)
+            n_tot += len(t)
+            c2.update(zip(t, t[1:]))
+            c3.update(zip(t, t[1:], t[2:]))
+    want = {}
+    for d, t in docs.items():
+        if d % 2 == 0 or len(t) < 3:
+            continue
+        tot = lv = None
+        sums = dict(n=0, s=0, tri=0, bi=0, uni=0, unseen=0)
+        for g in zip(t, t[1:], t[2:]):
+            if c3[g]:
+                p, lv = tdiv(c3[g] * 10**6, c2[g[:2]]), "tri"
+            elif c2[(g[1], g[2])]:
+                p, lv = tdiv(4 * tdiv(c2[(g[1], g[2])] * 10**6, c1[g[1]]), 10), "bi"
+            elif c1[g[2]]:
+                p, lv = tdiv(16 * tdiv(c1[g[2]] * 10**6, n_tot), 100), "uni"
+            else:
+                p, lv = 0, "unseen"
+            sums["n"] += 1
+            sums["s"] += p
+            sums[lv] += 1
+        want[d] = sums
+    got = {
+        r.doc_id: r
+        for r in kq.q212_trigram_backoff_lm(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for d, w in want.items():
+        g = got[d]
+        assert (g.n_trigrams, g.sum_p_ppm) == (w["n"], w["s"])
+        assert g.mean_p_ppm == tdiv(w["s"], w["n"])
+        assert (g.n_tri_hits, g.n_bi_backoff, g.n_uni_backoff, g.n_unseen) == (
+            w["tri"],
+            w["bi"],
+            w["uni"],
+            w["unseen"],
+        )
+    # held-out scoring must actually exercise a backoff rung somewhere
+    assert any(
+        g.n_bi_backoff + g.n_uni_backoff + g.n_unseen > 0 for g in got.values()
+    )
+
+
+def test_hll_sketch_matches_direct(spark):
+    """q213's registers and both estimators == a direct Python HLL over
+    the same affine hash; the chosen estimate lands within 15% of exact
+    (m=1024 at smoke-scale cardinalities => linear counting regime)."""
+    ev = [
+        (r.event_type, r.user_id)
+        for r in load_table(spark, SMOKE_SF_DIR, "events").collect()
+        if r.user_id is not None
+    ]
+    regs: dict[str, dict[int, int]] = defaultdict(dict)
+    exact = defaultdict(set)
+    for t, u in ev:
+        exact[t].add(u)
+        h = (eq.HLL_SALT_A * u + eq.HLL_SALT_B) % eq._HLL_MOD
+        b, w = h % eq.HLL_M, h // eq.HLL_M
+        rho = 21 if w == 0 else 20 - w.bit_length() + 1
+        regs[t][b] = max(regs[t].get(b, 0), rho)
+    got = {
+        r.event_type: r
+        for r in eq.q213_hll_distinct_sketch(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(regs)
+    for t, rg in regs.items():
+        occ = len(rg)
+        zeros = eq.HLL_M - occ
+        denom = zeros * (1 << 21) + sum(1 << (21 - m) for m in rg.values())
+        est_hll = tdiv(tdiv(eq.HLL_ALPHA_M2_MICRO * (1 << 21), denom), 10**6)
+        est_lc = (
+            tdiv(
+                eq.HLL_M
+                * (6931472 - int(math.floor(math.log(zeros) * 1e6 + 0.5))),
+                10**6,
+            )
+            if zeros
+            else None
+        )
+        row = got[t]
+        assert (row.occupied, row.zeros) == (occ, zeros)
+        assert row.est_hll == est_hll
+        assert row.est_lc == est_lc
+        chosen = est_lc if (est_hll <= 2560 and zeros) else est_hll
+        assert row.est_chosen == chosen
+        assert row.n_exact == len(exact[t])
+        assert abs(chosen - row.n_exact) <= 0.15 * row.n_exact
+
+
+def test_ols_matches_numpy(spark):
+    """q214's exact sums == numpy int sums; its Cramer betas == numpy
+    lstsq on the centered system to float precision."""
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").collect()
+    x1 = np.array([int(r.l_quantity) for r in li], dtype=np.int64)
+    x2 = np.array(
+        [int(round(r.l_discount * 100)) for r in li], dtype=np.int64
+    )
+    y = np.array(
+        [int(round(r.l_extendedprice * 100)) for r in li], dtype=np.int64
+    )
+    row = aq.q214_ols_normal_equations(spark, SMOKE_SF_DIR).collect()[0]
+    assert row.n == len(li)
+    assert row.sx1 == x1.sum() and row.sx2 == x2.sum() and row.sy == y.sum()
+    assert row.sx1x1 == (x1 * x1).sum() and row.sx2x2 == (x2 * x2).sum()
+    assert row.sx1x2 == (x1 * x2).sum()
+    assert row.sx1y == (x1 * y).sum() and row.sx2y == (x2 * y).sum()
+    X = np.column_stack([np.ones(len(li)), x1, x2]).astype(np.float64)
+    beta = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)[0]
+    assert math.isclose(row.beta_qty_cents, beta[1], rel_tol=1e-9)
+    assert math.isclose(row.beta_disc_cents, beta[2], rel_tol=1e-6, abs_tol=1e-6)
+
+
+def test_mase_matches_direct(spark):
+    """q215 == a direct pandas recomputation: densified hourly series,
+    lag-24 and lag-1 absolute error sums, integer ppm ratio."""
+    import pandas as pd
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select("event_type", "ts")
+    pdf = ev.toPandas()
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    got = {
+        r.event_type: r
+        for r in eq.q215_seasonal_naive_mase(spark, SMOKE_SF_DIR).collect()
+    }
+    for t, g in pdf.groupby("event_type"):
+        counts = g.groupby("hour").size()
+        idx = pd.date_range(counts.index.min(), counts.index.max(), freq="h")
+        dense = counts.reindex(idx, fill_value=0).to_numpy()
+        if len(dense) <= eq.MASE_SEASON_H:
+            assert t not in got
+            continue
+        n = dense[eq.MASE_SEASON_H :]
+        sae_s = int(np.abs(n - dense[: -eq.MASE_SEASON_H]).sum())
+        sae_1 = int(
+            np.abs(n - dense[eq.MASE_SEASON_H - 1 : -1]).sum()
+        )
+        row = got[t]
+        assert row.n_hours_scored == len(n)
+        assert (row.sae_seasonal, row.sae_naive1) == (sae_s, sae_1)
+        assert row.mase_ppm == (tdiv(sae_s * 10**6, sae_1) if sae_1 else None)
+
+
+def test_zipf_fit_matches_numpy(spark):
+    """q216's sufficient statistics == exact Python sums over the same
+    micro-nat points; slope == numpy polyfit on those points to float
+    precision, and r_squared in [0, 1]."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    cnt = Counter()
+    for r in docs:
+        if r.text is not None:
+            cnt.update(r.text.lower().split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : kq.ZIPF_TOP_R
+    ]
+    pts = [
+        (
+            int(math.floor(math.log(i + 1) * 1e6 + 0.5)),
+            int(math.floor(math.log(c) * 1e6 + 0.5)),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    xs = np.array([p[0] for p in pts], dtype=np.int64)
+    ys = np.array([p[1] for p in pts], dtype=np.int64)
+    row = kq.q216_zipf_exponent_fit(spark, SMOKE_SF_DIR).collect()[0]
+    assert row.n == len(pts)
+    assert row.sx == xs.sum() and row.sy == ys.sum()
+    assert row.sxx == (xs * xs).sum() and row.sxy == (xs * ys).sum()
+    assert row.syy == (ys * ys).sum()
+    slope = np.polyfit(xs.astype(float), ys.astype(float), 1)[0]
+    assert math.isclose(row.zipf_slope, slope, rel_tol=1e-6)
+    assert 0.0 <= row.r_squared <= 1.0

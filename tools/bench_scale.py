@@ -97,6 +97,12 @@ MARQUEE_100X = {
     "q204_winnowing_fingerprints", "q205_prefix_filter_pairs",
     "q206_systematic_resample", "q207_lang_id_kappa",
     "q208_kcore_decomposition", "q209_degree_assortativity",
+    # round 6 second wave: rank eval, AA linkpred, backoff LM, HLL,
+    # OLS, MASE, Zipf
+    "q210_ann_rank_eval", "q211_adamic_adar_linkpred",
+    "q212_trigram_backoff_lm", "q213_hll_distinct_sketch",
+    "q214_ols_normal_equations", "q215_seasonal_naive_mase",
+    "q216_zipf_exponent_fit",
 }
 
 
