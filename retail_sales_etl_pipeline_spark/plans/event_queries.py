@@ -2959,3 +2959,221 @@ def q215_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Idempotency-key event dedup (q220): q100 collapses a USER's bursts
+# (any event within 10 min of their previous one); this drops
+# RE-DELIVERIES — the same logical event (user, type, props payload)
+# seen again within the delivery horizon, which is what at-least-once
+# transports (Kafka producer retries, mobile SDK replays, webhook
+# retries) actually inject. Keying on the full idempotency key keeps
+# genuine interleaved activity intact (a click between two purchases
+# never suppresses either), which user-level debouncing cannot do.
+# Same lag-form discipline as q100: gap to the previous RAW same-key
+# event; the kept-relative form is the streaming dedup operator
+# (streaming/dedup.py) — this is its batch/backfill twin shape.
+
+REDELIVERY_HORIZON_S = 600
+
+
+@register(
+    "q220_event_redelivery_dedup",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type, props
+               ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM seq
+    WHERE gap_us IS NULL OR gap_us > {REDELIVERY_HORIZON_S} * 1000000
+    """,
+    doc="Idempotency-key re-delivery dedup: drop any event whose exact "
+    "(user_id, event_type, props) key already occurred within the "
+    f"preceding {REDELIVERY_HORIZON_S // 60} minutes — the batch form "
+    "of the exactly-once guarantee every at-least-once transport "
+    "(producer retries, SDK replays, webhook re-posts) makes the "
+    "consumer enforce. Distinct from q100's user-level debounce: "
+    "keying on the full payload keeps genuinely interleaved activity "
+    "(a click between two purchases suppresses neither), while a "
+    "duplicate POST retried 5 s later is dropped. Lag-form (gap to "
+    "previous RAW same-key event, one window) per q100's documented "
+    "convention; the kept-relative sibling is the stateful streaming "
+    "dedup operator (streaming/dedup.py), whose state-expiry horizon "
+    "this constant mirrors. Scale shape: ONE window over a "
+    "(user, type, props) shuffle — key cardinality ~ the event stream "
+    "itself, so partitions stay balanced (no hot key: the window "
+    "partitions are tiny chains of re-deliveries); emitted gap_us "
+    "makes the drop decision auditable row-by-row.",
+    tags=("events", "dedup", "window"),
+)
+def q220_event_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "props").orderBy(
+        "ts", "event_id"
+    )
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .filter(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") > REDELIVERY_HORIZON_S * 1_000_000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.col("gap_us").cast("long").alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL merge identity (q221): the property that makes q213's sketch THE
+# 100 TB distinct-counter — register-wise MAX over per-shard sketches
+# equals the whole-stream sketch — PROVEN in-engine rather than
+# asserted: build per-DAY sketches, merge them, and diff against the
+# directly-built sketch register by register. A pipeline that trusts
+# this identity computes daily sketches once and answers any date-range
+# distinct query by merging K tiny register tables — never rescanning
+# events. (max(max(a),max(b)) = max(a ∪ b): trivially true per
+# register; the value is the executed, hash-checked demonstration that
+# the PLUMBING — hashing, bucketing, grouping grain — preserves it.)
+
+
+@register(
+    "q221_hll_merge_identity",
+    oracle=f"""
+    WITH rho AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             h % {HLL_M} AS bucket, {_RHO_CASE} AS r
+      FROM (
+        SELECT event_type, ts,
+               ({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD} AS h,
+               (({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD})
+                 // {HLL_M} AS w
+        FROM events WHERE user_id IS NOT NULL
+      )
+    ),
+    direct AS (
+      SELECT event_type, bucket, CAST(MAX(r) AS BIGINT) AS m_direct
+      FROM rho GROUP BY event_type, bucket
+    ),
+    daily AS (
+      SELECT event_type, day, bucket, CAST(MAX(r) AS BIGINT) AS m_day
+      FROM rho GROUP BY event_type, day, bucket
+    ),
+    merged AS (
+      SELECT event_type, bucket, CAST(MAX(m_day) AS BIGINT) AS m_merged
+      FROM daily GROUP BY event_type, bucket
+    ),
+    days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM rho GROUP BY event_type
+    ),
+    cmp AS (
+      SELECT COALESCE(d.event_type, m.event_type) AS event_type,
+             CASE WHEN d.m_direct IS NULL OR m.m_merged IS NULL
+                       OR d.m_direct <> m.m_merged
+                  THEN 1 ELSE 0 END AS mismatch,
+             COALESCE(d.m_direct, 0) AS m_direct
+      FROM direct d
+      FULL OUTER JOIN merged m
+        ON m.event_type = d.event_type AND m.bucket = d.bucket
+    )
+    SELECT c.event_type, y.n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(SUM(c.mismatch) AS BIGINT) AS n_register_mismatch,
+           CAST(SUM(c.mismatch) = 0 AS BIGINT) AS merge_identical,
+           ({HLL_ALPHA_M2_MICRO} * {1 << 21})
+             // (CAST(SUM(1 << (21 - c.m_direct)) AS BIGINT)
+                 + ({HLL_M} - COUNT(*)) * {1 << 21})
+             // 1000000 AS est_hll
+    FROM cmp c JOIN days y ON y.event_type = c.event_type
+    GROUP BY c.event_type, y.n_days
+    """,
+    doc="HyperLogLog merge-identity proof: per-day register sketches, "
+    "MAX-merged across days, diffed register-by-register against the "
+    "directly-built whole-stream sketch (q213's exact constants) — "
+    "n_register_mismatch must be 0 and merge_identical 1 for every "
+    "event type, turning the sketch's composability from an assertion "
+    "into a hash-checked, engine-pair-verified record. This identity "
+    "is the entire operational value of HLL at 100 TB: daily register "
+    "tables (types x 1024 rows) are computed once at ingest, and any "
+    "date-range distinct-user question is answered by MAX-merging K "
+    "tiny tables — the raw events are never rescanned. Scale shape: "
+    "the rho expansion is map-side; both register builds are two-stage "
+    "hash aggs on bounded key spaces (types x m and types x days x m); "
+    "the diff is a full outer join of two register tables — "
+    "register-table-sized, corpus-size-independent. The only "
+    "corpus-sized work is the one scan both sketches share.",
+    tags=("events", "sketch", "incremental"),
+)
+def q221_hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    rho = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (
+            (F.lit(HLL_SALT_A) * F.col("user_id") + F.lit(HLL_SALT_B))
+            % F.lit(_HLL_MOD)
+        ).alias("h"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "event_type", "day", "bucket", F.expr(_RHO_CASE).alias("r")
+    )
+    direct = rho.groupBy("event_type", "bucket").agg(
+        F.max("r").cast("long").alias("m_direct")
+    )
+    daily = rho.groupBy("event_type", "day", "bucket").agg(
+        F.max("r").cast("long").alias("m_day")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("m_day").cast("long").alias("m_merged")
+    )
+    days = rho.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    d, m = direct.alias("d"), merged.alias("m")
+    cmp = d.join(
+        m,
+        (F.col("m.event_type") == F.col("d.event_type"))
+        & (F.col("m.bucket") == F.col("d.bucket")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("d.event_type"), F.col("m.event_type")).alias(
+            "event_type"
+        ),
+        F.expr(
+            "CASE WHEN d.m_direct IS NULL OR m.m_merged IS NULL"
+            " OR d.m_direct <> m.m_merged THEN 1 ELSE 0 END"
+        ).alias("mismatch"),
+        F.coalesce(F.col("d.m_direct"), F.lit(0)).alias("m_direct"),
+    )
+    return cmp.join(days, "event_type").groupBy("event_type", "n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum("mismatch").cast("long").alias("n_register_mismatch"),
+        F.expr("CAST(SUM(mismatch) = 0 AS BIGINT)").alias("merge_identical"),
+        F.expr(
+            f"({HLL_ALPHA_M2_MICRO}L * {1 << 21})"
+            " div (CAST(SUM(CAST(shiftleft(1, 21 - m_direct) AS BIGINT))"
+            f" AS BIGINT) + ({HLL_M} - COUNT(*)) * {1 << 21}L)"
+            " div 1000000"
+        ).alias("est_hll"),
+    ).select(
+        "event_type", "n_days", "n_registers", "n_register_mismatch",
+        "merge_identical", "est_hll",
+    )

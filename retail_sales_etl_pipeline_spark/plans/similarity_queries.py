@@ -1926,3 +1926,93 @@ def q210_ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rr_ppm", F.lit(0)).cast("long").alias("rr_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding effective rank (q217): the participation ratio
+# tr(C)^2 / ||C||_F^2 of the embedding covariance — a basis-free
+# estimate of how many dimensions the corpus ACTUALLY uses (for
+# eigenvalues l_k it equals (sum l)^2 / sum l^2: d for isotropic
+# embeddings, ~1 for collapsed ones). This is the one-number
+# representation-collapse monitor (cf. RankMe, Garrido et al. 2023)
+# read BEFORE trusting any cosine-based stack: collapsed embeddings
+# make everything look like a near-duplicate. Computed from q202's
+# EXACT integer Gram cells; each covariance cell is first normalized
+# by n^2 (integer division — bounds the cell by the data range alone,
+# corpus-size-independent, so the Frobenius sum stays in int64 at ANY
+# corpus size, where raw cov_num^2 would overflow past ~3e5 vectors).
+
+
+@register(
+    "q217_embedding_effective_rank",
+    oracle=f"""
+    WITH gram AS ({_registered_oracle("q202_embedding_gram")}),
+    cells AS (
+      SELECT i, j,
+             cov_num // (n_vecs * n_vecs) AS c,
+             n_vecs
+      FROM gram
+    ),
+    s AS (
+      SELECT CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+             CAST(COUNT(CASE WHEN i = j THEN 1 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)
+                 AS trace_centi2,
+             CAST(SUM(c * c * (CASE WHEN i = j THEN 1 ELSE 2 END))
+                  AS BIGINT) AS frob2
+      FROM cells
+    )
+    SELECT d, n_vecs, trace_centi2, frob2,
+           (CAST(trace_centi2 AS DOUBLE) * trace_centi2)
+             / CAST(frob2 AS DOUBLE) AS participation_ratio
+    FROM s
+    """,
+    doc="Effective rank (participation ratio) of the embedding "
+    "covariance: tr(C)^2 / ||C||_F^2, the basis-free count of "
+    "dimensions the corpus actually uses — d for isotropic embeddings, "
+    "1 for full collapse (cf. RankMe, Garrido et al. 2023). THE "
+    "representation-health gate before any cosine-based stack (ANN, "
+    "SemDeDup, hard negatives): collapsed embeddings make everything "
+    "cosine-similar and silently turn near-dup removal into corpus "
+    "deletion. Built on q202's exact integer Gram (oracle spliced from "
+    "its registered SQL): each covariance cell is normalized by n^2 "
+    "with integer division FIRST, which bounds every cell by the "
+    "centi-unit data range alone — corpus-size-independent, so the "
+    "Frobenius sum of squares stays inside int64 at any scale (raw "
+    "cov_num^2 overflows past ~3e5 vectors; the div-first form is the "
+    "same overflow discipline as q203's divide-side renormalization). "
+    "Off-diagonal cells count twice (symmetry); trace and Frobenius "
+    "are exact integer sums; the final ratio is an IEEE expression of "
+    "those integers — bit-equal across engines. Scale shape: d^2/2 "
+    "rows in, one row out; all corpus-sized work already happened in "
+    "q202's one pass.",
+    tags=("similarity", "linalg", "profiling"),
+)
+def q217_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = q202_embedding_gram(spark, sf_dir)
+    cells = gram.select(
+        "i",
+        "j",
+        F.expr("cov_num div (n_vecs * n_vecs)").alias("c"),
+        "n_vecs",
+    )
+    s = cells.agg(
+        F.expr("CAST(COUNT(CASE WHEN i = j THEN 1 END) AS BIGINT)").alias("d"),
+        F.max("n_vecs").cast("long").alias("n_vecs"),
+        F.expr("CAST(SUM(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)").alias(
+            "trace_centi2"
+        ),
+        F.expr(
+            "CAST(SUM(c * c * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS BIGINT)"
+        ).alias("frob2"),
+    )
+    return s.select(
+        "d",
+        "n_vecs",
+        "trace_centi2",
+        "frob2",
+        F.expr(
+            "(CAST(trace_centi2 AS DOUBLE) * trace_centi2)"
+            " / CAST(frob2 AS DOUBLE)"
+        ).alias("participation_ratio"),
+    )

@@ -1293,3 +1293,117 @@ def q207_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID calibration / ECE (q218): q147's confusion matrix says
+# WHERE the classifier errs; this says whether its CONFIDENCE can be
+# trusted — reliability bins (predicted-confidence quintiles vs
+# realized accuracy) and the Expected Calibration Error, the standard
+# selective-prediction readout (Guo et al. 2017). A curation pipeline
+# thresholds on classifier confidence when routing documents; an
+# uncalibrated score makes every threshold lie. Confidence here is the
+# natural one for the stopword argmax: best-language hits over total
+# hits across languages, an exact integer ppm.
+
+
+def _total_score_expr(scores: dict[str, str]) -> str:
+    return "(" + " + ".join(f"({scores[lang]})" for lang in _LANGS) + ")"
+
+
+def _best_score_expr(scores: dict[str, str]) -> str:
+    return "greatest(" + ", ".join(scores[lang] for lang in _LANGS) + ")"
+
+
+@register(
+    "q218_langid_calibration",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang,
+             {_predict_expr(_DUCK_SCORES)} AS predicted_lang,
+             COALESCE(({_best_score_expr(_DUCK_SCORES)}) * 1000000
+                      // NULLIF({_total_score_expr(_DUCK_SCORES)}, 0), 0)
+                 AS conf_ppm
+      FROM documents
+    ),
+    binned AS (
+      SELECT labeled_lang, predicted_lang, conf_ppm,
+             least(conf_ppm // 200000, 4) AS bin
+      FROM pred
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN predicted_lang = labeled_lang
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             CAST(SUM(CASE WHEN predicted_lang = labeled_lang
+                      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                 AS acc_ppm,
+             CAST(SUM(conf_ppm) // COUNT(*) AS BIGINT) AS mean_conf_ppm
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pred)
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_correct, acc_ppm,
+           mean_conf_ppm,
+           CAST(n_docs * abs(acc_ppm - mean_conf_ppm) // n_total AS BIGINT)
+               AS ece_term_ppm
+    FROM per_bin CROSS JOIN tot
+    """,
+    doc="Language-ID calibration audit: documents bucketed into five "
+    "confidence bins (confidence = best-language stopword hits over "
+    "total hits, exact integer ppm — the natural score of the q24/q147 "
+    "argmax), with realized accuracy and mean confidence per bin and "
+    "each bin's Expected-Calibration-Error term n_b*|acc_b - conf_b|/N "
+    "(Guo et al. 2017; summing ece_term_ppm gives the corpus ECE, "
+    "asserted by the value test). This is the difference between a "
+    "confusion matrix and a USABLE confidence: curation routes "
+    "documents by thresholding this score, and an uncalibrated score "
+    "makes every routing threshold lie. All quantities are exact "
+    "integer arithmetic (counts, truncating ppm ratios) — bit-equal "
+    "across engines. Scale shape: map-side scoring (constant-folded "
+    "stopword arrays, same expressions as q24 spliced from the shared "
+    "constants), one aggregate over a 5-key space, one broadcast-sized "
+    "total join. One pass, never a shuffle of documents.",
+    tags=("text", "eval", "quality"),
+)
+def q218_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_predict_expr(_SPARK_SCORES)).alias("predicted_lang"),
+        F.expr(
+            f"COALESCE(({_best_score_expr(_SPARK_SCORES)}) * 1000000"
+            f" div NULLIF({_total_score_expr(_SPARK_SCORES)}, 0), 0)"
+        ).alias("conf_ppm"),
+    )
+    binned = pred.withColumn(
+        "bin", F.expr("least(conf_ppm div 200000, 4)")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 "
+            "END) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.expr("CAST(SUM(conf_ppm) div COUNT(*) AS BIGINT)").alias(
+            "mean_conf_ppm"
+        ),
+    )
+    tot = pred.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "n_correct",
+        "acc_ppm",
+        "mean_conf_ppm",
+        F.expr(
+            "CAST(n_docs * abs(acc_ppm - mean_conf_ppm) div n_total"
+            " AS BIGINT)"
+        ).alias("ece_term_ppm"),
+    )

@@ -927,7 +927,12 @@ ZIPF_TOP_R = 200  # fit over the head of the distribution
     "fitted exponent is the one-number corpus-health check that flags "
     "template-heavy, machine-generated, or wrongly-tokenized batches "
     "before training (slope and r2 drifting across ingestion batches "
-    "is the alarm). Exactness: both log coordinates go through the "
+    "is the alarm). Complements q168's PER-SOURCE integer milli-nat "
+    "slopes: this is the corpus-GLOBAL fit with a goodness-of-fit r2 "
+    "(q168 ranks sources against each other; this one number plus its "
+    "r2 is the whole-corpus drift monitor — a good slope with bad r2 "
+    "means two mixed regimes, which per-source slopes can't see once "
+    "sources are blended). Exactness: both log coordinates go through the "
     "shared micro-nat fixed point, the six sufficient statistics are "
     "exact int64 sums (|L| <= 2.1e7, so L^2 sums stay < 1e17 at any "
     "rank cap), and slope/r2 are IEEE expressions of those integers "

@@ -14,6 +14,7 @@ from retail_sales_etl_pipeline_spark.plans import analytic_queries as aq
 from retail_sales_etl_pipeline_spark.plans import dedup_queries as dq
 from retail_sales_etl_pipeline_spark.plans import event_queries as eq
 from retail_sales_etl_pipeline_spark.plans import similarity_queries as sq
+from retail_sales_etl_pipeline_spark.plans import text_queries as tq
 from retail_sales_etl_pipeline_spark.plans import tokenizer_queries as kq
 from retail_sales_etl_pipeline_spark.sources import load_table
 
@@ -282,3 +283,158 @@ def test_zipf_fit_matches_numpy(spark):
     slope = np.polyfit(xs.astype(float), ys.astype(float), 1)[0]
     assert math.isclose(row.zipf_slope, slope, rel_tol=1e-6)
     assert 0.0 <= row.r_squared <= 1.0
+
+
+# --- wave 8 (q217-q221) ----------------------------------------------------
+
+
+def test_effective_rank_matches_numpy(spark):
+    """q217's trace/frobenius == numpy on the same integer covariance
+    cells (trunc-div normalized), and PR lands in [1, d]."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    X = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    Q = np.floor(X * sq.GRAM_SCALE + 0.5).astype(np.int64)
+    n, d = Q.shape
+    G = Q.T @ Q
+    S = Q.sum(axis=0)
+    C = n * G - np.outer(S, S)
+    tsign = np.sign(C)
+    Cn = (tsign * (np.abs(C) // (n * n))).astype(np.int64)  # trunc div
+    trace = int(np.trace(Cn))
+    frob = int((Cn * Cn).sum())
+    row = sq.q217_embedding_effective_rank(spark, SMOKE_SF_DIR).collect()[0]
+    assert (row.d, row.n_vecs) == (d, n)
+    assert row.trace_centi2 == trace
+    assert row.frob2 == frob
+    assert math.isclose(row.participation_ratio, trace * trace / frob, rel_tol=1e-12)
+    assert 1.0 <= row.participation_ratio <= d
+
+
+def test_langid_calibration_matches_direct(spark):
+    """q218 == a python recount of the same stopword scoring, binning,
+    and integer ECE terms."""
+    from retail_sales_etl_pipeline_spark.operators.text import LANG_STOPWORDS
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    langs = list(LANG_STOPWORDS)
+    bins = defaultdict(lambda: [0, 0, 0])  # n, correct, conf_sum
+    for r in docs:
+        toks = set((r.text or "").lower().split(" "))
+        scores = {lg: len(toks & set(LANG_STOPWORDS[lg])) for lg in langs}
+        pred = next(
+            lg
+            for lg in langs
+            if all(scores[lg] >= scores[o] for o in langs if o != lg)
+        )
+        total = sum(scores.values())
+        conf = tdiv(scores[pred] * 10**6, total) if total else 0
+        b = min(conf // 200000, 4)
+        bins[b][0] += 1
+        bins[b][1] += int(pred == r.lang)
+        bins[b][2] += conf
+    n_total = len(docs)
+    got = {
+        r.bin: r
+        for r in tq.q218_langid_calibration(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (n, c, cs) in bins.items():
+        row = got[b]
+        acc = tdiv(c * 10**6, n)
+        mc = tdiv(cs, n)
+        assert (row.n_docs, row.n_correct) == (n, c)
+        assert (row.acc_ppm, row.mean_conf_ppm) == (acc, mc)
+        assert row.ece_term_ppm == tdiv(n * abs(acc - mc), n_total)
+
+
+def test_kmv_algebra_matches_direct(spark):
+    """q219 == a python KMV over the same polynomial+affine hashes,
+    including the small-set rule and the (K-1)*M/kth estimator."""
+    from retail_sales_etl_pipeline_spark.functions.scalar import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    K = dq.KMV_ALG_K
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    by_src = defaultdict(set)
+    for r in docs:
+        h = 0
+        for ch in r.text or "":
+            h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+        sk = (dq.OVERLAP_A * h + dq.OVERLAP_B) % POLY_MOD
+        by_src[r.source].add(sk)
+
+    def est(vals):
+        s = sorted(vals)
+        if len(s) < K:
+            return len(s)
+        return tdiv((K - 1) * POLY_MOD, s[K - 1])
+
+    got = {
+        (r.src_a, r.src_b): r
+        for r in dq.q219_kmv_cardinality_algebra(spark, SMOKE_SF_DIR).collect()
+    }
+    srcs = sorted(by_src)
+    want_pairs = {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]}
+    assert set(got) == want_pairs
+    for (a, b), row in got.items():
+        A, B = by_src[a], by_src[b]
+        assert (row.est_a, row.est_b) == (est(A), est(B))
+        assert row.est_union == est(A | B)
+        assert row.est_intersection == est(A) + est(B) - est(A | B)
+        assert (row.n_exact_a, row.n_exact_b) == (len(A), len(B))
+        assert row.n_exact_union == len(A | B)
+        assert row.n_exact_intersection == len(A) + len(B) - len(A | B)
+
+
+def test_redelivery_dedup_matches_pandas(spark):
+    """q220 == a pandas recount: survivors are rows whose same-key
+    predecessor is absent or more than the horizon away."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    ev = ev.sort_values(["user_id", "event_type", "props", "ts", "event_id"])
+    prev = ev.groupby(["user_id", "event_type", "props"])["ts"].shift(1)
+    gap = (ev["ts"] - prev).dt.total_seconds() * 1_000_000
+    keep = gap.isna() | (gap > eq.REDELIVERY_HORIZON_S * 1_000_000)
+    want = set(ev.loc[keep, "event_id"])
+    rows = eq.q220_event_redelivery_dedup(spark, SMOKE_SF_DIR).collect()
+    assert {r.event_id for r in rows} == want
+    # and every dropped event really has a same-key predecessor inside
+    # the horizon
+    dropped = set(ev["event_id"]) - want
+    assert all(
+        g <= eq.REDELIVERY_HORIZON_S * 1_000_000
+        for g, k in zip(gap, keep)
+        if not k and not math.isnan(g)
+    )
+    assert len(dropped) == int((~keep).sum())
+
+
+def test_hll_merge_identity_holds(spark):
+    """q221: zero register mismatches, merge_identical everywhere, and
+    register counts equal a direct python register build."""
+    ev = [
+        (r.event_type, r.user_id)
+        for r in load_table(spark, SMOKE_SF_DIR, "events").collect()
+        if r.user_id is not None
+    ]
+    regs = defaultdict(dict)
+    for t, u in ev:
+        h = (eq.HLL_SALT_A * u + eq.HLL_SALT_B) % eq._HLL_MOD
+        b, w = h % eq.HLL_M, h // eq.HLL_M
+        rho = 21 if w == 0 else 20 - w.bit_length() + 1
+        regs[t][b] = max(regs[t].get(b, 0), rho)
+    rows = eq.q221_hll_merge_identity(spark, SMOKE_SF_DIR).collect()
+    assert {r.event_type for r in rows} == set(regs)
+    for r in rows:
+        assert r.n_register_mismatch == 0
+        assert r.merge_identical == 1
+        assert r.n_registers == len(regs[r.event_type])
+        denom = (eq.HLL_M - len(regs[r.event_type])) * (1 << 21) + sum(
+            1 << (21 - m) for m in regs[r.event_type].values()
+        )
+        assert r.est_hll == tdiv(
+            tdiv(eq.HLL_ALPHA_M2_MICRO * (1 << 21), denom), 10**6
+        )

@@ -103,6 +103,11 @@ MARQUEE_100X = {
     "q212_trigram_backoff_lm", "q213_hll_distinct_sketch",
     "q214_ols_normal_equations", "q215_seasonal_naive_mase",
     "q216_zipf_exponent_fit",
+    # round 6 third wave: effective rank, calibration, KMV algebra,
+    # re-delivery dedup, HLL merge identity
+    "q217_embedding_effective_rank", "q218_langid_calibration",
+    "q219_kmv_cardinality_algebra", "q220_event_redelivery_dedup",
+    "q221_hll_merge_identity",
 }
 
 
