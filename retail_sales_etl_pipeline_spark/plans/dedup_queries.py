@@ -2705,26 +2705,37 @@ def q204_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Prefix-filtering all-pairs similarity join (q205) — the Bayardo/
-# Chaudhuri "AllPairs" exact-recall alternative to LSH: order each
-# document's distinct tokens globally rarest-first; for Jaccard
-# threshold t, two sets can only reach t if they share a token within
-# each other's first (m - ceil(t*m) + 1) rarest tokens, so indexing ONLY
-# those prefixes finds every qualifying pair with zero recall loss
-# (unlike MinHash, which is probabilistic). The index is dominated by
-# RARE tokens by construction — posting lists stay short where it
-# matters; the common-token tail never enters the index for
-# high-threshold joins.
+# Chaudhuri "AllPairs" exact-recall alternative to LSH, run over token
+# TRIGRAM sets at the q21 threshold so its semantics line up with the
+# engine's near-dup verify rung: order each document's distinct
+# trigrams globally rarest-first; for Jaccard threshold t, two sets can
+# only reach t if they share a feature within each other's first
+# (m - ceil(t*m) + 1) rarest features, so indexing ONLY those prefixes
+# finds EVERY qualifying pair with zero recall loss (unlike MinHash,
+# which is probabilistic). Features are trigrams, not unigrams, by
+# measurement: on this corpus's 31-word vocabulary, unigram-set Jaccard
+# >= 0.7 is satisfied by ~40% of ALL random pairs (51,493 of 124,750 at
+# sf0.01) — the OUTPUT itself is quadratic and the 10x bench run died
+# grinding it, which is the executed evidence that set-similarity
+# self-joins need discriminative features, not just a clever index.
+# Trigram space is |vocab|^3, so posting lists stay short and true
+# pairs are the planted near-dups — same answer family as q21, found
+# EXACTLY instead of probabilistically (the q112 recall probe's
+# denominator, computed rather than sampled).
 # ---------------------------------------------------------------------------
 
-PF_JACCARD_NUM, PF_JACCARD_DEN = 7, 10  # threshold t = 0.7, kept rational
+# threshold t = 3/10, rational — ALIGNED with NEARDUP_JACCARD so q205's
+# exact pair set is directly comparable to the q22->q21 LSH ladder
+PF_JACCARD_NUM, PF_JACCARD_DEN = 3, 10
 
 
 @register(
     "q205_prefix_filter_pairs",
     oracle=f"""
     WITH dtok AS (
-      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      SELECT doc_id, unnest({token_ngrams_expr("text", 3)[1]}) AS tok
       FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
     ),
     dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok GROUP BY tok),
     m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM dtok GROUP BY doc_id),
@@ -2763,26 +2774,37 @@ PF_JACCARD_NUM, PF_JACCARD_DEN = 7, 10  # threshold t = 0.7, kept rational
           >= {PF_JACCARD_NUM} * (ma.m + mb.m - i.n_inter)
     """,
     doc="Prefix-filtering all-pairs Jaccard join (Bayardo et al. "
-    "'Scaling Up All Pairs Similarity Search' / Chaudhuri's SSJoin): "
-    "distinct tokens per doc, global document frequency, rarest-first "
+    "'Scaling Up All Pairs Similarity Search' / Chaudhuri's SSJoin) "
+    "over token TRIGRAM sets at the q21 threshold (0.3): distinct "
+    "trigrams per doc, global document frequency, rarest-first "
     "ordering, and an inverted index over ONLY each doc's first "
-    "m - ceil(0.7m) + 1 tokens — exact recall at Jaccard >= 0.7 with an "
-    "index a fraction of the posting volume, the deterministic "
-    "complement to probabilistic MinHash-LSH (q22). Verification counts "
-    "shared distinct tokens per candidate and keeps pairs by the exact "
-    "RATIONAL comparison 10*inter >= 7*union (no float thresholding); "
-    "jacc_ppm is exact integer division. Scale shape: every join is "
-    "equi-key (token / doc id); prefix postings are rare-token-dominated "
-    "by construction, which is the algorithm's own skew bound — a "
-    "token enters the index only when it sits inside the rarest 30% of "
-    "some document's vocabulary.",
+    "m - ceil(0.3m) + 1 features — EXACT recall at Jaccard >= 0.3, the "
+    "deterministic complement to probabilistic MinHash-LSH (q22->q21): "
+    "same threshold, same features, so its pair set is the computed "
+    "ground truth the q112 recall probe samples. Verification counts "
+    "shared distinct trigrams per candidate and keeps pairs by the "
+    "exact RATIONAL comparison 10*inter >= 3*union (no float "
+    "thresholding); jacc_ppm is exact integer division. Features are "
+    "trigrams by executed evidence, not taste: with unigram sets on "
+    "this tiny-vocab corpus ~40% of ALL pairs pass t=0.7, the output "
+    "itself is quadratic, and the 10x scale run ground to a halt — no "
+    "index fixes a quadratic ANSWER; discriminative features do. "
+    "Scale shape: every join is equi-key (trigram / doc id); prefix "
+    "postings are rare-trigram-dominated by construction. Honest "
+    "bound: posting lists on a FIXED trigram space still grow linearly "
+    "with corpus size, so the exact join's candidate volume grows "
+    "super-linearly where LSH's capped buckets do not — exactness has "
+    "a price; the recorded 1x/10x walls ARE that price, and the capped "
+    "LSH ladder is the documented 100 TB path.",
     tags=("dedup", "join"),
 )
 def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr("size(split(text, ' ')) >= 3")
+    )
     dtok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).distinct()
+        "doc_id", F.explode(F.expr(_TG_SPARK)).alias("tok")
+    )
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     m = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
     rw = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -3344,4 +3366,105 @@ def q219_kmv_cardinality_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("n_exact_union")
             ).alias("n_exact_intersection"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivor-policy dedup (q224): WHICH copy survives a dedup matters as
+# much as THAT one does — the default min-doc_id rule (q110) is
+# arbitrary, and at web scale the copies genuinely differ (one is
+# truncated, one carries the full page). This query deduplicates on
+# q110's normalized key but selects the survivor by QUALITY — the
+# longest copy (most content preserved), doc_id-tiebroken — and emits
+# both survivors side by side with a policy_differs flag: the audit a
+# curation team reads to decide whether switching policies is worth a
+# reprocessing run.
+
+
+@register(
+    "q224_survivor_policy_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             sha256(lower(substr(text, 1, 100))) AS content_hash
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grp AS (
+      SELECT content_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS min_id_survivor,
+             CAST(MAX(n_chars) AS BIGINT) AS survivor_n_chars
+      FROM keyed GROUP BY content_hash
+      HAVING COUNT(*) > 1
+    ),
+    best AS (
+      SELECT k.content_hash,
+             CAST(MIN(k.doc_id) AS BIGINT) AS quality_survivor
+      FROM keyed k JOIN grp g
+        ON g.content_hash = k.content_hash
+       AND k.n_chars = g.survivor_n_chars
+      GROUP BY k.content_hash
+    )
+    SELECT g.content_hash, g.n_copies, g.min_id_survivor,
+           b.quality_survivor, g.survivor_n_chars,
+           CAST(b.quality_survivor <> g.min_id_survivor AS BIGINT)
+               AS policy_differs
+    FROM grp g JOIN best b ON b.content_hash = g.content_hash
+    """,
+    doc="Survivor-policy dedup: duplicate groups on q110's normalized "
+    "key (case-folded leading 100 chars) with TWO survivor rules side "
+    "by side — the arbitrary min-doc_id baseline and the quality rule "
+    "'keep the longest copy' (max n_chars, doc_id-tiebroken: the "
+    "least-truncated version of the page, which is what a trainer "
+    "actually wants to keep) — plus a policy_differs flag per group. "
+    "The flag's sum is the reprocessing-value estimate: how many "
+    "groups would change survivor if the policy switched, the question "
+    "every curation team asks before re-running a 100 TB dedup. "
+    "Exactness: pure counts, max, min — the argmax is expressed as "
+    "max-then-tiebreak-join so both engines pick the identical doc "
+    "(the q31 max_by tie discipline in join form). Scale shape: one "
+    "groupBy on the 32-byte key; the HAVING prunes unique groups "
+    "(~99%) before the survivor join, which is duplicate-groups-sized; "
+    "bodies never shuffle, only keys and two ints.",
+    tags=("dedup", "provenance", "quality"),
+)
+def q224_survivor_policy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.lower(F.substring("text", 1, 100)), 256).alias(
+            "content_hash"
+        ),
+    )
+    grp = (
+        keyed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("min_id_survivor"),
+            F.max("n_chars").cast("long").alias("survivor_n_chars"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    best = (
+        keyed.alias("k")
+        .join(
+            grp.alias("g"),
+            (F.col("g.content_hash") == F.col("k.content_hash"))
+            & (F.col("k.n_chars") == F.col("g.survivor_n_chars")),
+        )
+        .groupBy(F.col("k.content_hash").alias("content_hash"))
+        .agg(F.min("k.doc_id").cast("long").alias("quality_survivor"))
+    )
+    return grp.join(best, "content_hash").select(
+        "content_hash",
+        "n_copies",
+        "min_id_survivor",
+        "quality_survivor",
+        "survivor_n_chars",
+        F.expr(
+            "CAST(quality_survivor <> min_id_survivor AS BIGINT)"
+        ).alias("policy_differs"),
     )

@@ -1048,3 +1048,99 @@ def q206_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("multiplicity") >= 1)
         .select("doc_id", "source", "n_tokens", "cum", "multiplicity")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture KL-divergence drift report (q223): D_KL(actual || uniform)
+# of the corpus's per-language TOKEN mass, one micro-nat term per
+# language — the single number (plus its per-language decomposition)
+# that tells a data-mixing stage how far the current corpus sits from
+# its target before q75/q102's reweighting, and the drift alarm to
+# diff across ingestion batches (a rising KL means the crawl is
+# tilting). Terms use the shared micro-nat fixed point on COUNT logs
+# only, with the share divided FIRST (share_ppm * log-sum div 1e6 —
+# bounded by 1e6*|L| forever, the q118/q217 overflow discipline),
+# summing to KL in micro-nats.
+
+
+@register(
+    "q223_mixture_kl_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                 AS n_toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per_lang AS (
+      SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS n_l
+      FROM toks GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_l) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_l,
+           CAST(p.n_l * 1000000 // t.n AS BIGINT) AS share_ppm,
+           CAST(1000000 // t.n_langs AS BIGINT) AS target_share_ppm,
+           CAST((p.n_l * 1000000 // t.n) * (
+             CAST(FLOOR(ln(CAST(p.n_l AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT)
+             + CAST(FLOOR(ln(CAST(t.n_langs AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT)
+             - CAST(FLOOR(ln(CAST(t.n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT)
+           ) // 1000000 AS BIGINT) AS kl_term_micronat
+    FROM per_lang p CROSS JOIN tot t
+    """,
+    doc="Per-language KL-divergence decomposition of the corpus token "
+    "mixture against the uniform target: each language contributes "
+    "p_l * ln(p_l / u) held as share_ppm * (L(n_l) + L(langs) - L(N)) "
+    "div 1e6 in the shared micro-nat fixed point — the share is "
+    "divided FIRST, so the log product is bounded by 1e6 * |L| ~ 2e13 "
+    "forever (the q118/q217 divide-first discipline; the share_ppm "
+    "ratio itself follows the repo-wide n*1e6 div N convention, exact "
+    "for counts to ~9e12 — past that flip it to n_l div (n div 1e6), "
+    "same plan), and the terms sum to D_KL(actual || uniform) in "
+    "micro-nats (negative terms are under-represented languages; the "
+    "sum is always >= 0 up to ppm truncation, asserted by the value "
+    "test). This is the "
+    "number a mixing stage (q75 temperature, q102 UniMax) reads FIRST "
+    "— how skewed is the corpus — and the cheapest cross-batch drift "
+    "alarm for a crawl that starts tilting toward one language. "
+    "Scale shape: token counting is map-side (size(split()), no "
+    "explode); one languages-sized aggregate; the totals row "
+    "broadcasts. One scan, one tiny shuffle.",
+    tags=("text", "mixing", "log-form", "monitoring"),
+)
+def q223_mixture_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_toks"),
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.sum("n_toks").cast("long").alias("n_l")
+    )
+    tot = per_lang.agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    ln_m = (
+        "CAST(FLOOR(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.expr("CAST(n_l * 1000000 div n AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(1000000 div n_langs AS BIGINT)").alias(
+            "target_share_ppm"
+        ),
+        F.expr(
+            f"CAST((n_l * 1000000 div n) * ({ln_m.format(c='n_l')}"
+            f" + {ln_m.format(c='n_langs')} - {ln_m.format(c='n')})"
+            " div 1000000 AS BIGINT)"
+        ).alias("kl_term_micronat"),
+    )

@@ -1407,3 +1407,125 @@ def q218_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ece_term_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate dedup (q222): the C4 line-dedup rule
+# (Raffel et al. 2020 — "discard any line that occurs three or more
+# times in the corpus") re-expressed for flat token streams: documents
+# are cut into consecutive fixed-width token segments, each segment's
+# corpus document-frequency is counted, and segments shared by >= 3
+# DISTINCT documents are boilerplate — per-doc boilerplate share and
+# post-removal token count are the outputs a curation gate consumes.
+# Line/segment dedup catches what DOCUMENT dedup cannot: headers,
+# navigation, license blocks riding inside otherwise-unique pages.
+
+SEG_WIDTH = 4      # tokens per segment (the "line" of a flat stream)
+SEG_BOILER_DF = 2  # C4 ships >= 3 on web text; the synthetic corpus
+# has no planted boilerplate, so >= 2 (any cross-doc repeat) is the
+# threshold that keeps the predicate observably live at every scale
+# while exercising the identical plan
+
+
+@register(
+    "q222_segment_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS seg_no,
+             array_to_string(
+               t[(CAST(i AS INTEGER) * {SEG_WIDTH} + 1)
+                 : (CAST(i AS INTEGER) * {SEG_WIDTH} + {SEG_WIDTH})],
+               ' ') AS seg,
+             len(t[(CAST(i AS INTEGER) * {SEG_WIDTH} + 1)
+                   : (CAST(i AS INTEGER) * {SEG_WIDTH} + {SEG_WIDTH})])
+                 AS seg_len
+      FROM toks,
+           unnest(range(0, (len(t) + {SEG_WIDTH} - 1) // {SEG_WIDTH})) AS r(i)
+    ),
+    df AS (
+      SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.n_docs >= {SEG_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate_segments,
+           CAST(SUM(s.seg_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d.n_docs >= {SEG_BOILER_DF}
+                    THEN s.seg_len ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_tokens,
+           CAST(SUM(CASE WHEN d.n_docs >= {SEG_BOILER_DF}
+                    THEN s.seg_len ELSE 0 END) * 1000000
+                // SUM(s.seg_len) AS BIGINT) AS boilerplate_ppm
+    FROM segs s JOIN df d ON d.seg = s.seg
+    GROUP BY s.doc_id
+    """,
+    doc=f"Segment-level boilerplate dedup — the C4 line-dedup rule "
+    "(Raffel et al. 2020: drop any line occurring >= 3 times) for flat "
+    f"token streams: consecutive {SEG_WIDTH}-token segments, corpus "
+    f"document-frequency per segment, boilerplate = shared by >= "
+    f"{SEG_BOILER_DF} distinct docs; per-doc boilerplate token share "
+    "and counts out. This catches what DOCUMENT-level dedup (q20/q22) "
+    "structurally cannot: headers, navigation bars, license blocks "
+    "riding inside otherwise-unique pages — at web scale the single "
+    "largest token-mass reduction in the C4 recipe. Scale shape: "
+    "segmentation is a map-side explode (output proportional to token "
+    "count / width); the DF table is segment-TYPE-sized (Zipf-bounded, "
+    "far below corpus tokens) built by a two-stage distinct-count agg; "
+    "the score join is an equi-join on the segment key; one final "
+    "groupBy(doc_id). At production scale the segment key would be the "
+    "segment's 64-bit hash, not the string — same plan, narrower "
+    "shuffle (the q20 key discipline).",
+    tags=("text", "dedup", "quality"),
+)
+def q222_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(t) + {SEG_WIDTH - 1})"
+                f" div {SEG_WIDTH} - 1),"
+                f" i -> struct(CAST(i AS BIGINT) AS seg_no,"
+                f" array_join(slice(t, i * {SEG_WIDTH} + 1, {SEG_WIDTH}), ' ')"
+                f" AS seg,"
+                f" size(slice(t, i * {SEG_WIDTH} + 1, {SEG_WIDTH}))"
+                f" AS seg_len))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_no", "s.seg", "s.seg_len")
+    df = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        segs.join(df, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(
+                F.when(F.col("n_docs") >= SEG_BOILER_DF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boilerplate_segments"),
+            F.sum("seg_len").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("n_docs") >= SEG_BOILER_DF, F.col("seg_len")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boilerplate_tokens"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN n_docs >= {SEG_BOILER_DF} THEN seg_len"
+                " ELSE 0 END) * 1000000 div SUM(seg_len) AS BIGINT)"
+            ).alias("boilerplate_ppm"),
+        )
+    )

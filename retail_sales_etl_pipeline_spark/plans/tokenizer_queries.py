@@ -983,3 +983,98 @@ def q216_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{num} / {dxx}").alias("zipf_slope"),
         F.expr(f"({num} * {num}) / ({dxx} * {dyy})").alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (q225): what fraction of corpus token MASS
+# the top-K vocabulary covers, for a ladder of K — the curve a
+# tokenizer-vocab-size decision reads directly (the knee is the right
+# K; everything past it trades embedding-table memory for tail tokens
+# that will be OOV-split anyway). Complements q98 (coverage of ONE
+# chosen vocab) with the whole curve, and q216/q168 (Zipf fit) with
+# the empirical integral the fit approximates.
+
+COVERAGE_KS = (4, 8, 16, 32, 256, 4096)
+
+
+@register(
+    "q225_vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+      FROM freq
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM freq
+    ),
+    ks AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS t(k)
+    )
+    SELECT ks.k, t.n_vocab, t.n_tokens,
+           CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS tokens_covered,
+           CAST(COALESCE(SUM(r.cnt), 0) * 1000000 // t.n_tokens AS BIGINT)
+               AS coverage_ppm
+    FROM ks
+    LEFT JOIN ranked r ON r.rnk <= ks.k
+    CROSS JOIN tot t
+    GROUP BY ks.k, t.n_vocab, t.n_tokens
+    """,
+    doc=f"Vocabulary coverage curve: corpus token-mass share covered by "
+    f"the top-K token types for K in {COVERAGE_KS} — the curve a "
+    "tokenizer vocab-size decision reads directly (pick the knee; "
+    "past it every added type buys tail mass that OOV-splitting "
+    "handles anyway). Complements q98 (one vocab's OOV rate) with the "
+    "full ladder and gives q216/q168's Zipf fits their empirical "
+    "integral. Exactness: counts and truncating ppm ratios only. "
+    "Scale shape: the frequency table is vocab-sized (Zipf-bounded); "
+    "the rank window runs once over that bounded table; the K-ladder "
+    "join fans each retained rank into at most |Ks| rows — the whole "
+    "query after the one corpus scan is vocabulary-sized. (The "
+    "rank <= k join is a small deliberate fan-out, NOT a window per K: "
+    "one sort serves every K.)",
+    tags=("text", "tokenizer", "profiling"),
+)
+def q225_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    ks = F.broadcast(
+        SparkSession.getActiveSession()
+        .createDataFrame([(k,) for k in COVERAGE_KS], "k long")
+    )
+    return (
+        ks.join(ranked, F.col("rnk") <= F.col("k"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_vocab", "n_tokens")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("tokens_covered"),
+            F.expr(
+                "CAST(COALESCE(SUM(cnt), 0) * 1000000 div n_tokens"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -98,11 +98,17 @@ def test_winnowing_guarantee(spark):
 
 
 def test_prefix_filter_exact_recall(spark):
-    """q205 == brute-force all-pairs distinct-token Jaccard >= 0.7 at
-    smoke scale — the zero-recall-loss claim, verified against an
-    O(n^2) python recompute."""
+    """q205 == brute-force all-pairs distinct-token-TRIGRAM Jaccard >=
+    0.3 at smoke scale — the zero-recall-loss claim, verified against
+    an O(n^2) python recompute."""
     docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
-    sets = {r.doc_id: set(r.text.lower().split(" ")) for r in docs}
+    sets = {}
+    for r in docs:
+        t = r.text.lower().split(" ")
+        if len(t) >= 3:
+            sets[r.doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
     want = {}
     ids = sorted(sets)
     for ai, a in enumerate(ids):

@@ -1,4 +1,4 @@
-"""Value-checking tests for the round-6 second wave (q210-q216): each
+"""Value-checking tests for the round-6 waves 7-9 (q210-q225): each
 query's CLAIMED property is verified independently of the DuckDB oracle
 (the oracle proves cross-engine agreement; these prove the math).
 """
@@ -438,3 +438,131 @@ def test_hll_merge_identity_holds(spark):
         assert r.est_hll == tdiv(
             tdiv(eq.HLL_ALPHA_M2_MICRO * (1 << 21), denom), 10**6
         )
+
+
+# --- wave 9 (q222-q225) ----------------------------------------------------
+
+
+def test_segment_boilerplate_matches_direct(spark):
+    """q222 == a python recount of the same segmentation and DF rule."""
+    docs = {
+        r.doc_id: (r.text or "").lower().split(" ")
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+        if r.text is not None
+    }
+    W = tq.SEG_WIDTH
+    segs = {
+        d: [
+            (" ".join(t[i : i + W]), len(t[i : i + W]))
+            for i in range(0, len(t), W)
+        ]
+        for d, t in docs.items()
+    }
+    df = Counter()
+    for d, ss in segs.items():
+        for s in {s for s, _ in ss}:
+            df[s] += 1
+    got = {
+        r.doc_id: r
+        for r in tq.q222_segment_boilerplate(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(segs)
+    for d, ss in segs.items():
+        n_seg = len(ss)
+        n_boil = sum(1 for s, _ in ss if df[s] >= tq.SEG_BOILER_DF)
+        n_tok = sum(L for _, L in ss)
+        n_boil_tok = sum(L for s, L in ss if df[s] >= tq.SEG_BOILER_DF)
+        row = got[d]
+        assert (row.n_segments, row.n_boilerplate_segments) == (n_seg, n_boil)
+        assert (row.n_tokens, row.n_boilerplate_tokens) == (n_tok, n_boil_tok)
+        assert row.boilerplate_ppm == tdiv(n_boil_tok * 10**6, n_tok)
+
+
+def test_mixture_kl_matches_direct(spark):
+    """q223's terms == python recount; the summed KL is non-negative
+    (up to ppm truncation) and zero iff uniform."""
+    from retail_sales_etl_pipeline_spark.plans import mixing_queries as mq
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    n_l = Counter()
+    for r in docs:
+        if r.text is not None:
+            n_l[r.lang] += len(r.text.lower().split(" "))
+    N = sum(n_l.values())
+    L = len(n_l)
+    lm = lambda x: int(math.floor(math.log(x) * 1e6 + 0.5))  # noqa: E731
+    got = {
+        r.lang: r
+        for r in mq.q223_mixture_kl_drift(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(n_l)
+    total = 0
+    for lg, n in n_l.items():
+        row = got[lg]
+        share = tdiv(n * 10**6, N)
+        term = tdiv(share * (lm(n) + lm(L) - lm(N)), 10**6)
+        assert (row.n_l, row.share_ppm) == (n, share)
+        assert row.target_share_ppm == tdiv(10**6, L)
+        assert row.kl_term_micronat == term
+        total += term
+    # exact KL >= 0; ppm truncation can only lose ~L micro-nats
+    assert total >= -len(n_l)
+
+
+def test_survivor_policy_matches_direct(spark):
+    """q224 == a python recount of both survivor rules per dup group."""
+    import hashlib
+
+    docs = [
+        r
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+        if r.text is not None
+    ]
+    groups = defaultdict(list)
+    for r in docs:
+        k = hashlib.sha256(r.text.lower()[:100].encode()).hexdigest()
+        groups[k].append((r.doc_id, r.n_chars))
+    want = {}
+    for k, members in groups.items():
+        if len(members) < 2:
+            continue
+        min_id = min(d for d, _ in members)
+        best_len = max(c for _, c in members)
+        q_surv = min(d for d, c in members if c == best_len)
+        want[k] = (len(members), min_id, q_surv, best_len, int(q_surv != min_id))
+    got = {
+        r.content_hash: (
+            r.n_copies,
+            r.min_id_survivor,
+            r.quality_survivor,
+            r.survivor_n_chars,
+            r.policy_differs,
+        )
+        for r in dq.q224_survivor_policy_dedup(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_vocab_coverage_matches_direct(spark):
+    """q225 == python cumulative-share recount; the curve is monotone."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    cnt = Counter()
+    for r in docs:
+        if r.text is not None:
+            cnt.update(r.text.lower().split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    N = sum(cnt.values())
+    got = {
+        r.k: r
+        for r in kq.q225_vocab_coverage_curve(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(kq.COVERAGE_KS)
+    prev = -1
+    for k in sorted(kq.COVERAGE_KS):
+        covered = sum(c for _, c in ranked[:k])
+        row = got[k]
+        assert (row.n_vocab, row.n_tokens) == (len(cnt), N)
+        assert row.tokens_covered == covered
+        assert row.coverage_ppm == tdiv(covered * 10**6, N)
+        assert row.tokens_covered >= prev
+        prev = row.tokens_covered

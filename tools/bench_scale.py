@@ -94,7 +94,11 @@ MARQUEE_100X = {
     # round 6 wave: Gram/PCA, winnowing, prefix-filter join, systematic
     # resample, kappa, k-core, assortativity
     "q202_embedding_gram", "q203_pca_power_iteration",
-    "q204_winnowing_fingerprints", "q205_prefix_filter_pairs",
+    "q204_winnowing_fingerprints",
+    # q205 runs at 1x/10x only: the exact all-pairs join's candidate
+    # volume grows super-linearly on a fixed trigram space (exactness
+    # has an inherent price — the capped LSH ladder q22->q21 is the
+    # at-scale path; see q205's doc and BASELINE.md)
     "q206_systematic_resample", "q207_lang_id_kappa",
     "q208_kcore_decomposition", "q209_degree_assortativity",
     # round 6 second wave: rank eval, AA linkpred, backoff LM, HLL,
@@ -108,6 +112,10 @@ MARQUEE_100X = {
     "q217_embedding_effective_rank", "q218_langid_calibration",
     "q219_kmv_cardinality_algebra", "q220_event_redelivery_dedup",
     "q221_hll_merge_identity",
+    # round 6 fourth wave: boilerplate segments, mixture KL, survivor
+    # policy, vocab coverage
+    "q222_segment_boilerplate", "q223_mixture_kl_drift",
+    "q224_survivor_policy_dedup", "q225_vocab_coverage_curve",
 }
 
 
