@@ -2756,22 +2756,24 @@ PF_JACCARD_NUM, PF_JACCARD_DEN = 3, 10
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
     ),
+    tgs AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
     inter AS (
-      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_inter,
+             CAST(len(a.tg) + len(b.tg)
+                  - len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_union
       FROM cand c
-      JOIN dtok ta ON ta.doc_id = c.doc_a
-      JOIN dtok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-      GROUP BY c.doc_a, c.doc_b
+      JOIN tgs a ON a.doc_id = c.doc_a
+      JOIN tgs b ON b.doc_id = c.doc_b
     )
-    SELECT i.doc_a, i.doc_b, i.n_inter,
-           ma.m + mb.m - i.n_inter AS n_union,
-           CAST(i.n_inter * 1000000 // (ma.m + mb.m - i.n_inter) AS BIGINT)
-               AS jacc_ppm
-    FROM inter i
-    JOIN m ma ON ma.doc_id = i.doc_a
-    JOIN m mb ON mb.doc_id = i.doc_b
-    WHERE {PF_JACCARD_DEN} * i.n_inter
-          >= {PF_JACCARD_NUM} * (ma.m + mb.m - i.n_inter)
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CAST(n_inter * 1000000 // n_union AS BIGINT) AS jacc_ppm
+    FROM inter
+    WHERE {PF_JACCARD_DEN} * n_inter >= {PF_JACCARD_NUM} * n_union
     """,
     doc="Prefix-filtering all-pairs Jaccard join (Bayardo et al. "
     "'Scaling Up All Pairs Similarity Search' / Chaudhuri's SSJoin) "
@@ -2784,7 +2786,10 @@ PF_JACCARD_NUM, PF_JACCARD_DEN = 3, 10
     "ground truth the q112 recall probe samples. Verification counts "
     "shared distinct trigrams per candidate and keeps pairs by the "
     "exact RATIONAL comparison 10*inter >= 3*union (no float "
-    "thresholding); jacc_ppm is exact integer division. Features are "
+    "thresholding); verification joins each candidate pair to its two "
+    "trigram ARRAYS and intersects per pair (the q21 form) — linear in "
+    "candidates, never an exploded pair x feature join (the exploded "
+    "verify was measured at ~2.4e9 rows at 10x and wedged). Features are "
     "trigrams by executed evidence, not taste: with unigram sets on "
     "this tiny-vocab corpus ~40% of ALL pairs pass t=0.7, the output "
     "itself is quadratic, and the 10x scale run ground to a halt — no "
@@ -2831,21 +2836,42 @@ def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = dtok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = dtok.select(F.col("doc_id").alias("doc_b"), "tok")
+    # trigram arrays are doc-count x ~50 short strings (~36 MB at 10x) —
+    # above the 10 MB auto-broadcast threshold but trivially in-memory:
+    # broadcast EXPLICITLY or the verify shuffles candidate x array rows
+    # (the q88 lesson: "small by construction" needs to be declared)
+    tgs = docs.select("doc_id", F.expr(_TG_SPARK).alias("tg"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        cand.join(
+            F.broadcast(
+                tgs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                tgs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b")
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(array_intersect(tg_a, tg_b)) AS BIGINT)").alias(
+                "n_inter"
+            ),
+            F.expr(
+                "CAST(size(tg_a) + size(tg_b)"
+                " - size(array_intersect(tg_a, tg_b)) AS BIGINT)"
+            ).alias("n_union"),
+        )
     )
-    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
-    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
     return (
-        inter.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .withColumn("n_union", F.col("m_a") + F.col("m_b") - F.col("n_inter"))
-        .filter(
+        inter.filter(
             PF_JACCARD_DEN * F.col("n_inter")
             >= PF_JACCARD_NUM * F.col("n_union")
         )
