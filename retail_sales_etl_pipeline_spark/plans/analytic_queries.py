@@ -2334,3 +2334,219 @@ def q214_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_disc_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (q227): the categorical-feature encoder
+# gradient-boosting / linear pipelines use when one-hot explodes —
+# replace the category with the target rate among the OTHER rows of the
+# same category, shrunk toward the global rate (additive smoothing,
+# m=20 pseudo-observations). Leaving the row's own label out is what
+# prevents the target-leakage that makes naive mean-encoding overfit.
+
+TE_SMOOTHING_M = 20
+
+
+@register(
+    "q227_target_encoding_loo",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderkey, o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cat AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(y) AS BIGINT) AS pos_c
+      FROM lab GROUP BY category
+    ),
+    g AS (
+      SELECT CAST(1000000 * SUM(y) // COUNT(*) AS BIGINT) AS g_ppm
+      FROM lab
+    )
+    SELECT l.o_orderkey, l.category, CAST(l.y AS BIGINT) AS y,
+           CAST((1000000 * (c.pos_c - l.y) + {TE_SMOOTHING_M} * g.g_ppm)
+                // (c.n_c - 1 + {TE_SMOOTHING_M}) AS BIGINT) AS enc_ppm
+    FROM lab l JOIN cat c ON c.category = l.category CROSS JOIN g
+    """,
+    doc="Leave-one-out target encoding of o_orderpriority against the "
+    "is-fulfilled label (o_orderstatus='F'), with additive smoothing "
+    f"toward the global rate (m={TE_SMOOTHING_M} pseudo-observations): "
+    "enc = (pos_cat - y_own + m*global_rate) / (n_cat - 1 + m), held "
+    "in exact integer ppm so both engines agree bit-for-bit. Scale "
+    "shape: ONE category-sized aggregate (5 rows) + one global scalar, "
+    "both broadcast back onto the fact scan — the encode itself is a "
+    "pure map with no shuffle of the big table and no window; the "
+    "category stats are algebraic, so daily increments merge instead "
+    "of rescanning. int64 headroom: 1e6*pos_c overflows only past "
+    "~9e12 rows per category (then the same plan promotes to "
+    "DECIMAL(38,0)).",
+    tags=("analytics", "training", "encoding"),
+)
+def q227_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("category"),
+        F.expr(
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    cat = lab.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("pos_c"),
+    )
+    g = lab.agg(
+        F.expr(
+            "CAST(1000000 * SUM(y) div COUNT(*) AS BIGINT)"
+        ).alias("g_ppm")
+    )
+    return (
+        lab.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "category",
+            F.col("y").cast("long").alias("y"),
+            F.expr(
+                f"CAST((1000000 * (pos_c - y) + {TE_SMOOTHING_M} * g_ppm)"
+                f" div (n_c - 1 + {TE_SMOOTHING_M}) AS BIGINT)"
+            ).alias("enc_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (q228): the third rung of the privacy ladder after
+# k-anonymity (q123: are groups big enough?) and l-diversity (q195: are
+# sensitive values varied enough?) — t-closeness (Li et al., ICDE 2007)
+# asks whether each quasi-identifier group's sensitive-value
+# DISTRIBUTION stays close to the global one, because a group can be
+# large and varied yet still leak (e.g. 'all orders in this group are
+# high-value'). Distance = the ordered-attribute Earth Mover's Distance:
+# mean absolute difference of cumulative distributions over the ordered
+# buckets. Proportions are ppm-quantized BEFORE the EMD (the committed
+# spec): every quantity stays int64 at any corpus size, and both
+# engines agree bit-for-bit — a sub-ppm distribution difference is not
+# a privacy signal.
+
+TCLOSE_BUCKETS = 8  # ordered o_totalprice bands, 62.5K wide (range ~500K)
+TCLOSE_T_PPM = 150_000  # flag groups with EMD > 0.15
+
+
+@register(
+    "q228_t_closeness",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderpriority AS qi_priority,
+             CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+             LEAST({TCLOSE_BUCKETS - 1},
+                   CAST(FLOOR(o_totalprice / 62500.0) AS BIGINT)) AS bkt
+      FROM orders
+    ),
+    grp AS (
+      SELECT qi_priority, qi_year, CAST(COUNT(*) AS BIGINT) AS n_g
+      FROM lab GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT qi_priority, qi_year, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lab GROUP BY 1, 2, 3
+    ),
+    gbkt AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cnt_all FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM lab),
+    grid AS (
+      SELECT g.qi_priority, g.qi_year, g.n_g, r.range AS bkt,
+             COALESCE(c.cnt, 0) AS cnt,
+             COALESCE(b.cnt_all, 0) AS cnt_all, t.n_all
+      FROM grp g
+      CROSS JOIN range({TCLOSE_BUCKETS}) r
+      CROSS JOIN tot t
+      LEFT JOIN cells c ON c.qi_priority = g.qi_priority
+        AND c.qi_year = g.qi_year AND c.bkt = r.range
+      LEFT JOIN gbkt b ON b.bkt = r.range
+    ),
+    cum AS (
+      SELECT qi_priority, qi_year, n_g, bkt,
+             SUM(1000000 * cnt // n_g) OVER (
+               PARTITION BY qi_priority, qi_year ORDER BY bkt
+             ) AS cum_g_ppm,
+             SUM(1000000 * cnt_all // n_all) OVER (
+               PARTITION BY qi_priority, qi_year ORDER BY bkt
+             ) AS cum_all_ppm
+      FROM grid
+    )
+    SELECT qi_priority, qi_year, n_g,
+           CAST(SUM(CASE WHEN bkt < {TCLOSE_BUCKETS - 1}
+                         THEN ABS(cum_g_ppm - cum_all_ppm) ELSE 0 END)
+                // {TCLOSE_BUCKETS - 1} AS BIGINT) AS emd_ppm,
+           CAST(SUM(CASE WHEN bkt < {TCLOSE_BUCKETS - 1}
+                         THEN ABS(cum_g_ppm - cum_all_ppm) ELSE 0 END)
+                // {TCLOSE_BUCKETS - 1} > {TCLOSE_T_PPM} AS BIGINT)
+               AS t_violation
+    FROM cum
+    GROUP BY qi_priority, qi_year, n_g
+    """,
+    doc="t-closeness audit over quasi-identifier groups (priority x "
+    "order-year) with o_totalprice as the ordered sensitive attribute "
+    f"({TCLOSE_BUCKETS} fixed 62.5K-wide bands): EMD = mean |cumulative "
+    "group distribution - cumulative global distribution| over the "
+    "ordered buckets, on ppm-quantized proportions (exact integers in "
+    f"both engines); groups with EMD > {TCLOSE_T_PPM} ppm are flagged. "
+    "Completes the release-audit ladder q123 (k-anonymity) -> q195 "
+    "(l-diversity) -> t-closeness, the check that catches large, "
+    "varied groups whose VALUE DISTRIBUTION still deviates enough to "
+    "leak. Scale shape: two grouped counts + one bucket-sized global "
+    "aggregate; the dense (group x 8)-bucket grid is generated, never "
+    "exploded from data; windows run over 8-row frames per group. "
+    "Nothing is corpus-ordered, nothing driver-side.",
+    tags=("analytics", "privacy", "window"),
+)
+def q228_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = TCLOSE_BUCKETS
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.year("o_orderdate").cast("long").alias("qi_year"),
+        F.expr(
+            f"LEAST({B - 1}, CAST(FLOOR(o_totalprice / 62500.0) AS BIGINT))"
+        ).alias("bkt"),
+    )
+    grp = lab.groupBy("qi_priority", "qi_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    cells = lab.groupBy("qi_priority", "qi_year", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gbkt = lab.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all")
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    grid = (
+        grp.crossJoin(spark.range(B).select(F.col("id").alias("bkt")))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["qi_priority", "qi_year", "bkt"], "left")
+        .join(F.broadcast(gbkt), "bkt", "left")
+        .select(
+            "qi_priority", "qi_year", "n_g", "bkt",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("cnt_all", F.lit(0)).alias("cnt_all"),
+            "n_all",
+        )
+    )
+    w = Window.partitionBy("qi_priority", "qi_year").orderBy("bkt")
+    cum = grid.select(
+        "qi_priority", "qi_year", "n_g", "bkt",
+        F.sum(F.expr("1000000 * cnt div n_g")).over(w).alias("cum_g_ppm"),
+        F.sum(F.expr("1000000 * cnt_all div n_all")).over(w).alias(
+            "cum_all_ppm"
+        ),
+    )
+    emd = F.expr(
+        f"CAST(SUM(CASE WHEN bkt < {B - 1}"
+        " THEN ABS(cum_g_ppm - cum_all_ppm) ELSE 0 END)"
+        f" div {B - 1} AS BIGINT)"
+    )
+    return cum.groupBy("qi_priority", "qi_year", "n_g").agg(
+        emd.alias("emd_ppm"),
+        (emd > TCLOSE_T_PPM).cast("long").alias("t_violation"),
+    )

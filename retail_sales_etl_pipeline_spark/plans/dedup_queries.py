@@ -3494,3 +3494,95 @@ def q224_survivor_policy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(quality_survivor <> min_id_survivor AS BIGINT)"
         ).alias("policy_differs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-step label propagation (q230): the community/metadata-repair
+# dynamic on the verified near-dup graph — each document adopts the
+# plurality label (lang) among its verified neighbors, ties broken by
+# the smallest label. One SYNCHRONOUS step is the oracle-able unit (the
+# q38a convention for iterative algorithms: the fixpoint loop is this
+# exact plan repeated, and one step already exposes the interesting
+# rows — near-dup twins whose recorded language DISAGREES, i.e.
+# mislabeled metadata that language-ID should arbitrate).
+
+
+@register(
+    "q230_label_propagation",
+    # Edge relation spliced from q21's registered oracle: the step can
+    # never drift from the verified pair graph it propagates over.
+    oracle=f"""
+    WITH pairs AS ({_registered_oracle("q21_ngram_jaccard_pairs")}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    votes AS (
+      SELECT e.src AS doc_id, d.lang AS cand_lang,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM edges e JOIN documents d ON d.doc_id = e.dst
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT doc_id, cand_lang, votes,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY votes DESC, cand_lang
+             ) AS rk
+      FROM votes
+    )
+    SELECT w.doc_id, d.lang AS own_lang, w.cand_lang AS new_lang,
+           w.votes,
+           CAST(w.cand_lang <> d.lang AS BIGINT) AS changed
+    FROM win w JOIN documents d ON d.doc_id = w.doc_id
+    WHERE w.rk = 1
+    """,
+    doc="One synchronous label-propagation step over the verified "
+    "near-dup graph (q21's capped-LSH + Jaccard pairs): every document "
+    "with at least one verified neighbor adopts the plurality neighbor "
+    "language, ties to the smallest label — deterministic under any "
+    "partitioning. The changed=1 rows are the actionable output: "
+    "near-duplicate twins whose RECORDED language disagrees, i.e. "
+    "metadata errors a curation pass should route to language-ID "
+    "arbitration (q24). Iterative LPA to a fixpoint is this plan "
+    "repeated with the materialize-once pattern (q155/q157); one "
+    "synchronous step is the hash-checkable unit, the q38a convention. "
+    "Scale shape: candidate generation is the banded, hot-bucket-"
+    "capped ladder (never all-pairs); the vote aggregate and the "
+    "plurality window both key on doc_id — one shuffle, per-group "
+    "state bounded by a doc's verified degree (cap-bounded upstream).",
+    tags=("dedup", "graph", "training"),
+)
+def q230_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    votes = (
+        edges.join(
+            labels.select(
+                F.col("doc_id").alias("dst"), F.col("lang").alias("cand_lang")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("doc_id"), "cand_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("votes"), F.asc("cand_lang")
+    )
+    win = votes.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    return win.join(
+        labels.withColumnRenamed("lang", "own_lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "own_lang",
+        F.col("cand_lang").alias("new_lang"),
+        "votes",
+        F.expr("CAST(cand_lang <> own_lang AS BIGINT)").alias("changed"),
+    )

@@ -3177,3 +3177,104 @@ def q221_hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_days", "n_registers", "n_register_mismatch",
         "merge_identical", "est_hll",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC via the rank-sum identity (q226): the model-eval
+# primitive every quality-classifier / conversion-model deployment runs
+# before trusting a score column. AUC = P(score_pos > score_neg) +
+# 0.5*P(tie), computed WITHOUT a global row-level sort: scores are
+# quantized to centi-units (the production form — an eval that depends
+# on sub-cent score noise is measuring noise), bucketed by ONE
+# aggregation, and the rank-sum runs over the bounded bucket frame.
+# Tie handling is exact: each positive in a bucket beats every negative
+# in strictly-lower buckets (2 half-units) and half-ties the negatives
+# in its own bucket (1 half-unit), so num2 = sum_b p_b*(2*cumneg_<b
+# + n_b) counts ordered pairs in half-units — the Mann-Whitney U
+# statistic with the standard tie correction, exactly.
+
+AUC_POS_TYPE = "purchase"
+
+
+@register(
+    "q226_roc_auc",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS s,
+             CAST(COUNT(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 END)
+                  AS BIGINT) AS p,
+             CAST(COUNT(CASE WHEN event_type <> '{AUC_POS_TYPE}' THEN 1 END)
+                  AS BIGINT) AS ng
+      FROM events
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT p, ng,
+             COALESCE(SUM(ng) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cumneg
+      FROM b
+    ),
+    s AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(ng) AS BIGINT) AS n_neg,
+             CAST(SUM(p * (2 * cumneg + ng)) AS BIGINT) AS num2
+      FROM c
+    )
+    SELECT n_pos, n_neg, num2,
+           CAST(num2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+           2.0 * (CAST(num2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0
+               AS gini
+    FROM s
+    """,
+    doc="Exact ROC AUC of the event value as a purchase-vs-rest score, "
+    "via the Mann-Whitney rank-sum identity with exact tie correction "
+    "in integer HALF-UNITS (num2 = 2*U): no global row sort — scores "
+    "quantize to centi-unit buckets in one aggregation, and the "
+    "cumulative-negative window runs over the BOUNDED bucket frame "
+    "(~50K rows for any corpus size, vs a 100 TB row sort). AUC and "
+    "Gini are IEEE expressions of the three exact integers with "
+    "identical expression trees in both dialects — bit-equal doubles. "
+    "int64 headroom: num2 <= 2*n_pos*n_neg, overflow only past ~2e9 "
+    "rows of each class; the same plan then promotes num2 to "
+    "DECIMAL(38,0) (sums stay algebraic/mergeable).",
+    tags=("events", "eval", "aggregate"),
+)
+def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("s")
+    ).agg(
+        F.expr(
+            f"CAST(COUNT(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("p"),
+        F.expr(
+            f"CAST(COUNT(CASE WHEN event_type <> '{AUC_POS_TYPE}' THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("ng"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = b.select(
+        "p", "ng", F.coalesce(F.sum("ng").over(w), F.lit(0)).alias("cumneg")
+    )
+    s = c.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("ng").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("cumneg") + F.col("ng"))
+        ).cast("long").alias("num2"),
+    )
+    auc = (
+        "CAST(num2 AS DOUBLE)"
+        " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "num2",
+        F.expr(auc).alias("auc"),
+        F.expr(f"2.0 * ({auc}) - 1.0").alias("gini"),
+    )

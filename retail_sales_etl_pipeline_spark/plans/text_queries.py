@@ -1529,3 +1529,179 @@ def q222_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature screen (q229): rank candidate categorical
+# features by MI with a label — the model-free feature-selection /
+# metadata-audit primitive ("which corpus attributes carry language
+# signal?"). MI = sum_cells p(x,y) ln(p(x,y)/(p(x)p(y))); held in
+# integer micro-nats via the engine's shared fixed point (q88/q105/
+# q118): each cell contributes c_xy * (L(N)+L(c_xy)-L(c_x)-L(c_y))
+# where L(x) = floor(ln(x)*1e6 + 0.5) — exact integers in both engines
+# (counts sit on the grid; the nearest ln grid point is ~5e5 micro-nats
+# from the rounding boundary, a 1-ulp cross-engine ln difference is
+# ~2e-9 micro-nats).
+
+
+def _mi_ln_micro(c: str) -> str:
+    return f"CAST(FLOOR(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q229_mi_feature_screen",
+    oracle=f"""
+    WITH obs AS (
+      SELECT 'source' AS feature, source AS x, lang AS y FROM documents
+      UNION ALL
+      SELECT 'len_band' AS feature, CAST(n_chars // 120 AS VARCHAR) AS x,
+             lang AS y
+      FROM documents
+    ),
+    cells AS (
+      SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM obs GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT feature, x, y, c_xy,
+             SUM(c_xy) OVER (PARTITION BY feature, x) AS c_x,
+             SUM(c_xy) OVER (PARTITION BY feature, y) AS c_y,
+             SUM(c_xy) OVER (PARTITION BY feature) AS n
+      FROM cells
+    )
+    SELECT feature,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(GREATEST(0, SUM(c_xy * ({_mi_ln_micro("n")}
+                 + {_mi_ln_micro("c_xy")}
+                 - {_mi_ln_micro("c_x")} - {_mi_ln_micro("c_y")})))
+                // MAX(n) AS BIGINT) AS mi_micronat
+    FROM m
+    GROUP BY feature
+    """,
+    doc="Mutual information of two candidate features (source; length "
+    "band n_chars/120) with the language label, in exact integer "
+    "micro-nats via the engine's shared log fixed point: MI*N = "
+    "SUM_cells c_xy*(L(N)+L(c_xy)-L(c_x)-L(c_y)), L(x) = "
+    "floor(ln(x)*1e6+0.5) — the per-cell log-SUM form is "
+    "overflow-proof at any corpus size (the ratio form needs "
+    "N*c_xy/(c_x*c_y) intermediates that blow past int64, the exact "
+    "failure q118's scale run caught); the micro-nat sum is clamped at "
+    "0 before the normalize (MI >= 0 by definition, and the clamp "
+    "keeps a rounding-negative near-zero sum away from the "
+    "floor-vs-truncate division divergence between engines). The feature-selection screen a "
+    "pipeline runs before training shallow models on metadata. Scale "
+    "shape: the stacked scan is one pass (map-side union of two "
+    "projections); cells are (feature x category x lang)-bounded "
+    "(~125 rows), so the margin windows and final rollup are "
+    "constant-size regardless of corpus rows. int64 headroom: "
+    "c_xy * term < 4e7*c_xy — overflows only past ~2e11 rows per "
+    "cell (then promote the product to DECIMAL(38,0)).",
+    tags=("text", "training", "eval"),
+)
+def q229_mi_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        F.lit("source").alias("feature"),
+        F.col("source").alias("x"),
+        F.col("lang").alias("y"),
+    ).unionAll(
+        docs.select(
+            F.lit("len_band").alias("feature"),
+            F.expr("CAST(n_chars div 120 AS STRING)").alias("x"),
+            F.col("lang").alias("y"),
+        )
+    )
+    cells = obs.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    m = cells.select(
+        "feature", "x", "y", "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("feature", "x")).alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("feature", "y")).alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy("feature")).alias("n"),
+    )
+    term = (
+        f"({_mi_ln_micro('n')} + {_mi_ln_micro('c_xy')}"
+        f" - {_mi_ln_micro('c_x')} - {_mi_ln_micro('c_y')})"
+    )
+    return m.groupBy("feature").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            f"CAST(GREATEST(0, SUM(c_xy * {term})) div MAX(n) AS BIGINT)"
+        ).alias("mi_micronat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conformal calibration thresholds (q231): the split-conformal quantile
+# with the finite-sample correction — per calibration group (language),
+# the k-th smallest nonconformity score where k = ceil((n+1)*(1-alpha)),
+# which guarantees P(score_new <= threshold) >= 1-alpha for exchangeable
+# data (Vovk et al.; the distribution-free calibration step behind
+# selective prediction and abstention gates). Nonconformity here is
+# document length (n_chars) — the stand-in for any per-doc score column;
+# the plan is score-agnostic.
+
+CONFORMAL_ALPHA_PPM = 100_000  # alpha = 0.10 -> 90% coverage
+
+
+@register(
+    "q231_conformal_thresholds",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CAST(LEAST(n, ((n + 1) * 9 + 9) // 10) AS BIGINT) AS k,
+           CAST(n_chars AS BIGINT) AS threshold,
+           CAST(1000000 * LEAST(n, ((n + 1) * 9 + 9) // 10) // (n + 1)
+                AS BIGINT) AS coverage_ppm
+    FROM ranked
+    WHERE rn = LEAST(n, ((n + 1) * 9 + 9) // 10)
+    """,
+    doc="Split-conformal calibration threshold per language group: the "
+    "k-th smallest nonconformity score (n_chars as the stand-in score "
+    "column) with the finite-sample correction k = ceil((n+1)*0.9) — "
+    "the distribution-free >=90%-coverage guarantee behind abstention/"
+    "selective-prediction gates, computed entirely in integer "
+    "arithmetic (k and the realized coverage bound in ppm are exact; "
+    "ties broken by doc_id so the threshold row is deterministic under "
+    "any partitioning). Scale shape: one shuffle on the calibration "
+    "group; the rank is an exact per-group order statistic (groups "
+    "here are the 5 languages — for a single giant calibration set, "
+    "swap the exact rank for percentile_approx the way q82 does, or "
+    "calibrate per shard and take the max threshold: conformal "
+    "validity survives both). The rank-filter plans as a "
+    "WindowGroupLimit-free single window pass, k rows of state per "
+    "group.",
+    tags=("text", "eval", "window"),
+)
+def q231_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    k = "LEAST(n, ((n + 1) * 9 + 9) div 10)"
+    return ranked.filter(F.expr(f"rn = {k}")).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"CAST({k} AS BIGINT)").alias("k"),
+        F.col("n_chars").cast("long").alias("threshold"),
+        F.expr(f"CAST(1000000 * {k} div (n + 1) AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+    )

@@ -116,6 +116,11 @@ MARQUEE_100X = {
     # policy, vocab coverage
     "q222_segment_boilerplate", "q223_mixture_kl_drift",
     "q224_survivor_policy_dedup", "q225_vocab_coverage_curve",
+    # round 6 fifth wave: rank-sum AUC, LOO target encoding, t-closeness,
+    # MI feature screen, one-step LPA (ladder consumer), conformal
+    "q226_roc_auc", "q227_target_encoding_loo", "q228_t_closeness",
+    "q229_mi_feature_screen", "q230_label_propagation",
+    "q231_conformal_thresholds",
 }
 
 
