@@ -2550,3 +2550,137 @@ def q228_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd.alias("emd_ppm"),
         (emd > TCLOSE_T_PPM).cast("long").alias("t_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap standard error (q232): uncertainty quantification
+# for corpus statistics at 100 TB. Classical bootstrap resampling needs
+# N draws WITH replacement per replicate — impossible distributed; the
+# Poisson bootstrap (each row enters replicate r with weight
+# w ~ Poisson(1)) is the standard one-pass approximation (Chamandy et
+# al., Google 2012): all R replicates accumulate in a SINGLE scan as
+# 2R algebraic sums. Weights are deterministic: a salted affine
+# transform of the content hash per (doc, replicate) inverted through
+# the Poisson(1) CDF held as integer ppm literals — reproducible,
+# partition-independent, engine-identical.
+
+BOOT_R = 16
+BOOT_SALT_A, BOOT_SALT_B, BOOT_SALT_R = 614_889_281, 918_273_645, 7_919
+# Poisson(1) CDF in ppm: P(X <= k) for k = 0..7; weights cap at 8.
+BOOT_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
+                999989)
+
+
+def _boot_w(u: str) -> str:
+    """Poisson(1) weight from a uniform ppm draw: #thresholds below u."""
+    return "(" + " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in BOOT_CDF_PPM
+    ) + ")"
+
+
+def _boot_u(key: str, r) -> str:
+    return (
+        f"(({BOOT_SALT_A} * {key} + {BOOT_SALT_B} + {r} * {BOOT_SALT_R})"
+        " % 1000000)"
+    )
+
+
+def _boot_hash_duck() -> str:
+    from ..operators.text import poly_hash_pair
+
+    return poly_hash_pair("text", "text")[1]
+
+
+@register(
+    "q232_poisson_bootstrap_se",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             {_boot_hash_duck()} AS key_hash
+      FROM documents
+    ),
+    rep AS (
+      SELECT r.range AS r,
+             CAST(SUM({_boot_w(_boot_u('d.key_hash', 'r.range'))} * d.x)
+                  AS BIGINT) AS num,
+             CAST(SUM({_boot_w(_boot_u('d.key_hash', 'r.range'))})
+                  AS BIGINT) AS den
+      FROM d CROSS JOIN range(1, {BOOT_R + 1}) r
+      GROUP BY r.range
+    ),
+    full_m AS (
+      SELECT CAST(1000000 * SUM(x) // COUNT(*) AS BIGINT) AS full_mean_micro
+      FROM d
+    ),
+    means AS (
+      SELECT r, CAST(1000000 * num // NULLIF(den, 0) AS BIGINT) AS m_micro
+      FROM rep
+    )
+    SELECT CAST(COUNT(m_micro) AS BIGINT) AS r_eff,
+           MAX(f.full_mean_micro) AS full_mean_micro,
+           CAST(SUM((m_micro - f.full_mean_micro)
+                    * (m_micro - f.full_mean_micro))
+                // (COUNT(m_micro) - 1) AS BIGINT) AS var_micro2,
+           SQRT(CAST(SUM((m_micro - f.full_mean_micro)
+                         * (m_micro - f.full_mean_micro))
+                     // (COUNT(m_micro) - 1) AS DOUBLE)) AS se_micro
+    FROM means CROSS JOIN full_m f
+    """,
+    doc="Poisson-bootstrap standard error of the mean document length: "
+    f"{BOOT_R} bootstrap replicates where each document enters "
+    "replicate r with weight w ~ Poisson(1), drawn DETERMINISTICALLY "
+    "by pushing a salted affine transform of the content hash through "
+    "the Poisson(1) CDF held as integer ppm literals — the "
+    "one-pass resampling scheme that replaces with-replacement "
+    "bootstrap at distributed scale (all replicate sums are algebraic "
+    "aggregates in one scan; the engine plan computes all "
+    f"{2 * BOOT_R} sums in a SINGLE aggregation, no row fan-out — the "
+    "oracle's row-expanded form proves the same integers). Replicate "
+    "means are exact micro-unit integers; the variance across "
+    "replicates is centered on the exact full-sample mean so every "
+    "intermediate stays int64 (deviations are bounded by sampling "
+    "noise, not by the mean's magnitude); SE is the correctly-rounded "
+    "IEEE sqrt of that exact integer — bit-equal everywhere. Scale "
+    "shape: one scan, 2R+2 mergeable sums, a 16-row driver-free "
+    "finish.",
+    tags=("analytics", "eval", "sampling"),
+)
+def q232_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import poly_hash_pair
+
+    hash_spark, _ = poly_hash_pair("text", "text")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(hash_spark).alias("key_hash"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    ]
+    for r in range(1, BOOT_R + 1):
+        w = _boot_w(_boot_u("key_hash", r))
+        aggs.append(F.expr(f"CAST(SUM({w} * x) AS BIGINT)").alias(f"num_{r}"))
+        aggs.append(F.expr(f"CAST(SUM({w}) AS BIGINT)").alias(f"den_{r}"))
+    one = d.agg(*aggs)
+    stack_args = ", ".join(f"{r}, num_{r}, den_{r}" for r in range(1, BOOT_R + 1))
+    rep = one.selectExpr(
+        "CAST(1000000 * sx div n AS BIGINT) AS full_mean_micro",
+        f"stack({BOOT_R}, {stack_args}) AS (r, num, den)",
+    ).selectExpr(
+        "full_mean_micro",
+        "CAST(1000000 * num div NULLIF(den, 0) AS BIGINT) AS m_micro",
+    )
+    return rep.agg(
+        F.expr("CAST(COUNT(m_micro) AS BIGINT)").alias("r_eff"),
+        F.max("full_mean_micro").alias("full_mean_micro"),
+        F.expr(
+            "CAST(SUM((m_micro - full_mean_micro)"
+            " * (m_micro - full_mean_micro))"
+            " div (COUNT(m_micro) - 1) AS BIGINT)"
+        ).alias("var_micro2"),
+        F.expr(
+            "SQRT(CAST(SUM((m_micro - full_mean_micro)"
+            " * (m_micro - full_mean_micro))"
+            " div (COUNT(m_micro) - 1) AS DOUBLE))"
+        ).alias("se_micro"),
+    )

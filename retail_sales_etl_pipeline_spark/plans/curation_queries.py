@@ -411,3 +411,78 @@ def q140_curation_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_a.cast("long").alias("share_after_ppm"),
         (share_a - share_b).cast("long").alias("shift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection (q237): the budgeted-curation primitive
+# — each source gets a fixed token budget, and the pipeline keeps the
+# best documents (longest here; any score column composes) until the
+# budget is exhausted. This is how a target-sized training mix is
+# actually cut from an oversized curated pool: the mixing weights
+# (q75/q102) decide per-source budgets, this operator realizes them as
+# a concrete document list. Greedy-prefix-by-quality is the exact
+# solution of the knapsack relaxation when every doc's value/cost
+# ratio IS the quality ordering — the standard curation form.
+
+TOKEN_BUDGET_PER_SOURCE = 5_000
+
+
+@register(
+    "q237_token_budget_selection",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+    doc="Greedy token-budget selection: per source, keep documents in "
+    "quality order (longest-first here — any score column slots in, "
+    "ties by doc_id so the cut is deterministic) while the running "
+    f"token total stays within {TOKEN_BUDGET_PER_SOURCE} tokens — the "
+    "operator that realizes per-source mixing budgets (q75/q102) as a "
+    "concrete document list when the curated pool is bigger than the "
+    "training target. The prefix rule is the exact greedy knapsack "
+    "relaxation under the quality ordering, and the SEMANTICS make "
+    "overshoot impossible: cum_tokens <= budget admits a doc only if "
+    "it fits entirely. Scale shape: one shuffle on source, one "
+    "running-sum window per source partition (the q116 NTILE "
+    "precedent; a single pathological source would switch to the "
+    "q235 histogram-CDF cut at a token threshold instead of an exact "
+    "prefix). Output is budget-bounded per source — at most "
+    "budget/min_doc_tokens rows each — regardless of corpus size.",
+    tags=("curation", "mixing", "window"),
+)
+def q237_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = d.select(
+        "doc_id", "source", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return ranked.filter(
+        F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE
+    )

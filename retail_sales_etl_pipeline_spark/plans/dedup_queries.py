@@ -3586,3 +3586,109 @@ def q230_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         F.expr("CAST(cand_lang <> own_lang AS BIGINT)").alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the language partition (q234): Newman-Girvan modularity
+# Q = sum_c [ e_c/m - (d_c/2m)^2 ] of the lang grouping evaluated on
+# the verified near-dup graph — the one-number answer to "does the
+# near-dup structure RESPECT the metadata partition?" (high Q: dups
+# stay within a language, as they should; low/negative contributions:
+# cross-language near-dups, i.e. translations or mislabeled twins —
+# the same rows q230's label propagation flags, aggregated to a
+# community-level quality score). Per-community contributions are
+# exact integers: q_num_c = 4*m*e_c - d_c^2, Q_c = q_num_c / (4m^2)
+# as a bit-equal IEEE expression of those integers.
+
+
+@register(
+    "q234_modularity_score",
+    oracle=f"""
+    WITH pairs AS ({_registered_oracle("q21_ngram_jaccard_pairs")}),
+    lab AS (SELECT doc_id, lang FROM documents),
+    e AS (
+      SELECT la.lang AS lang_a, lb.lang AS lang_b
+      FROM pairs p
+      JOIN lab la ON la.doc_id = p.doc_a
+      JOIN lab lb ON lb.doc_id = p.doc_b
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    within AS (
+      SELECT lang_a AS lang, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM e WHERE lang_a = lang_b GROUP BY lang_a
+    ),
+    deg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+        SELECT lang_a AS lang FROM e
+        UNION ALL
+        SELECT lang_b AS lang FROM e
+      ) GROUP BY lang
+    )
+    SELECT d.lang, m.m,
+           COALESCE(w.e_c, 0) AS e_c, d.d_c,
+           4 * m.m * COALESCE(w.e_c, 0) - d.d_c * d.d_c AS q_num,
+           CAST(4 * m.m * COALESCE(w.e_c, 0) - d.d_c * d.d_c AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE))
+               AS q_contrib
+    FROM deg d CROSS JOIN m LEFT JOIN within w ON w.lang = d.lang
+    """,
+    doc="Newman-Girvan modularity of the language partition over the "
+    "verified near-dup graph (q21's pairs): per language, the exact "
+    "integer contribution q_num = 4*m*e_c - d_c^2 and its IEEE value "
+    "q_contrib = e_c/m - (d_c/2m)^2; SUM(q_contrib) is the modularity "
+    "Q. Near-dup edges should be language-diagonal, so Q well below "
+    "the degree-expected baseline exposes cross-language near-dup "
+    "mass (translations / mislabeled metadata — the cluster-level "
+    "rollup of q230's per-doc flags). Languages with no incident "
+    "verified edge carry no row (their contribution is exactly 0). "
+    "Exactness: counts are exact ints, q_contrib is the same "
+    "expression tree of those ints in both dialects — bit-equal; "
+    "int64 headroom 4*m*e_c <= 4m^2, overflow only past m ~ 1.5e9 "
+    "verified pairs (cap-bounded far below that). Scale shape: the "
+    "ladder generates pairs (banded, capped); the modularity rollup "
+    "is two label-sized aggregates on top — free at any scale.",
+    tags=("dedup", "graph", "eval"),
+)
+def q234_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+            ),
+            "doc_a",
+        ).join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+            ),
+            "doc_b",
+        )
+    ).select("lang_a", "lang_b")
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = (
+        e.filter("lang_a = lang_b")
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("lang_a").alias("lang"))
+        .unionAll(e.select(F.col("lang_b").alias("lang")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    return (
+        deg.crossJoin(F.broadcast(m))
+        .join(F.broadcast(within), "lang", "left")
+        .select(
+            "lang",
+            "m",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            "d_c",
+            F.expr("4 * m * COALESCE(e_c, 0) - d_c * d_c").alias("q_num"),
+            F.expr(
+                "CAST(4 * m * COALESCE(e_c, 0) - d_c * d_c AS DOUBLE)"
+                " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+            ).alias("q_contrib"),
+        )
+    )

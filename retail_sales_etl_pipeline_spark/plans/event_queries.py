@@ -3278,3 +3278,116 @@ def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(auc).alias("auc"),
         F.expr(f"2.0 * ({auc}) - 1.0").alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (q236): completes the drift
+# family (q173 PSI on binned proportions, q223 mixture KL) with the
+# classical distribution-free test — D = sup |F_early - F_late| over
+# the value distribution, early/late split at the same boundary q173
+# uses so the two monitors read the same experiment. Like q226's AUC,
+# the CDFs live on the BOUNDED centi-bucket frame (ppm-quantized
+# cumulative proportions, exact integers), never on sorted rows — the
+# D statistic a 100 TB monitor can actually compute. The asymptotic
+# alpha=0.01 rejection threshold c(alpha)*sqrt((n+m)/(n*m)) with
+# c(0.01)=1.62762 is evaluated as an IEEE expression of the exact
+# counts — bit-equal in both engines.
+
+KS_C001_MICRO = 1_627_620  # c(0.01) = sqrt(-ln(0.005)/2), in micro units
+
+
+@register(
+    "q236_ks_drift_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS s,
+             CAST(COUNT(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}'
+                             THEN 1 END) AS BIGINT) AS ce,
+             CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'
+                             THEN 1 END) AS BIGINT) AS cl
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(ce) AS BIGINT) AS n_early,
+             CAST(SUM(cl) AS BIGINT) AS n_late
+      FROM b
+    ),
+    cum AS (
+      SELECT SUM(1000000 * b.ce // t.n_early) OVER (ORDER BY b.s)
+                 AS cum_e_ppm,
+             SUM(1000000 * b.cl // t.n_late) OVER (ORDER BY b.s)
+                 AS cum_l_ppm
+      FROM b CROSS JOIN t
+    )
+    SELECT t.n_early, t.n_late,
+           CAST(MAX(ABS(cum_e_ppm - cum_l_ppm)) AS BIGINT) AS d_ppm,
+           {KS_C001_MICRO}e-6
+             * SQRT((CAST(t.n_early AS DOUBLE) + CAST(t.n_late AS DOUBLE))
+                    / (CAST(t.n_early AS DOUBLE)
+                       * CAST(t.n_late AS DOUBLE))) AS crit_001,
+           CAST(CAST(MAX(ABS(cum_e_ppm - cum_l_ppm)) AS DOUBLE) / 1000000.0
+                > {KS_C001_MICRO}e-6
+                  * SQRT((CAST(t.n_early AS DOUBLE)
+                          + CAST(t.n_late AS DOUBLE))
+                         / (CAST(t.n_early AS DOUBLE)
+                            * CAST(t.n_late AS DOUBLE)))
+               AS BIGINT) AS reject_001
+    FROM cum CROSS JOIN t
+    GROUP BY t.n_early, t.n_late
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test on the event value "
+    "distribution, early vs late at q173's split boundary: D = max "
+    "absolute difference of the two cumulative distributions evaluated "
+    "on the bounded centi-bucket frame (ppm-quantized cumulatives, "
+    "exact integers — the q226 pattern: no corpus-sized sort, the "
+    "~50K-bucket frame is the only ordered object; bucket-granular D "
+    "is the committed spec and a lower bound within 1 bucket mass of "
+    "the row-exact statistic). The alpha=0.01 asymptotic threshold "
+    "c(0.01)*sqrt((n+m)/nm) is an IEEE expression of the exact counts "
+    "— bit-equal both engines. Completes the drift monitor family: "
+    "PSI (q173, binned expectation ratios), mixture KL (q223, "
+    "categorical), KS (distribution-free location/shape). Scale "
+    "shape: one grouped count over buckets, one bounded-frame window, "
+    "one scalar row out.",
+    tags=("events", "anomaly", "eval"),
+)
+def q236_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("s")
+    ).agg(
+        F.expr(
+            f"CAST(COUNT(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}'"
+            " THEN 1 END) AS BIGINT)"
+        ).alias("ce"),
+        F.expr(
+            f"CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'"
+            " THEN 1 END) AS BIGINT)"
+        ).alias("cl"),
+    )
+    t = b.agg(
+        F.sum("ce").cast("long").alias("n_early"),
+        F.sum("cl").cast("long").alias("n_late"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.crossJoin(F.broadcast(t)).select(
+        "n_early",
+        "n_late",
+        F.sum(F.expr("1000000 * ce div n_early")).over(w).alias("cum_e_ppm"),
+        F.sum(F.expr("1000000 * cl div n_late")).over(w).alias("cum_l_ppm"),
+    )
+    crit = (
+        f"{KS_C001_MICRO}e-6"
+        " * SQRT((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))"
+        " / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)))"
+    )
+    return cum.groupBy("n_early", "n_late").agg(
+        F.expr("CAST(MAX(ABS(cum_e_ppm - cum_l_ppm)) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+        F.expr(crit).alias("crit_001"),
+        F.expr(
+            "CAST(CAST(MAX(ABS(cum_e_ppm - cum_l_ppm)) AS DOUBLE)"
+            f" / 1000000.0 > {crit} AS BIGINT)"
+        ).alias("reject_001"),
+    )

@@ -1144,3 +1144,135 @@ def q223_mixture_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 1000000 AS BIGINT)"
         ).alias("kl_term_micronat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing (q235): order the corpus easy->hard for
+# curriculum training WITHOUT a global row sort. Difficulty = per-doc
+# mean unigram surprisal (q88's model — spliced, so the curriculum can
+# never drift from the score it claims to use); docs are binned into
+# centi-nat difficulty buckets (bounded domain, ~2000 buckets at any
+# corpus size), the bucket histogram's cumulative counts assign each
+# bucket a quartile STAGE (the histogram-CDF global-quantile pattern:
+# the only sorted object is the bucket frame, never the corpus), and a
+# salted content-hash shuffle key gives the loader its deterministic
+# within-stage order. This is q226's bounded-bucket rank-sum trick
+# applied to data ordering.
+
+CURR_STAGES = 4
+CURR_BUCKET_MICRONAT = 10_000  # 0.01-nat difficulty bins
+CURR_SALT_A, CURR_SALT_B = 364_289_573, 553_105_243
+
+
+def _curr_hash_duck() -> str:
+    return poly_hash_pair("text", "text")[1]
+
+
+def _mix_registered_oracle(name: str) -> str:
+    from .registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+@register(
+    "q235_curriculum_buckets",
+    # Difficulty model spliced from q88's registered oracle (the q111/
+    # q117 convention): curriculum and score cannot drift apart.
+    oracle=f"""
+    WITH diff AS ({_mix_registered_oracle("q88_unigram_surprisal")}),
+    b AS (
+      SELECT doc_id,
+             mean_surprisal_micronat,
+             mean_surprisal_micronat // {CURR_BUCKET_MICRONAT} AS bkt
+      FROM diff
+    ),
+    hist AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bkt
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    cum AS (
+      SELECT bkt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM hist
+    ),
+    stages AS (
+      SELECT c.bkt,
+             LEAST({CURR_STAGES - 1},
+                   CAST({CURR_STAGES} * c.cum_before // t.n AS BIGINT))
+                 AS stage
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT b.doc_id,
+           CAST(b.mean_surprisal_micronat AS BIGINT)
+               AS difficulty_micronat,
+           s.stage,
+           CAST(({CURR_SALT_A} * {_curr_hash_duck().replace("text", "d.text")}
+                 + {CURR_SALT_B}) % 1000000 AS BIGINT) AS shuffle_key
+    FROM b
+    JOIN stages s ON s.bkt = b.bkt
+    JOIN documents d ON d.doc_id = b.doc_id
+    """,
+    doc="Curriculum bucketing: every document assigned an easy->hard "
+    f"training stage (quartiles of the corpus by q88's mean unigram "
+    "surprisal) plus a deterministic salted-hash shuffle key for "
+    "within-stage loader order — the data-ordering step of curriculum "
+    "training, computed with NO global row sort: difficulty bins to "
+    f"{CURR_BUCKET_MICRONAT}-micro-nat buckets (bounded frame), the "
+    "bucket histogram's cumulative CDF assigns stages, and docs join "
+    "their bucket's stage by key (the histogram-CDF global-quantile "
+    "pattern — the only ordered object is the ~2000-row bucket frame). "
+    "Stage boundaries are bucket-granular by construction (documented "
+    "spec: a curriculum does not need row-exact quartiles, and "
+    "bucket-granular boundaries are stable under corpus growth). All "
+    "integers exact; the q88 difficulty model is spliced from the "
+    "registered oracle so score and curriculum cannot drift apart. "
+    "Scale shape: q88's plan + one bounded-frame window + two "
+    "broadcast-sized joins; the corpus shuffles once on doc_id.",
+    tags=("mixing", "training", "window"),
+)
+def q235_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import q88_unigram_surprisal
+
+    hash_spark = poly_hash_pair("text", "text")[0]
+    diff = q88_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "mean_surprisal_micronat"
+    )
+    b = diff.select(
+        "doc_id",
+        "mean_surprisal_micronat",
+        F.expr(
+            f"mean_surprisal_micronat div {CURR_BUCKET_MICRONAT}"
+        ).alias("bkt"),
+    )
+    hist = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before")
+    )
+    stages = cum.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.expr(
+            f"LEAST({CURR_STAGES - 1},"
+            f" CAST({CURR_STAGES} * cum_before div n AS BIGINT))"
+        ).alias("stage"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        b.join(F.broadcast(stages), "bkt")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("mean_surprisal_micronat")
+            .cast("long")
+            .alias("difficulty_micronat"),
+            "stage",
+            F.expr(
+                f"CAST(({CURR_SALT_A} * {hash_spark} + {CURR_SALT_B})"
+                " % 1000000 AS BIGINT)"
+            ).alias("shuffle_key"),
+        )
+    )

@@ -2016,3 +2016,133 @@ def q217_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame
             " / CAST(frob2 AS DOUBLE)"
         ).alias("participation_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (q233): clustering-quality evaluation for the
+# labeled embedding corpus — for each vector, a = squared distance to
+# its OWN label centroid, b = squared distance to the nearest OTHER
+# centroid, s = (b-a)/max(a,b) in ppm. The "simplified" (point-to-
+# centroid) silhouette is the form that scales: the classical
+# point-to-all-points silhouette is O(N^2) and never runs at corpus
+# size, while this one is a broadcast join against a k*d-cell centroid
+# table (Hruschka et al.'s simplified silhouette — the standard
+# surrogate, monotone with the full one on well-separated data).
+# Everything is exact integer arithmetic: micro-unit coordinates,
+# integer centroid division (both engines truncate toward zero),
+# int64 squared distances (|x|<=~4e6 micro, 64 dims -> <=1e15).
+
+
+@register(
+    "q233_simplified_silhouette",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS own_label,
+             CAST(i AS INTEGER) AS pos,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x_micro
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cents AS (
+      SELECT own_label AS cand_label, pos,
+             CAST(SUM(x_micro) // COUNT(*) AS BIGINT) AS c_micro
+      FROM el GROUP BY own_label, pos
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.own_label, c.cand_label,
+             CAST(SUM((e.x_micro - c.c_micro) * (e.x_micro - c.c_micro))
+                  AS BIGINT) AS dist2
+      FROM el e JOIN cents c ON c.pos = e.pos
+      GROUP BY e.vec_id, e.own_label, c.cand_label
+    ),
+    ab AS (
+      SELECT vec_id, own_label,
+             MIN(CASE WHEN cand_label = own_label THEN dist2 END) AS a,
+             MIN(CASE WHEN cand_label <> own_label THEN dist2 END) AS b
+      FROM d2 GROUP BY vec_id, own_label
+    ),
+    s AS (
+      SELECT own_label,
+             COALESCE(1000000 * (b - a) // NULLIF(GREATEST(a, b), 0), 0)
+                 AS s_ppm
+      FROM ab
+    )
+    SELECT own_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+           CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY own_label
+    """,
+    doc="Simplified (point-to-centroid) silhouette per embedding label: "
+    "s = (b-a)/max(a,b) with a = squared distance to the own-label "
+    "centroid and b = the nearest other centroid, in exact integer ppm "
+    "— the clustering-quality readout for the label structure the ANN "
+    "stack (q31/q38) partitions by, and the scalable surrogate for the "
+    "O(N^2) classical silhouette (a broadcast k*d centroid table "
+    "instead of all-pairs). mean_s_ppm near 0 flags overlapping "
+    "clusters; n_negative counts points closer to a foreign centroid "
+    "(misassignments). Exactness: micro-unit coordinates, integer "
+    "centroid division (both engines truncate toward zero), int64 "
+    "distances — no float accumulation anywhere, so shuffle order is "
+    "irrelevant. Scale shape: one 64x map-side explode, one "
+    "(label x dim)-bounded aggregate broadcast back, one keyed "
+    "re-aggregate per (vec, candidate) — k*N rows, linear in the "
+    "corpus for fixed k; the same plan at 100 TB swaps nothing.",
+    tags=("similarity", "eval", "aggregate"),
+)
+def q233_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("own_label"),
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "own_label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("x_micro"),
+    )
+    cents = (
+        el.groupBy(
+            F.col("own_label").alias("cand_label"), F.col("pos")
+        )
+        .agg(
+            F.expr("CAST(SUM(x_micro) div COUNT(*) AS BIGINT)").alias(
+                "c_micro"
+            )
+        )
+    )
+    d2 = (
+        el.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "own_label", "cand_label")
+        .agg(
+            F.expr(
+                "CAST(SUM((x_micro - c_micro) * (x_micro - c_micro))"
+                " AS BIGINT)"
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own_label").agg(
+        F.expr(
+            "MIN(CASE WHEN cand_label = own_label THEN dist2 END)"
+        ).alias("a"),
+        F.expr(
+            "MIN(CASE WHEN cand_label <> own_label THEN dist2 END)"
+        ).alias("b"),
+    )
+    s = ab.select(
+        "own_label",
+        F.expr(
+            "COALESCE(1000000 * (b - a) div NULLIF(GREATEST(a, b), 0), 0)"
+        ).alias("s_ppm"),
+    )
+    return s.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(SUM(s_ppm) div COUNT(*) AS BIGINT)").alias("mean_s_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_negative"),
+    )

@@ -565,3 +565,43 @@ def test_recursive_chain_depth_uses_native_recursion(spark):
         REGISTRY["q188_neardup_chain_depth"].spark_fn(spark, SMOKE_SF_DIR)
     )
     assert "UnionLoop" in plan or "Recursi" in plan, plan[:1500]
+
+
+def test_roc_auc_window_runs_over_bucket_aggregate(spark):
+    """q226's cumulative-negative window is a GLOBAL order — legal only
+    because its input is the centi-bucket AGGREGATE, never event rows.
+    Pin: one scan, partial+final hash aggregation BELOW the single
+    window, and exactly one single-partition exchange (the bounded
+    bucket frame)."""
+    plan = _formatted_plan(
+        REGISTRY["q226_roc_auc"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Scan parquet") == 1
+    assert _op_count(plan, "Window") == 1
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert _op_count(plan, "HashAggregate") >= 2  # partial+final pre-window
+
+
+def test_ks_drift_window_runs_over_bucket_aggregate(spark):
+    """q236: same bounded-bucket-frame discipline as q226 — the KS
+    cumulative window must consume the bucket aggregate."""
+    plan = _formatted_plan(
+        REGISTRY["q236_ks_drift_test"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Window") == 1
+    # one single-partition exchange for the bucket-frame window, and at
+    # most one more for the scalar final rollup — both bounded frames
+    assert 1 <= plan.count("Arguments: SinglePartition") <= 2
+    assert _op_count(plan, "HashAggregate") >= 2
+
+
+def test_token_budget_window_stays_partitioned(spark):
+    """q237's running-sum window partitions by source: there must be NO
+    single-partition exchange anywhere — the corpus never funnels
+    through one task."""
+    plan = _formatted_plan(
+        REGISTRY["q237_token_budget_selection"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Window") == 1
+    assert "Arguments: SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

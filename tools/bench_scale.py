@@ -121,6 +121,13 @@ MARQUEE_100X = {
     "q226_roc_auc", "q227_target_encoding_loo", "q228_t_closeness",
     "q229_mi_feature_screen", "q230_label_propagation",
     "q231_conformal_thresholds",
+    # round 6 sixth wave: one-scan Poisson bootstrap, centroid
+    # silhouette, partition modularity (ladder consumer), histogram-CDF
+    # curriculum staging
+    "q232_poisson_bootstrap_se", "q233_simplified_silhouette",
+    "q234_modularity_score", "q235_curriculum_buckets",
+    # round 6 seventh wave: bucket-CDF KS drift, budgeted curation cut
+    "q236_ks_drift_test", "q237_token_budget_selection",
 }
 
 
