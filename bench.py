@@ -30,6 +30,51 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 
 
+def run_queries(
+    spark, registry: dict, sf_dir: str = SF_DIR, repeats: int = 2
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Time every query (best-of-`repeats` noop-sink runs) with per-query
+    fault isolation: one throwing query must not abort the loop — round 6
+    lost its ENTIRE official record when q214 overflowed int64 mid-run
+    (BENCH_r06.json rc:1 parsed:null). A 235-query harness degrades; it
+    never dies: failures are recorded as {"err": ...} rows and the run
+    continues, so the other 234 timings always reach the record."""
+
+    # Best-of-N per query: the first run of any distinct plan pays one-off
+    # whole-stage-codegen (janino) compilation, ~3-4s of JVM warmup noise
+    # that has nothing to do with engine throughput at scale.
+    def cleanup() -> None:
+        # Iterative queries (connected components, curation checkpoints)
+        # leave localCheckpoint/persist RDDs behind that no later query
+        # uses; letting them pile up degrades every subsequent measurement
+        # (measured ~7% on the full run). A real deployment runs one job
+        # per application, so between-query cleanup — OUTSIDE the timed
+        # window — is the honest steady-state model.
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, q in sorted(registry.items()):
+        best = float("inf")
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                cleanup()
+        except Exception as e:  # noqa: BLE001
+            first = str(e).strip().splitlines()[0][:200] if str(e).strip() else repr(e)[:200]
+            errors[name] = first
+            cleanup()
+            print(f"{name} ERROR: {first}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 3)
+        print(f"{name} {timings[name]}s", file=sys.stderr)
+    return timings, errors
+
+
 def main() -> None:
     from retail_sales_etl_pipeline_spark.plans.registry import load_all
     from retail_sales_etl_pipeline_spark.session import get_spark
@@ -44,20 +89,6 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: the first run of any distinct plan pays one-off
-    # whole-stage-codegen (janino) compilation, ~3-4s of JVM warmup noise
-    # that has nothing to do with engine throughput at scale.
-    def cleanup() -> None:
-        # Iterative queries (connected components, curation checkpoints)
-        # leave localCheckpoint/persist RDDs behind that no later query
-        # uses; letting them pile up degrades every subsequent measurement
-        # (measured ~7% on the full run). A real deployment runs one job
-        # per application, so between-query cleanup — OUTSIDE the timed
-        # window — is the honest steady-state model.
-        spark.catalog.clearCache()
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-
     # Queries tagged 'slow-twin' are deliberate anti-pattern demos kept
     # only to pin hash-identity against their scalable twins (e.g. q154,
     # the per-group applyInPandas form of q55/q83). They are NOT plans
@@ -68,16 +99,7 @@ def main() -> None:
         print(f"skip (slow-twin, identity-only): {n}", file=sys.stderr)
         del registry[n]
 
-    timings: dict[str, float] = {}
-    for name, q in sorted(registry.items()):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            cleanup()
-        timings[name] = round(best, 3)
-        print(f"{name} {timings[name]}s", file=sys.stderr)
+    timings, errors = run_queries(spark, registry)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -87,6 +109,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
@@ -104,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": short,
+                "errors": len(errors),
                 "sf": sf,
                 "detail": "BENCH_LOCAL.json",
             },
@@ -126,6 +150,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "n_queries": len(timings),
+                "errors": len(errors),
                 "sf": sf,
                 "detail": "BENCH_LOCAL.json",
             },

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import decimal_str, money_sum
+from ..functions.scalar import POLY_MOD
 from ..sources import load_table
 from .registry import register
 
@@ -2242,17 +2243,23 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
              CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
              CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
-             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
-             CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sx1y,
+             CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sx2y,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy
       FROM obs
     )
-    SELECT n, sx1, sx2, sy, sx1x1, sx2x2, sx1x2, sx1y, sx2y, syy,
+    SELECT n, sx1, sx2, sy, sx1x1, sx2x2, sx1x2,
+           CAST(sx1y AS VARCHAR) AS sx1y,
+           CAST(sx2y AS VARCHAR) AS sx2y,
+           CAST(syy AS VARCHAR) AS syy,
            (
              (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
-               * (CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
-               * (CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)
            ) / (
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
                * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
@@ -2261,9 +2268,9 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS beta_qty_cents,
            (
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
-               * (CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
-               * (CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)
            ) / (
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
                * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
@@ -2276,10 +2283,14 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue-in-cents on quantity and discount-in-percent via the "
     "normal equations: ONE distributed pass accumulates the 10 exact "
     "integer sufficient statistics (n, first/second moments, "
-    "cross-moments — all int64-safe: quantity <= 50, discount <= 10, "
-    "price-cents < 1e7, so the largest per-row term x2*y < 1e8 sums to "
-    "< 1e17 even at 1e9 rows; past that the same plan promotes the "
-    "sums to DECIMAL(38)), then the centered 2x2 system is solved by "
+    "cross-moments). The x-only sums are int64-safe at any corpus "
+    "(quantity <= 50, discount-pct <= 10), but every y-bearing product "
+    "is DECIMAL(38,0): price-cents < ~1.05e7 makes y*y ~ 1e14 PER ROW, "
+    "which crosses int64 at a mere ~10^5 worst-case rows — exactly the "
+    "ARITHMETIC_OVERFLOW that killed the round-6 bench at sf0.1 "
+    "(BENCH_r06.json). DECIMAL(38,0) holds y*y sums to ~10^24 rows; "
+    "both dialects build the identical decimal expression tree, so the "
+    "sums still hash equal. Then the centered 2x2 system is solved by "
     "Cramer's rule as a pure expression of those integers. This is the "
     "production shape of regression at 100 TB: sufficient statistics "
     "are algebraic aggregates (map-side combined, shard-mergeable, "
@@ -2312,21 +2323,32 @@ def q214_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
         F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
         F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(
+            F.col("x1").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sx1y"),
+        F.sum(
+            F.col("x2").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sx2y"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("syy"),
     )
     # Centered second moments as doubles-of-exact-ints; same operation
-    # order as the oracle so the IEEE results are bit-identical.
+    # order as the oracle so the IEEE results are bit-identical. The
+    # y-bearing sums are DECIMAL(38,0) and enter through an explicit
+    # CAST AS DOUBLE (identical node in the oracle); at oracle scale
+    # they are < 2^53 so the conversion is exact in both engines.
     s11 = "(CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)"
     s22 = "(CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)"
     s12 = "(CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)"
-    s1y = "(CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)"
-    s2y = "(CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)"
+    s1y = "(CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)"
+    s2y = "(CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)"
     det = f"({s11} * {s22} - {s12} * {s12})"
     return s.select(
-        "n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y",
-        "sx2y", "syy",
+        "n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
+        F.col("sx1y").cast("string").alias("sx1y"),
+        F.col("sx2y").cast("string").alias("sx2y"),
+        F.col("syy").cast("string").alias("syy"),
         F.expr(f"({s22} * {s1y} - {s12} * {s2y}) / {det}").alias(
             "beta_qty_cents"
         ),
@@ -2566,6 +2588,7 @@ def q228_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOOT_R = 16
 BOOT_SALT_A, BOOT_SALT_B, BOOT_SALT_R = 614_889_281, 918_273_645, 7_919
+BOOT_SALT_C = 999_983  # per-replicate multiplier step (prime)
 # Poisson(1) CDF in ppm: P(X <= k) for k = 0..7; weights cap at 8.
 BOOT_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
                 999989)
@@ -2579,9 +2602,19 @@ def _boot_w(u: str) -> str:
 
 
 def _boot_u(key: str, r) -> str:
+    """Uniform ppm draw for (row, replicate): an affine hash whose
+    MULTIPLIER varies with the replicate index — ((A + r*C) * key + B +
+    r*R) mod p mod 1e6. A draw merely additive in r (round-6 form) made
+    the 16 replicate weight vectors near-copies of each other (every
+    row's u shifted by the same constant per replicate — a monotone
+    drift, not independent resamples), biasing the across-replicate
+    variance. With the key*r cross term, u_{r+1}-u_r = (key*C + R) mod
+    p varies per ROW, so replicate draws are pairwise decorrelated
+    (universal-hash style). Magnitude: key < p=1e9+7, multiplier
+    A + 16C < 6.4e8, product < 6.4e17 — int64-safe in both engines."""
     return (
-        f"(({BOOT_SALT_A} * {key} + {BOOT_SALT_B} + {r} * {BOOT_SALT_R})"
-        " % 1000000)"
+        f"((({BOOT_SALT_A} + {r} * {BOOT_SALT_C}) * {key}"
+        f" + {BOOT_SALT_B} + {r} * {BOOT_SALT_R}) % {POLY_MOD} % 1000000)"
     )
 
 
@@ -2629,7 +2662,11 @@ def _boot_hash_duck() -> str:
     doc="Poisson-bootstrap standard error of the mean document length: "
     f"{BOOT_R} bootstrap replicates where each document enters "
     "replicate r with weight w ~ Poisson(1), drawn DETERMINISTICALLY "
-    "by pushing a salted affine transform of the content hash through "
+    "by hashing (content, replicate) with a PER-REPLICATE multiplier "
+    "(A + r*C)*key mod p — the key*r cross term makes replicate draws "
+    "pairwise decorrelated (a draw merely additive in r shifts every "
+    "row identically, collapsing the 16 replicates into near-copies "
+    "and biasing the variance) — then pushing the uniform through "
     "the Poisson(1) CDF held as integer ppm literals — the "
     "one-pass resampling scheme that replaces with-replacement "
     "bootstrap at distributed scale (all replicate sums are algebraic "

@@ -3356,12 +3356,15 @@ def q236_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.groupBy(
         F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("s")
     ).agg(
+        # TIMESTAMP_NTZ literal (q173 convention): ts is TIMESTAMP_NTZ,
+        # and a plain TIMESTAMP (session-TZ) literal would shift the
+        # early/late split under any non-UTC session timezone.
         F.expr(
-            f"CAST(COUNT(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}'"
+            f"CAST(COUNT(CASE WHEN ts < TIMESTAMP_NTZ '{PSI_SPLIT_TS}'"
             " THEN 1 END) AS BIGINT)"
         ).alias("ce"),
         F.expr(
-            f"CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'"
+            f"CAST(COUNT(CASE WHEN ts >= TIMESTAMP_NTZ '{PSI_SPLIT_TS}'"
             " THEN 1 END) AS BIGINT)"
         ).alias("cl"),
     )

@@ -2063,8 +2063,9 @@ def q217_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     s AS (
       SELECT own_label,
-             COALESCE(1000000 * (b - a) // NULLIF(GREATEST(a, b), 0), 0)
-                 AS s_ppm
+             COALESCE(CAST(FLOOR(CAST(b - a AS DOUBLE) * 1000000.0
+                      / CAST(NULLIF(GREATEST(a, b), 0) AS DOUBLE))
+                      AS BIGINT), 0) AS s_ppm
       FROM ab
     )
     SELECT own_label AS label,
@@ -2084,8 +2085,11 @@ def q217_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame
     "clusters; n_negative counts points closer to a foreign centroid "
     "(misassignments). Exactness: micro-unit coordinates, integer "
     "centroid division (both engines truncate toward zero), int64 "
-    "distances — no float accumulation anywhere, so shuffle order is "
-    "irrelevant. Scale shape: one 64x map-side explode, one "
+    "distances — no float ACCUMULATION anywhere, so shuffle order is "
+    "irrelevant; the final per-point ratio is ONE deterministic IEEE "
+    "double expression (dist2 <= ~4e15 < 2^53 so the doubles are "
+    "exact integers; the old integer form 1e6*(b-a) overflows int64 "
+    "at the module's coordinate bound). Scale shape: one 64x map-side explode, one "
     "(label x dim)-bounded aggregate broadcast back, one keyed "
     "re-aggregate per (vec, candidate) — k*N rows, linear in the "
     "corpus for fixed k; the same plan at 100 TB swaps nothing.",
@@ -2133,10 +2137,19 @@ def q233_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MIN(CASE WHEN cand_label <> own_label THEN dist2 END)"
         ).alias("b"),
     )
+    # s = (b-a)/max(a,b) as ONE deterministic IEEE double ratio (q213
+    # convention): the former integer form 1000000*(b-a) reaches ~1e21
+    # at the module's own coordinate bound (|x| <= ~4e6 micro, 64 dims
+    # -> dist2 <= ~4e15) — past int64, an ANSI ARITHMETIC_OVERFLOW on
+    # sufficiently spread embeddings. dist2 <= ~4e15 < 2^53, so the
+    # doubles below are EXACT integers and the identical expression
+    # tree floors identically in both engines.
     s = ab.select(
         "own_label",
         F.expr(
-            "COALESCE(1000000 * (b - a) div NULLIF(GREATEST(a, b), 0), 0)"
+            "COALESCE(CAST(FLOOR(CAST(b - a AS DOUBLE) * 1000000.0D"
+            " / CAST(NULLIF(GREATEST(a, b), 0) AS DOUBLE))"
+            " AS BIGINT), 0)"
         ).alias("s_ppm"),
     )
     return s.groupBy(F.col("own_label").alias("label")).agg(

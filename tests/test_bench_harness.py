@@ -1,0 +1,69 @@
+"""bench.py fault isolation: one throwing query must not abort the run.
+
+Round 6 lost its entire official bench record (BENCH_r06.json rc:1,
+parsed:null) because a single query's int64 overflow aborted the 235-query
+loop before any summary line printed. `run_queries` now isolates each
+query: a failure becomes an {"err": ...} row and every other query still
+gets its timing — the record degrades, it never dies.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from tests.conftest import SMOKE_SF_DIR  # noqa: E402
+
+
+class _Q:
+    def __init__(self, fn):
+        self.spark_fn = fn
+        self.tags = ()
+
+
+def test_broken_query_yields_err_row_and_full_record(spark):
+    from retail_sales_etl_pipeline_spark.plans import parity_queries as pq
+
+    def boom(spark, sf_dir):
+        # Throws at EXECUTION time (like q214's ANSI overflow did), not at
+        # plan-build time — the harder case for the harness.
+        return spark.range(10).selectExpr(
+            "CAST(9223372036854775807 AS BIGINT) + id AS kaboom"
+        )
+
+    registry = {
+        "q01_clean_filters": _Q(pq.q01_clean_filters),
+        "q_broken_overflow": _Q(boom),
+        "q07_agg_counts": _Q(pq.q07_agg_counts),
+    }
+    timings, errors = bench.run_queries(
+        spark, registry, sf_dir=SMOKE_SF_DIR, repeats=1
+    )
+    # the broken query is an error row; BOTH healthy queries still timed
+    assert set(errors) == {"q_broken_overflow"}
+    assert set(timings) == {"q01_clean_filters", "q07_agg_counts"}
+    assert all(t >= 0 for t in timings.values())
+    # the error message is a single bounded line (fits the JSON record)
+    assert "\n" not in errors["q_broken_overflow"]
+    assert len(errors["q_broken_overflow"]) <= 200
+
+
+def test_plan_build_failure_also_isolated(spark):
+    def bad_plan(spark, sf_dir):
+        raise ValueError("plan construction exploded")
+
+    def ok(spark, sf_dir):
+        return spark.range(5).selectExpr("id")
+
+    timings, errors = bench.run_queries(
+        spark,
+        {"q_bad": _Q(bad_plan), "q_ok": _Q(ok)},
+        sf_dir=SMOKE_SF_DIR,
+        repeats=1,
+    )
+    assert set(errors) == {"q_bad"}
+    assert "plan construction exploded" in errors["q_bad"]
+    assert set(timings) == {"q_ok"}

@@ -46,7 +46,10 @@ def test_poisson_bootstrap_matches_direct(spark):
     full_mean = tdiv(1000000 * sum(x for _, x in xs), n)
 
     def w(key: int, r: int) -> int:
-        u = (aq.BOOT_SALT_A * key + aq.BOOT_SALT_B + r * aq.BOOT_SALT_R) % 1000000
+        u = (
+            (aq.BOOT_SALT_A + r * aq.BOOT_SALT_C) * key
+            + aq.BOOT_SALT_B + r * aq.BOOT_SALT_R
+        ) % POLY_MOD % 1000000
         return sum(1 for t in aq.BOOT_CDF_PPM if u >= t)
 
     means = []
@@ -100,7 +103,8 @@ def test_simplified_silhouette_matches_numpy(spark):
         a = d2[lbl]
         b = min(v for c, v in d2.items() if c != lbl)
         denom = max(a, b)
-        s_ppm = tdiv(1000000 * (b - a), denom) if denom else 0
+        # mirror the engine's IEEE op order: double(b-a) * 1e6 / denom
+        s_ppm = math.floor(float(b - a) * 1000000.0 / float(denom)) if denom else 0
         per_label[lbl].append(s_ppm)
     got = {
         r.label: r
@@ -127,7 +131,9 @@ def test_simplified_silhouette_matches_numpy(spark):
         a = d2[wl]
         b = min(v for c, v in d2.items() if c != wl)
         denom = max(a, b)
-        wrong.append(tdiv(1000000 * (b - a), denom) if denom else 0)
+        wrong.append(
+            math.floor(float(b - a) * 1000000.0 / float(denom)) if denom else 0
+        )
     true_mean = sum(v for vals in per_label.values() for v in vals) / sum(
         len(v) for v in per_label.values()
     )
