@@ -2609,9 +2609,12 @@ def q191_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
              CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
-             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy
       FROM pts GROUP BY event_type
     )
     SELECT event_type,
@@ -2655,9 +2658,20 @@ def q192_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("sx"),
         F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        # the decimal promotion must sit INSIDE the sum — a round-7 audit
+        # (tools/audit_overflow.py) caught the original form casting the
+        # completed int64 SUM to decimal, i.e. accumulating y*y (~3.1e9
+        # per row) in int64, which crosses 2^63 at ~2.9e9 events/type
+        # while the docstring claimed decimal safety.
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("syy"),
     )
     return sums.selectExpr(
         "event_type",
@@ -3218,10 +3232,12 @@ AUC_POS_TYPE = "purchase"
     s AS (
       SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
              CAST(SUM(ng) AS BIGINT) AS n_neg,
-             CAST(SUM(p * (2 * cumneg + ng)) AS BIGINT) AS num2
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * (2 * cumneg + ng))
+                  AS DECIMAL(38,0)) AS num2
       FROM c
     )
-    SELECT n_pos, n_neg, num2,
+    SELECT n_pos, n_neg,
+           CAST(num2 AS VARCHAR) AS num2,
            CAST(num2 AS DOUBLE)
              / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
            2.0 * (CAST(num2 AS DOUBLE)
@@ -3237,9 +3253,9 @@ AUC_POS_TYPE = "purchase"
     "(~50K rows for any corpus size, vs a 100 TB row sort). AUC and "
     "Gini are IEEE expressions of the three exact integers with "
     "identical expression trees in both dialects — bit-equal doubles. "
-    "int64 headroom: num2 <= 2*n_pos*n_neg, overflow only past ~2e9 "
-    "rows of each class; the same plan then promotes num2 to "
-    "DECIMAL(38,0) (sums stay algebraic/mergeable).",
+    "num2 <= 2*n_pos*n_neg would cross int64 past ~2e9 rows of each "
+    "class, so it accumulates in DECIMAL(38,0) from the start (good to "
+    "~10^19 rows per class; sums stay algebraic/mergeable).",
     tags=("events", "eval", "aggregate"),
 )
 def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3263,9 +3279,13 @@ def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.agg(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("ng").cast("long").alias("n_neg"),
+        # num2 <= 2*n_pos*n_neg crosses int64 past ~2e9 rows per class —
+        # accumulate in DECIMAL(38,0) (identical tree in the oracle);
+        # the window frame is bucket-bounded so the decimal cost is nil.
         F.sum(
-            F.col("p") * (2 * F.col("cumneg") + F.col("ng"))
-        ).cast("long").alias("num2"),
+            F.col("p").cast("decimal(19,0)")
+            * (2 * F.col("cumneg") + F.col("ng"))
+        ).cast("decimal(38,0)").alias("num2"),
     )
     auc = (
         "CAST(num2 AS DOUBLE)"
@@ -3274,7 +3294,9 @@ def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_pos",
         "n_neg",
-        "num2",
+        # DECIMAL(38,0) renders as VARCHAR in both dialects (pandas
+        # would read DuckDB's wide decimal as lossy float64)
+        F.col("num2").cast("string").alias("num2"),
         F.expr(auc).alias("auc"),
         F.expr(f"2.0 * ({auc}) - 1.0").alias("gini"),
     )

@@ -756,6 +756,15 @@ def q89_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARSE_DF_CAP = 50  # terms in more than 50 docs don't pair (stopword-ish)
 SPARSE_TOP_PAIRS = 20
+# Per-term contribution unit: tf_a*tf_b * PPM_CAP2 div (df+1)^2 — the idf
+# weight RELATIVE to the df cap, in ppm. The previous unit multiplied by
+# (n_docs+1)^2, a global constant that cancels in the ranking but grows
+# with the corpus: at ~1.5M docs the per-row numerator crossed int64
+# (caught by tools/audit_overflow.py in round 7, one decade above the
+# executed gen100x corpus). With the cap-relative unit the numerator is
+# bounded by TF_CLAMP^2 * PPM_CAP2 ~ 2.6e17 — corpus-independent.
+SPARSE_TF_CLAMP = 10_000  # sublinear-tf guard: caps the numerator
+SPARSE_PPM_CAP2 = 1_000_000 * (SPARSE_DF_CAP + 1) * (SPARSE_DF_CAP + 1)
 
 
 @register(
@@ -772,22 +781,24 @@ SPARSE_TOP_PAIRS = 20
     df AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
     contrib AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             (a.tf * b.tf * 1000000 * (n_docs + 1) * (n_docs + 1))
+             (LEAST(a.tf, {SPARSE_TF_CLAMP}) * LEAST(b.tf, {SPARSE_TF_CLAMP})
+              * {SPARSE_PPM_CAP2})
                // ((df.df + 1) * (df.df + 1)) AS c_ppm
       FROM tf a
       JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
       JOIN df ON df.term = a.term
-      CROSS JOIN n
       WHERE df.df <= {SPARSE_DF_CAP}
     ),
     pair_scores AS (
-      SELECT doc_a, doc_b, CAST(SUM(c_ppm) AS BIGINT) AS score_ppm
+      SELECT doc_a, doc_b,
+             CAST(SUM(CAST(c_ppm AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                 AS score_ppm
       FROM contrib GROUP BY doc_a, doc_b
     )
-    SELECT doc_a, doc_b, score_ppm, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT doc_a, doc_b, CAST(score_ppm AS VARCHAR) AS score_ppm,
+           CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT *, row_number() OVER (
         ORDER BY score_ppm DESC, doc_a, doc_b) AS rnk
       FROM pair_scores
@@ -802,10 +813,15 @@ SPARSE_TOP_PAIRS = 20
     "rule: stopword-grade postings would make the self-join quadratic "
     "AND contribute ~zero idf weight — the cap is explicit, mirrored in "
     "the oracle, not silent). Per-term contributions use the rational "
-    "idf squared, held in exact integer ppm (floor-division before the "
-    "sum, so partial sums merge exactly); top-20 pairs by score with "
-    "total-order tiebreaks. Scale shape: shuffles carry (term, posting) "
-    "rows and pair partials — bounded by cap^2 per term.",
+    "idf squared RELATIVE TO THE DF CAP, held in exact integer ppm "
+    "(floor-division before the sum, so partial sums merge exactly; "
+    "the cap-relative unit keeps the per-row numerator <= ~2.6e17 at "
+    "ANY corpus size, where the previous (n_docs+1)^2 unit crossed "
+    "int64 at ~1.5M docs — the constant factor cancels in the "
+    "ranking); pair scores accumulate in DECIMAL(38,0); top-20 pairs "
+    "by score with total-order tiebreaks. Scale shape: shuffles carry "
+    "(term, posting) rows and pair partials — bounded by cap^2 per "
+    "term.",
     tags=("text", "search", "similarity"),
 )
 def q127_sparse_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,7 +833,6 @@ def q127_sparse_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     rare = df.filter(F.col("df") <= SPARSE_DF_CAP)
     a = tf.select("term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a"))
     b = tf.select("term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
@@ -825,21 +840,30 @@ def q127_sparse_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["term"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .join(rare, "term")
-        .crossJoin(F.broadcast(n))
         .select(
             "doc_a",
             "doc_b",
+            # cap-relative idf^2 in ppm: numerator <= TF_CLAMP^2 *
+            # PPM_CAP2 ~ 2.6e17 — int64-safe at ANY corpus size (the
+            # old (n_docs+1)^2 unit crossed int64 at ~1.5M docs)
             F.expr(
-                "(tf_a * tf_b * 1000000 * (n_docs + 1) * (n_docs + 1))"
+                f"(LEAST(tf_a, {SPARSE_TF_CLAMP})"
+                f" * LEAST(tf_b, {SPARSE_TF_CLAMP})"
+                f" * {SPARSE_PPM_CAP2})"
                 " div ((df + 1) * (df + 1))"
             ).alias("c_ppm"),
         )
     )
     scores = contrib.groupBy("doc_a", "doc_b").agg(
-        F.sum("c_ppm").cast("long").alias("score_ppm")
+        F.sum(F.col("c_ppm").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("score_ppm")
     )
     top = scores.orderBy(
         F.desc("score_ppm"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(SPARSE_TOP_PAIRS)
     w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_a"), F.asc("doc_b"))
-    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .withColumn("score_ppm", F.col("score_ppm").cast("string"))
+    )

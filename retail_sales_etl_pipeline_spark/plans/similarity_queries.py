@@ -1017,10 +1017,14 @@ def q101_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pos,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x_micros) AS BIGINT) AS s1,
-           CAST(SUM(x_micros * x_micros) AS BIGINT) AS s2,
+           CAST(CAST(SUM(CAST(x_micros AS DECIMAL(19,0))
+                         * CAST(x_micros AS DECIMAL(19,0)))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS s2,
            CAST(SUM(x_micros) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                AS mean_micros,
-           sqrt((CAST(SUM(x_micros * x_micros) AS DOUBLE)
+           sqrt((CAST(CAST(SUM(CAST(x_micros AS DECIMAL(19,0))
+                               * CAST(x_micros AS DECIMAL(19,0)))
+                           AS DECIMAL(38,0)) AS DOUBLE)
                  - CAST(SUM(x_micros) AS DOUBLE)
                    * CAST(SUM(x_micros) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE))
@@ -1029,10 +1033,14 @@ def q101_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-dimension standardization statistics for the embedding "
     "corpus (the 'fit' of a z-score scaler): mean and population std of "
-    "every dimension, computed from exact integer micro-unit sums (s1, "
-    "s2 fit comfortably in int64 at any realistic corpus size per "
-    "partition-merge step) so the aggregation is shuffle-order-"
-    "independent and both engines agree bit-for-bit; mean/std are then "
+    "every dimension, computed from exact integer micro-unit sums. s1 "
+    "is int64-safe (|x_micros| <= 1e6 -> crosses 2^63 only at ~9.2e12 "
+    "vectors per dimension), but s2's per-row term x_micros^2 reaches "
+    "1e12, crossing int64 at just ~9.2e6 vectors — ONE decade above the "
+    "gen1000x corpus — so s2 accumulates in DECIMAL(38,0) (identical "
+    "expression tree both engines, good to ~10^26 vectors); the "
+    "aggregation stays shuffle-order-independent and both engines "
+    "agree bit-for-bit; mean/std are then "
     "IEEE expressions of those exact integers (sqrt is correctly "
     "rounded). Scale shape: one posexplode (64x fan-out, map-side) + "
     "one bounded-key aggregate; the 64-row result broadcasts back as "
@@ -1053,11 +1061,14 @@ def q103_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1)).cast("long")
     s1 = F.sum("x_micros").cast("long")
-    s2 = F.sum(F.col("x_micros") * F.col("x_micros")).cast("long")
+    s2 = F.sum(
+        F.col("x_micros").cast("decimal(19,0)")
+        * F.col("x_micros").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     return el.groupBy("pos").agg(
         n.alias("n"),
         s1.alias("s1"),
-        s2.alias("s2"),
+        s2.cast("string").alias("s2"),
         (s1.cast("double") / n.cast("double")).alias("mean_micros"),
         F.sqrt(
             (

@@ -834,8 +834,12 @@ def q129_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n,
            CAST(SUM(x) AS BIGINT) AS total_tokens,
-           CAST((1000000 * (2 * SUM(i * x) - (n + 1) * SUM(x)))
-               // (n * SUM(x)) AS BIGINT) AS gini_ppm
+           CAST(FLOOR(
+             CAST(2 * SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  - CAST(n + 1 AS DECIMAL(19,0)) * SUM(x) AS DOUBLE)
+             * 1000000.0
+             / CAST(CAST(n AS DECIMAL(19,0)) * SUM(x) AS DOUBLE)
+           ) AS BIGINT) AS gini_ppm
     FROM r GROUP BY source, n
     """,
     doc="Token-mass inequality per source (Gini coefficient): how "
@@ -845,8 +849,11 @@ def q129_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality decisions into TOKEN-level biases; q106's token-mass "
     "sampling exists precisely for high-gini sources). Computed from "
     "the rank form Gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
-    "over the per-source ascending sort — every term an exact integer, "
-    "one floor-division at the end, so both engines agree bit-for-bit. "
+    "over the per-source ascending sort — the rank moments are exact "
+    "DECIMAL(38,0) (sum(i*x) ~ x_max*n^2/2 crosses int64 at ~1e7 "
+    "docs/source once the ppm multiplier lands, so integers won't do), "
+    "and the ratio is ONE deterministic double-floor expression with "
+    "identical trees, so both engines agree bit-for-bit. "
     "Scale shape: one rank window per source (the q78 exact-order-stat "
     "shuffle, reused) + a bounded aggregate.",
     tags=("text", "profiling", "mixing"),
@@ -863,11 +870,20 @@ def q136_token_mass_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = d.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
         "n", F.count(F.lit(1)).over(cnt).cast("long")
     )
+    # rank-form Gini with DECIMAL(38,0) moments: sum(i*x) ~ x_max*n^2/2
+    # and the 1e6 ppm multiplier crossed int64 at just ~1e7 docs/source
+    # in the original all-integer form (round-7 overflow audit); the
+    # exact decimal moments feed ONE deterministic double-floor ratio
+    # (q192/q198 convention — identical expression tree both engines).
     return r.groupBy("source", "n").agg(
         F.sum("x").cast("long").alias("total_tokens"),
         F.expr(
-            "CAST((1000000 * (2 * sum(i * x) - (n + 1) * sum(x)))"
-            " div (n * sum(x)) AS LONG)"
+            "CAST(FLOOR("
+            "CAST(2 * sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+            " - CAST(n + 1 AS DECIMAL(19,0)) * sum(x) AS DOUBLE)"
+            " * 1000000.0D"
+            " / CAST(CAST(n AS DECIMAL(19,0)) * sum(x) AS DOUBLE)"
+            ") AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -1234,12 +1250,17 @@ def q197_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     colm AS (SELECT predicted AS cls, CAST(COUNT(*) AS BIGINT) AS c
              FROM pred GROUP BY predicted),
     pe AS (
-      SELECT CAST(COALESCE(SUM(rowm.r * colm.c), 0) AS BIGINT) AS pe_num
+      SELECT CAST(COALESCE(SUM(CAST(rowm.r AS DECIMAL(19,0))
+                               * CAST(colm.c AS DECIMAL(19,0))), 0)
+                  AS DECIMAL(38,0)) AS pe_num
       FROM rowm JOIN colm ON colm.cls = rowm.cls
     )
-    SELECT n.n AS n_docs, n.agree AS n_agree, pe.pe_num,
-           CAST(FLOOR(CAST(n.n * n.agree - pe.pe_num AS DOUBLE) * 1000000.0
-                      / CAST(NULLIF(n.n * n.n - pe.pe_num, 0) AS DOUBLE))
+    SELECT n.n AS n_docs, n.agree AS n_agree,
+           CAST(pe.pe_num AS VARCHAR) AS pe_num,
+           CAST(FLOOR(CAST(CAST(n.n AS DECIMAL(19,0)) * n.agree - pe.pe_num
+                           AS DOUBLE) * 1000000.0
+                      / CAST(NULLIF(CAST(n.n AS DECIMAL(19,0)) * n.n
+                                    - pe.pe_num, 0) AS DOUBLE))
                 AS BIGINT) AS kappa_ppm
     FROM n, pe
     """,
@@ -1247,8 +1268,9 @@ def q197_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label: po = agree/N, pe = sum_c row_c*col_c / N^2, kappa = "
     "(po-pe)/(1-pe) computed as the exact integer expression "
     "(N*agree - pe_num) / (N^2 - pe_num) rendered with the shared "
-    "deterministic double-floor ppm (q192/q198 convention). All counts "
-    "are int64-exact (N^2 ~ 2.5e13 at gen1000x). Scale shape: one "
+    "deterministic double-floor ppm (q192/q198 convention). The N^2 "
+    "terms (pe_num and the ratio's products) cross int64 at ~3e9 docs, "
+    "so they run in DECIMAL(38,0) — exact to ~10^19 docs. Scale shape: one "
     "map-side classification pass (constant-folded stopword scores), "
     "one count aggregate, two languages-sized marginal aggregates "
     "joined broadcast — the languages^2 key space never leaves the "
@@ -1273,11 +1295,21 @@ def q207_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     colm = pred.groupBy(F.col("predicted").alias("cls")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # pe_num = sum_c row_c*col_c <= N^2 crosses int64 at ~3e9 docs (a
+    # 100 TB text corpus is ~1e10) — accumulate in DECIMAL(38,0); the
+    # N*agree / N*N products in the kappa ratio get the same promotion
+    # before their CAST AS DOUBLE (identical trees in the oracle).
     pe = (
         rowm.join(colm, "cls")
         .agg(
-            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
-            .cast("long")
+            F.coalesce(
+                F.sum(
+                    F.col("r").cast("decimal(19,0)")
+                    * F.col("c").cast("decimal(19,0)")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
             .alias("pe_num")
         )
     )
@@ -1286,10 +1318,12 @@ def q207_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").alias("n_docs"),
             F.col("agree").alias("n_agree"),
-            "pe_num",
+            F.col("pe_num").cast("string").alias("pe_num"),
             F.expr(
-                "CAST(FLOOR(CAST(n * agree - pe_num AS DOUBLE) * 1000000.0"
-                " / CAST(NULLIF(n * n - pe_num, 0) AS DOUBLE)) AS BIGINT)"
+                "CAST(FLOOR(CAST(CAST(n AS DECIMAL(19,0)) * agree - pe_num"
+                " AS DOUBLE) * 1000000.0"
+                " / CAST(NULLIF(CAST(n AS DECIMAL(19,0)) * n - pe_num, 0)"
+                " AS DOUBLE)) AS BIGINT)"
             ).alias("kappa_ppm"),
         )
     )

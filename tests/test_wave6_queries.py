@@ -152,7 +152,7 @@ def test_kappa_matches_direct(spark):
     pe_num = sum(rowm[c] * colm.get(c, 0) for c in rowm)
     want = int(np.floor((n * agree - pe_num) * 1_000_000.0 / (n * n - pe_num)))
     [row] = tq.q207_lang_id_kappa(spark, SMOKE_SF_DIR).collect()
-    assert (row.n_docs, row.n_agree, row.pe_num) == (n, agree, pe_num)
+    assert (row.n_docs, row.n_agree, int(row.pe_num)) == (n, agree, pe_num)
     assert row.kappa_ppm == want
 
 

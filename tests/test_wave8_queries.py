@@ -42,7 +42,7 @@ def test_roc_auc_matches_brute_force(spark):
     got = eq.q226_roc_auc(spark, SMOKE_SF_DIR).collect()[0]
     assert got.n_pos == len(pos)
     assert got.n_neg == len(neg)
-    assert got.num2 == num2
+    assert int(got.num2) == num2
     assert got.auc == num2 / (2.0 * len(pos) * len(neg))
     assert abs(got.gini - (2.0 * got.auc - 1.0)) < 1e-15
     assert 0.0 <= got.auc <= 1.0

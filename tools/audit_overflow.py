@@ -1,0 +1,297 @@
+"""Mechanical int64-overflow audit over the whole query registry.
+
+Four rounds running, an ANSI ARITHMETIC_OVERFLOW was found late — q118
+(PMI ratio, r5), q198 (ppm product, r5), q203 (power iteration, r6),
+q214 (OLS sum of y*y, crashed the round-6 bench) — each time with a
+docstring whose prose "proved" int64 safety while missing one term.
+This tool replaces the prose audit with two mechanical gates:
+
+1. ``--static``: walk every registered query's OPTIMIZED Spark plan and
+   extract each ``sum(<expr>)`` whose argument multiplies integer
+   columns without decimal/double promotion — the volume-growing
+   overflow class (a per-row-bounded product whose SUM crosses 2^63
+   purely through corpus growth). Every such site must appear in
+   ``tools/overflow_allowlist.json`` with a written per-row bound and
+   the corpus size at which it would cross 2^63; an unlisted site fails
+   the audit (rc=1). Expressions are normalized (attribute ids
+   stripped) so the allowlist is stable across plan re-derivations.
+
+2. ``--stress [DIR]``: build a deterministic worst-case-magnitude
+   corpus (every numeric column pinned to its max |value| observed in
+   the base tables, volume multiplied) and run EVERY registered query
+   against it with per-query fault isolation. This catches the per-row
+   domain-overflow class (q233: 1e6*dist2 at the coordinate bound) that
+   no SUM-site walk can see, at >= the scale the round bench runs.
+   Any ARITHMETIC_OVERFLOW / CAST_OVERFLOW is a failure; other errors
+   are reported (stress rows break some queries' semantic assumptions,
+   e.g. divide-by-zero guards are still honest failures to look at).
+
+Usage:
+    python tools/audit_overflow.py --static
+    python tools/audit_overflow.py --static --emit tools/overflow_allowlist.json
+    python tools/audit_overflow.py --stress [/tmp/stress_corpus] [--mult 32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALLOWLIST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "overflow_allowlist.json")
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+# ---------------------------------------------------------------------------
+# Static walk
+
+
+def _balanced(s: str, start: int) -> str:
+    """Return the balanced-paren argument starting at s[start] == '('."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1 : i]
+    return s[start + 1 :]
+
+
+def normalize(expr: str) -> str:
+    """Strip attribute ids/exprIds and collapse big literals so a site is
+    stable across analyses AND across generated per-replicate constants
+    (q232's 16 salted replicas normalize to ONE allowlist entry)."""
+    e = re.sub(r"#\d+[A-Za-z]*", "", expr)
+    e = re.sub(r"\b\d{4,}\b", "N", e)
+    e = re.sub(r"\s+", " ", e).strip()
+    return e
+
+
+def _is_int_product(arg: str) -> bool:
+    low = arg.lower()
+    if " * " not in arg:
+        return False
+    # decimal or double anywhere in the arg means the product runs
+    # promoted (CheckOverflow/decimal math or IEEE) — not the int64
+    # volume-overflow class this audit hunts.
+    if "decimal" in low or "as double" in low or "todouble" in low:
+        return False
+    # only long-typed attrs (name#12L) can reach int64 overflow by
+    # volume; double attrs (no L suffix) and float literals are IEEE.
+    return bool(re.search(r"#\d+L\b", arg))
+
+
+def sum_product_sites(plan: str) -> list[str]:
+    """All sum(<arg>) args that multiply LONG values with no
+    decimal/double promotion anywhere in the argument expression — the
+    volume-growing int64-overflow class. The optimizer extracts window
+    (and some aggregate) expressions into projected aliases
+    (``(v * v) AS _w0#5L`` … ``sum(_w0#5L)``), so when a sum's argument
+    is a bare attribute reference, one level of projection aliases is
+    resolved before classifying."""
+    # alias bindings: "(<expr>) AS name#idL" from Project/Aggregate nodes
+    bindings: dict[str, str] = {}
+    for m in re.finditer(r"\(", plan):
+        expr = "(" + _balanced(plan, m.start()) + ")"
+        tail = plan[m.start() + len(expr):]
+        am = re.match(r" AS (\w+#\d+L)\b", tail)
+        if am:
+            bindings[am.group(1)] = expr
+    sites = []
+    for m in re.finditer(r"\bsum\(", plan):
+        arg = _balanced(plan, m.end() - 1)
+        ref = re.fullmatch(r"\s*(\w+#\d+L)\s*", arg)
+        if ref and ref.group(1) in bindings:
+            arg = bindings[ref.group(1)]
+        if _is_int_product(arg):
+            sites.append(normalize(arg))
+    return sorted(set(sites))
+
+
+def collect_sites() -> dict[str, list[str]]:
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+    from retail_sales_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("overflow-audit", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    out: dict[str, list[str]] = {}
+    for name, q in sorted(registry.items()):
+        try:
+            df = q.spark_fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: PLAN ERROR {str(e).splitlines()[0][:120]}",
+                  file=sys.stderr)
+            continue
+        sites = sum_product_sites(plan)
+        if sites:
+            out[name] = sites
+    return out
+
+
+def run_static(emit: str | None) -> int:
+    sites = collect_sites()
+    if emit:
+        # Seed/refresh the allowlist skeleton: every site gets a TODO
+        # bound that a human must replace with an actual per-row bound +
+        # crossing corpus size. Existing justifications are preserved.
+        old: dict = {}
+        if os.path.exists(ALLOWLIST_PATH):
+            with open(ALLOWLIST_PATH) as f:
+                old = json.load(f)
+        merged = {
+            q: {s: old.get(q, {}).get(s, "TODO: document per-row bound")
+                for s in ss}
+            for q, ss in sorted(sites.items())
+        }
+        with open(emit, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {emit}: {sum(len(v) for v in sites.values())} sites "
+              f"across {len(sites)} queries")
+        return 0
+
+    allow: dict = {}
+    if os.path.exists(ALLOWLIST_PATH):
+        with open(ALLOWLIST_PATH) as f:
+            allow = json.load(f)
+    rc = 0
+    n_sites = 0
+    for qname, ss in sorted(sites.items()):
+        for s in ss:
+            n_sites += 1
+            just = allow.get(qname, {}).get(s)
+            if not just or just.startswith("TODO"):
+                rc = 1
+                print(f"UNJUSTIFIED {qname}: sum({s})")
+    # stale allowlist entries (query/site no longer in any plan) are an
+    # error too — a bound documented for code that changed is no bound.
+    for qname, entries in sorted(allow.items()):
+        for s in entries:
+            if s not in sites.get(qname, []):
+                rc = 1
+                print(f"STALE ALLOWLIST {qname}: sum({s})")
+    print(f"static audit: {n_sites} sum-of-int-product sites across "
+          f"{len(sites)} queries -> {'GREEN' if rc == 0 else 'RED'}")
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# Max-magnitude stress corpus
+
+
+def build_stress(spark, out_dir: str, mult: int) -> None:
+    """Worst-case-magnitude corpus: per table, pin every numeric column
+    to its max |value| (sign kept positive), replicate rows x mult.
+    Keys/strings/timestamps are copied verbatim so joins and parses
+    still work; only magnitudes are maximized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        num_cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (T.IntegerType, T.LongType,
+                                       T.DoubleType, T.FloatType,
+                                       T.DecimalType, T.ShortType))
+            and not f.name.endswith("key")        # join keys stay real
+            and f.name not in ("doc_id", "vec_id", "event_id", "user_id",
+                               "label", "load_seq", "l_linenumber")
+        ]
+        maxes = {}
+        if num_cols:
+            row = df.agg(*[F.max(F.abs(F.col(c))).alias(c) for c in num_cols]
+                         ).collect()[0]
+            maxes = {c: row[c] for c in num_cols}
+        proj = [
+            F.lit(maxes[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in maxes and maxes[f.name] is not None
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        big = df.select(*proj)
+        if mult > 1:
+            big = big.crossJoin(
+                spark.range(mult).select(F.col("id").alias("__rep"))
+            ).drop("__rep")
+        big.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"stress {t}: {len(maxes)} cols pinned, x{mult}", file=sys.stderr)
+
+
+OVERFLOW_MARKERS = ("ARITHMETIC_OVERFLOW", "CAST_OVERFLOW", "overflow",
+                    "NUMERIC_VALUE_OUT_OF_RANGE")
+
+
+def run_stress(out_dir: str, mult: int) -> int:
+    from retail_sales_etl_pipeline_spark.plans.registry import load_all
+    from retail_sales_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("overflow-stress", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        build_stress(spark, out_dir, mult)
+    registry = load_all()
+    overflows: dict[str, str] = {}
+    others: dict[str, str] = {}
+    for name, q in sorted(registry.items()):
+        t0 = time.time()
+        try:
+            q.spark_fn(spark, out_dir).write.format("noop").mode(
+                "overwrite").save()
+            print(f"ok    {name} [{time.time() - t0:.1f}s]", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            first = msg.strip().splitlines()[0][:200]
+            if any(k.lower() in msg.lower() for k in OVERFLOW_MARKERS):
+                overflows[name] = first
+                print(f"OVERFLOW {name}: {first}")
+            else:
+                others[name] = first
+                print(f"err   {name}: {first}", file=sys.stderr)
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    print(json.dumps({"metric": "overflow_stress", "mult": mult,
+                      "overflows": overflows,
+                      "other_errors": sorted(others),
+                      "n_ok": len(registry) - len(overflows) - len(others)}))
+    return 1 if overflows else 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if "--static" in args:
+        emit = None
+        if "--emit" in args:
+            emit = args[args.index("--emit") + 1]
+        return run_static(emit)
+    if "--stress" in args:
+        rest = [a for a in args if a != "--stress" and not a.startswith("--mult")
+                and a not in ("",)]
+        mult = 32
+        if "--mult" in args:
+            mult = int(args[args.index("--mult") + 1])
+            i = rest.index(str(mult)) if str(mult) in rest else -1
+            if i >= 0:
+                rest.pop(i)
+        out_dir = rest[0] if rest else "/tmp/stress_corpus"
+        return run_stress(out_dir, mult)
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
