@@ -2260,23 +2260,23 @@ def q198_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
                * (CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)
-           ) / (
+           ) / NULLIF(
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
                * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
                * (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
-           ) AS beta_qty_cents,
+           , 0.0) AS beta_qty_cents,
            (
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
                * (CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
                * (CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)
-           ) / (
+           ) / NULLIF(
              (CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
                * (CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
              - (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
                * (CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2)
-           ) AS beta_disc_cents
+           , 0.0) AS beta_disc_cents
     FROM s
     """,
     doc="Closed-form multiple linear regression (OLS) of lineitem "
@@ -2349,10 +2349,10 @@ def q214_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx1y").cast("string").alias("sx1y"),
         F.col("sx2y").cast("string").alias("sx2y"),
         F.col("syy").cast("string").alias("syy"),
-        F.expr(f"({s22} * {s1y} - {s12} * {s2y}) / {det}").alias(
+        F.expr(f"({s22} * {s1y} - {s12} * {s2y}) / NULLIF({det}, 0.0D)").alias(
             "beta_qty_cents"
         ),
-        F.expr(f"({s11} * {s2y} - {s12} * {s1y}) / {det}").alias(
+        F.expr(f"({s11} * {s2y} - {s12} * {s1y}) / NULLIF({det}, 0.0D)").alias(
             "beta_disc_cents"
         ),
     )

@@ -1516,9 +1516,9 @@ CSPLIT_A, CSPLIT_B = 439_759_219, 886_731_089
     oracle=f"""
     WITH comp AS ({_registered_oracle("q60_neardup_components")})
     SELECT doc_id, component_id,
-           CASE WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+           CASE WHEN ({CSPLIT_A} * (component_id % 1000000007) + {CSPLIT_B}) % 100
                      < {80} THEN 'train'
-                WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                WHEN ({CSPLIT_A} * (component_id % 1000000007) + {CSPLIT_B}) % 100
                      < {90} THEN 'val'
                 ELSE 'test' END AS split
     FROM comp
@@ -1538,7 +1538,10 @@ CSPLIT_A, CSPLIT_B = 439_759_219, 886_731_089
 )
 def q153_component_keyed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q60_neardup_components(spark, sf_dir)
-    slot = (F.lit(CSPLIT_A) * F.col("component_id") + F.lit(CSPLIT_B)) % 100
+    slot = (
+        F.lit(CSPLIT_A) * (F.col("component_id") % 1_000_000_007)
+        + F.lit(CSPLIT_B)
+    ) % 100
     return comp.select(
         "doc_id",
         "component_id",
@@ -1580,7 +1583,10 @@ def component_rollup(comp: DataFrame) -> DataFrame:
     spliced verbatim). One shuffle on component_id (the window); the split
     is a map-side affine transform."""
     size_w = Window.partitionBy("component_id")
-    slot = (F.lit(CSPLIT_A) * F.col("component_id") + F.lit(CSPLIT_B)) % 100
+    slot = (
+        F.lit(CSPLIT_A) * (F.col("component_id") % 1_000_000_007)
+        + F.lit(CSPLIT_B)
+    ) % 100
     return comp.select(
         "doc_id",
         "component_id",
@@ -1599,9 +1605,9 @@ def component_rollup(comp: DataFrame) -> DataFrame:
     SELECT doc_id, component_id,
            CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
                AS cluster_size,
-           CASE WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+           CASE WHEN ({CSPLIT_A} * (component_id % 1000000007) + {CSPLIT_B}) % 100
                      < 80 THEN 'train'
-                WHEN ({CSPLIT_A} * component_id + {CSPLIT_B}) % 100
+                WHEN ({CSPLIT_A} * (component_id % 1000000007) + {CSPLIT_B}) % 100
                      < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM comp

@@ -2625,8 +2625,8 @@ def q191_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(
              CAST(n * sxy - sx * sy AS DOUBLE)
              * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE))
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE), 0.0)
            ) AS BIGINT) AS r2_ppm
     FROM sums
     """,
@@ -2682,8 +2682,8 @@ def q192_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """CAST(FLOOR(
              CAST(n * sxy - sx * sy AS DOUBLE)
              * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0D
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE))
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE), 0.0)
            ) AS BIGINT) AS r2_ppm""",
     )
 
@@ -2722,7 +2722,7 @@ _RHO_CASE = (
     oracle=f"""
     WITH hashed AS (
       SELECT event_type,
-             ({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD} AS h
+             ({HLL_SALT_A} * (user_id % {_HLL_MOD}) + {HLL_SALT_B}) % {_HLL_MOD} AS h
       FROM events WHERE user_id IS NOT NULL
     ),
     rho AS (
@@ -2795,7 +2795,8 @@ def q213_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = ev.select(
         "event_type",
         (
-            (F.lit(HLL_SALT_A) * F.col("user_id") + F.lit(HLL_SALT_B))
+            (F.lit(HLL_SALT_A) * (F.col("user_id") % F.lit(_HLL_MOD))
+            + F.lit(HLL_SALT_B))
             % F.lit(_HLL_MOD)
         ).alias("h"),
     )
@@ -3070,8 +3071,8 @@ def q220_event_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              h % {HLL_M} AS bucket, {_RHO_CASE} AS r
       FROM (
         SELECT event_type, ts,
-               ({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD} AS h,
-               (({HLL_SALT_A} * user_id + {HLL_SALT_B}) % {_HLL_MOD})
+               ({HLL_SALT_A} * (user_id % {_HLL_MOD}) + {HLL_SALT_B}) % {_HLL_MOD} AS h,
+               (({HLL_SALT_A} * (user_id % {_HLL_MOD}) + {HLL_SALT_B}) % {_HLL_MOD})
                  // {HLL_M} AS w
         FROM events WHERE user_id IS NOT NULL
       )
@@ -3138,7 +3139,8 @@ def q221_hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").alias("day"),
         (
-            (F.lit(HLL_SALT_A) * F.col("user_id") + F.lit(HLL_SALT_B))
+            (F.lit(HLL_SALT_A) * (F.col("user_id") % F.lit(_HLL_MOD))
+            + F.lit(HLL_SALT_B))
             % F.lit(_HLL_MOD)
         ).alias("h"),
     ).select(

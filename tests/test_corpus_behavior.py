@@ -183,7 +183,10 @@ def test_embedding_standardize_matches_numpy(spark):
     assert list(out.index) == list(range(1, M.shape[1] + 1))
     assert (out["n"] == len(M)).all()
     assert (out["s1"].to_numpy() == X.sum(axis=0)).all()
-    assert (out["s2"].to_numpy() == (X.astype(object) ** 2).sum(axis=0)).all()
+    # s2 is a DECIMAL(38,0) rendered as string (round-7 overflow fix)
+    assert (
+        out["s2"].map(int).to_numpy() == (X.astype(object) ** 2).sum(axis=0)
+    ).all()
     np.testing.assert_allclose(
         out["mean_micros"].to_numpy(), X.mean(axis=0), rtol=1e-12
     )

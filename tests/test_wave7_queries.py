@@ -217,7 +217,11 @@ def test_ols_matches_numpy(spark):
     assert row.sx1 == x1.sum() and row.sx2 == x2.sum() and row.sy == y.sum()
     assert row.sx1x1 == (x1 * x1).sum() and row.sx2x2 == (x2 * x2).sum()
     assert row.sx1x2 == (x1 * x2).sum()
-    assert row.sx1y == (x1 * y).sum() and row.sx2y == (x2 * y).sum()
+    # y-bearing cross-moments are DECIMAL(38,0) rendered as strings
+    # (round-7 overflow fix); compare in exact Python ints
+    assert int(row.sx1y) == int((x1.astype(object) * y.astype(object)).sum())
+    assert int(row.sx2y) == int((x2.astype(object) * y.astype(object)).sum())
+    assert int(row.syy) == int((y.astype(object) * y.astype(object)).sum())
     X = np.column_stack([np.ones(len(li)), x1, x2]).astype(np.float64)
     beta = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)[0]
     assert math.isclose(row.beta_qty_cents, beta[1], rel_tol=1e-9)

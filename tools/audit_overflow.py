@@ -191,25 +191,36 @@ def run_static(emit: str | None) -> int:
 # Max-magnitude stress corpus
 
 
+KEY_COLS = ("doc_id", "vec_id", "event_id", "user_id")
+KEY_OFFSET = 10**12  # replica key offset: far above any real id, well under 2^63
+
+
 def build_stress(spark, out_dir: str, mult: int) -> None:
-    """Worst-case-magnitude corpus: per table, pin every numeric column
-    to its max |value| (sign kept positive), replicate rows x mult.
-    Keys/strings/timestamps are copied verbatim so joins and parses
-    still work; only magnitudes are maximized."""
+    """Worst-case-magnitude corpus: per table, pin every numeric
+    measure column to its max |value| observed in the base tables,
+    replicate rows x mult with REPLICA-OFFSET keys (k + rep*1e12 on
+    every *key/id column, identically across tables) so referential
+    joins stay within a replica — volume multiplies, join fan-out and
+    dup-group structure don't. Strings/timestamps are copied verbatim
+    so parses and groupings still work; only magnitudes are maximized."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        key_cols = [
+            f.name for f in df.schema.fields
+            if (f.name.endswith("key") or f.name in KEY_COLS)
+            and isinstance(f.dataType, (T.IntegerType, T.LongType))
+        ]
         num_cols = [
             f.name for f in df.schema.fields
             if isinstance(f.dataType, (T.IntegerType, T.LongType,
                                        T.DoubleType, T.FloatType,
                                        T.DecimalType, T.ShortType))
-            and not f.name.endswith("key")        # join keys stay real
-            and f.name not in ("doc_id", "vec_id", "event_id", "user_id",
-                               "label", "load_seq", "l_linenumber")
+            and f.name not in key_cols
+            and f.name not in ("label", "load_seq", "l_linenumber")
         ]
         maxes = {}
         if num_cols:
@@ -219,16 +230,24 @@ def build_stress(spark, out_dir: str, mult: int) -> None:
         proj = [
             F.lit(maxes[f.name]).cast(f.dataType).alias(f.name)
             if f.name in maxes and maxes[f.name] is not None
-            else F.col(f.name)
+            else (
+                # int32 keys (nation/region) get a smaller offset that
+                # still separates replicas without overflowing INT
+                (F.col(f.name) + F.col("__rep") * F.lit(
+                    KEY_OFFSET if isinstance(f.dataType, T.LongType)
+                    else 10**6
+                )).cast(f.dataType).alias(f.name)
+                if f.name in key_cols
+                else F.col(f.name)
+            )
             for f in df.schema.fields
         ]
-        big = df.select(*proj)
-        if mult > 1:
-            big = big.crossJoin(
-                spark.range(mult).select(F.col("id").alias("__rep"))
-            ).drop("__rep")
+        big = df.crossJoin(
+            spark.range(mult).select(F.col("id").alias("__rep"))
+        ).select(*proj)
         big.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-        print(f"stress {t}: {len(maxes)} cols pinned, x{mult}", file=sys.stderr)
+        print(f"stress {t}: {len(maxes)} cols pinned, {len(key_cols)} keys "
+              f"offset, x{mult}", file=sys.stderr)
 
 
 OVERFLOW_MARKERS = ("ARITHMETIC_OVERFLOW", "CAST_OVERFLOW", "overflow",
