@@ -3418,3 +3418,126 @@ def q236_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / 1000000.0 > {crit} AS BIGINT)"
         ).alias("reject_001"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-mergeable histogram quantiles (q240): the fourth sketch-algebra
+# proof (after q213 HLL, q219 KMV, q221 HLL-merge) — per-shard
+# centi-bucket histograms merged by plain SUM reproduce the whole-stream
+# histogram EXACTLY, and therefore identical bucketed quantiles. This is
+# the quantile architecture that actually ships at 100 TB: each shard /
+# day / partition keeps a bounded bucket->count map (mergeable, tiny),
+# the global P50/P90/P99 read off the merged CDF — no global sort ever,
+# and unlike rank-based exact quantiles the merge is associative so
+# incremental daily rollups compose. Exactness is to bucket resolution
+# (centi-units here), which is the documented contract — the identity
+# below proves the MERGE is lossless, the only approximation is the
+# binning itself, chosen once.
+
+QTL_PPM = (500_000, 900_000, 990_000)  # P50 / P90 / P99
+
+
+@register(
+    "q240_histogram_quantile_merge",
+    oracle=f"""
+    WITH shard AS (
+      SELECT event_type AS shard, CAST(FLOOR(value * 100.0) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM shard GROUP BY b
+    ),
+    direct AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    mcdf AS (
+      SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum,
+             SUM(cnt) OVER () AS n FROM merged
+    ),
+    dcdf AS (
+      SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum,
+             SUM(cnt) OVER () AS n FROM direct
+    ),
+    mq AS (
+      SELECT q.ppm, MIN(b) AS qb
+      FROM mcdf CROSS JOIN (VALUES {", ".join(f"({p})" for p in QTL_PPM)})
+          AS q(ppm)
+      WHERE 1000000 * cum >= q.ppm * n GROUP BY q.ppm
+    ),
+    dq AS (
+      SELECT q.ppm, MIN(b) AS qb
+      FROM dcdf CROSS JOIN (VALUES {", ".join(f"({p})" for p in QTL_PPM)})
+          AS q(ppm)
+      WHERE 1000000 * cum >= q.ppm * n GROUP BY q.ppm
+    )
+    SELECT CAST(mq.ppm AS BIGINT) AS ppm,
+           CAST(mq.qb AS BIGINT) AS merged_bucket_centi,
+           CAST(dq.qb AS BIGINT) AS direct_bucket_centi,
+           CAST(mq.qb = dq.qb AS BIGINT) AS merge_identity_holds
+    FROM mq JOIN dq ON dq.ppm = mq.ppm
+    """,
+    doc="Shard-mergeable histogram quantiles with an in-query merge-"
+    "identity proof: per-event_type centi-bucket histograms (the shard "
+    "sketches a 100 TB deployment keeps per partition/day) merged by "
+    "SUM, the global P50/P90/P99 read off the merged cumulative "
+    "histogram — and, in the same result, the direct whole-stream "
+    "bucketed quantiles, with a per-quantile equality flag proving the "
+    "merge is LOSSLESS (associative integer sums; the only "
+    "approximation is the bucket width, chosen once). Quantile rule: "
+    "smallest bucket whose cumulative count reaches ppm*n / 1e6, exact "
+    "integer comparison (1e6*cum vs ppm*n: cum <= n so the left side "
+    "crosses int64 only past 9.2e12 rows; n*ppm <= 1e6*n, same bound). "
+    "Scale shape: two grouped counts (map-side combined), windows over "
+    "the BOUNDED bucket frame (~56K rows at any corpus size — the "
+    "histogram-CDF pattern), a 3-row join out. Unlike percentile_approx "
+    "(q82, rows-only) this is hash-exact in both engines AND "
+    "shard-composable: day N+1's histogram SUM-merges into the rollup "
+    "without touching history.",
+    tags=("events", "sketch", "window", "aggregate"),
+)
+def q240_histogram_quantile_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shard = ev.groupBy(
+        F.col("event_type").alias("shard"),
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    merged = shard.groupBy("b").agg(F.sum("cnt").cast("long").alias("cnt"))
+    direct = ev.groupBy(
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    qs = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(p) + 'L' for p in QTL_PPM)})) AS ppm"
+    )
+
+    def cdf_quantiles(b: DataFrame, out: str) -> DataFrame:
+        cdf = b.select(
+            "b",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        return (
+            cdf.crossJoin(F.broadcast(qs))
+            .filter(F.expr("1000000 * cum >= ppm * n"))
+            .groupBy("ppm")
+            .agg(F.min("b").cast("long").alias(out))
+        )
+
+    mq = cdf_quantiles(merged, "merged_bucket_centi")
+    dq = cdf_quantiles(direct, "direct_bucket_centi")
+    return mq.join(dq, "ppm").select(
+        F.col("ppm").cast("long").alias("ppm"),
+        "merged_bucket_centi",
+        "direct_bucket_centi",
+        (F.col("merged_bucket_centi") == F.col("direct_bucket_centi"))
+        .cast("long")
+        .alias("merge_identity_holds"),
+    )

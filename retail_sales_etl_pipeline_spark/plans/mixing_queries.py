@@ -1276,3 +1276,80 @@ def q235_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shuffle_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (q238): the Efraimidis–Spirakis A-ES
+# scheme — draw k documents with probability proportional to weight
+# (here n_chars, the token-budget proxy) in ONE pass, no global state:
+# each row gets key u^(1/w) for uniform u, the sample is the top-k keys.
+# This is how "sample 1M docs proportional to length" actually runs at
+# 100 TB: the key is a pure map-side expression and top-k is a
+# TakeOrdered (per-partition heaps + driver merge of k rows), never a
+# global sort. Deterministic u from the content hash (reproducible,
+# partition-independent); the ranking uses ln(u)/w in integer
+# nano-units — monotone in u^(1/w) — so survivor selection is an exact
+# integer comparison in both engines (q118's micro-nat convention: the
+# only float is one ln per row, rounded to fixed point with measured
+# ~0.005-micronat boundary headroom).
+
+RES_K = 100
+RES_SALT_A, RES_SALT_B = 607_093_751, 274_177_321
+
+
+@register(
+    "q238_weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             (CAST(FLOOR(ln(CAST(({RES_SALT_A} * ({_HASH_DUCK})
+                              + {RES_SALT_B})
+                              % 1000000 + 1 AS DOUBLE) / 1000000.0)
+                         * 1000000.0 + 0.5) AS BIGINT) * 1000000)
+               // GREATEST(CAST(n_chars AS BIGINT), 1) AS key_nano
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars, key_nano, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {RES_K}
+    """,
+    doc=f"One-pass weighted reservoir sample (Efraimidis-Spirakis A-ES): "
+    f"top-{RES_K} documents by key u^(1/w), ranked as the exact integer "
+    "ln(u)/w in nano-units per char-weight — selection probability "
+    "proportional to n_chars, the standard length-proportional draw for "
+    "token-budget mixture construction (long docs carry more tokens, so "
+    "doc-uniform sampling biases the TOKEN distribution; A-ES undoes "
+    "that in one scan). u is a salted affine transform of the content "
+    "hash (deterministic, reproducible, partition-independent; hash < "
+    "1e9+7 by construction so the affine product stays < 7e17). "
+    "Magnitudes: ln(u) in [-13.9e6, 0] micro-nats, times 1e6 and "
+    "divided by w >= 1 -> |key| <= 1.39e13, int64-exact; both engines "
+    "truncate the division toward zero identically. Scale shape: "
+    "map-side key + TakeOrdered(k) — per-partition bounded heaps, a "
+    f"k-row driver merge, no global sort; the {RES_K}-row window for "
+    "rnk runs AFTER the limit. The one float is ln (q118 convention: "
+    "fixed-point rounding with measured boundary headroom).",
+    tags=("mixing", "sampling", "topk"),
+)
+def q238_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            f"(CAST(FLOOR(ln(CAST(({RES_SALT_A} * ({_HASH_SPARK})"
+            f" + {RES_SALT_B}) % 1000000 + 1 AS DOUBLE) / 1000000.0)"
+            " * 1000000.0 + 0.5) AS BIGINT) * 1000000)"
+            " div GREATEST(CAST(n_chars AS BIGINT), 1)"
+        ).alias("key_nano"),
+    )
+    top = keyed.orderBy(F.desc("key_nano"), F.asc("doc_id")).limit(RES_K)
+    w = Window.orderBy(F.desc("key_nano"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -867,3 +867,97 @@ def q127_sparse_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(w).cast("int"))
         .withColumn("score_ppm", F.col("score_ppm").cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking (q239): fixed-size token windows with stride — the
+# document segmentation every retrieval corpus build runs before
+# embedding (chunk-level vectors, not doc-level; overlap so no answer
+# span straddles a boundary unseen). Chunk identity is (doc_id,
+# chunk_idx) plus a content fingerprint (the shared polynomial hash of
+# the chunk text), which is what chunk-level dedup and incremental
+# re-embedding key on. Pure map-side: tokens -> bounded explode of
+# ceil(n/stride) window starts -> slice + hash; linear in tokens,
+# nothing shuffles, the chunk table partitions exactly like its source.
+
+RAG_CHUNK_TOKENS = 64
+RAG_CHUNK_STRIDE = 32
+
+
+def _chunk_fp_pair() -> tuple[str, str]:
+    from ..operators.text import poly_hash_pair
+
+    return poly_hash_pair(
+        "array_join(chunk, ' ')", "array_to_string(chunk, ' ')"
+    )
+
+
+@register(
+    "q239_rag_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, n, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(i * {RAG_CHUNK_STRIDE} AS BIGINT) AS start_pos,
+             list_slice(tokens, i * {RAG_CHUNK_STRIDE} + 1,
+                        LEAST(i * {RAG_CHUNK_STRIDE} + {RAG_CHUNK_TOKENS},
+                              CAST(n AS INTEGER))) AS chunk
+      FROM tok, unnest(range(0, ((n - 1) // {RAG_CHUNK_STRIDE}) + 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, start_pos,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           {{fp}} AS chunk_fp
+    FROM chunks
+    """.replace("{fp}", _chunk_fp_pair()[1]),
+    doc=f"RAG chunker: {RAG_CHUNK_TOKENS}-token windows at stride "
+    f"{RAG_CHUNK_STRIDE} (50% overlap) over whitespace tokens, emitting "
+    "(doc_id, chunk_idx, start_pos, chunk_len, chunk_fp) — the corpus "
+    "segmentation step upstream of chunk embedding, with the shared "
+    "polynomial content fingerprint as the chunk identity for "
+    "chunk-level dedup and incremental re-embedding (only chunks whose "
+    "fp changed get re-encoded). Tail chunks shorter than the window "
+    "are kept (chunk_len tells the consumer). Scale shape: one "
+    "map-side explode of ceil(n_tokens/stride) starts per doc — chunk "
+    "count is linear in corpus tokens, the fingerprint is the same "
+    "aggregate-free expression both engines share, no shuffle at all; "
+    "at 100 TB this pipelines straight into the embedding UDF with "
+    "source-file partitioning intact.",
+    tags=("search", "text", "chunking"),
+)
+def q239_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp_spark, _ = _chunk_fp_pair()
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tok = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    chunks = tok.select(
+        "doc_id",
+        "n",
+        "tokens",
+        F.explode(
+            F.expr(f"sequence(0L, (n - 1) div {RAG_CHUNK_STRIDE})")
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * RAG_CHUNK_STRIDE).cast("long").alias("start_pos"),
+        F.expr(
+            f"slice(tokens, CAST(chunk_idx * {RAG_CHUNK_STRIDE} + 1 AS INT),"
+            f" {RAG_CHUNK_TOKENS})"
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_pos",
+        F.size("chunk").cast("long").alias("chunk_len"),
+        F.expr(fp_spark).alias("chunk_fp"),
+    )

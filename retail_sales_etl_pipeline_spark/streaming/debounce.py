@@ -106,12 +106,22 @@ def debounce_events(
         if last is not None:
             state.update((last,))
             if expire:
-                # Expire when the watermark passes last_kept + gap. The
-                # +1 ms guards the boundary case watermark == last+gap
-                # (setTimeoutTimestamp requires a value strictly beyond
-                # the current watermark; rows reaching here satisfy
-                # ts >= watermark, so last+gap >= ts >= watermark).
-                state.setTimeoutTimestamp(last // 1000 + gap_ms + 1)
+                # Expire when the watermark passes last_kept + gap, but
+                # never arm below the CURRENT watermark: when every row
+                # of a key's batch was late-filtered, `last` is the old
+                # state value and last + gap may sit below the advanced
+                # watermark — setTimeoutTimestamp then throws
+                # INVALID_TIMEOUT_TIMESTAMP (caught by the round-7 100M-
+                # row run, where multi-hour batch spans advanced the
+                # watermark past idle keys). Clamping to watermark + 1 is
+                # exactly right semantically: if the watermark already
+                # passed last + gap the state is dead by the module-doc
+                # proof (every future non-late event clears the gap on
+                # its own), so it expires at the earliest legal moment.
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(last // 1000 + gap_ms + 1, wm_ms + 1)
+                )
         yield _pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
 
     return events.groupBy("user_id").applyInPandasWithState(

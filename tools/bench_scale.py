@@ -128,6 +128,10 @@ MARQUEE_100X = {
     "q234_modularity_score", "q235_curriculum_buckets",
     # round 6 seventh wave: bucket-CDF KS drift, budgeted curation cut
     "q236_ks_drift_test", "q237_token_budget_selection",
+    # round 7: A-ES weighted reservoir, RAG chunker, mergeable
+    # histogram quantiles
+    "q238_weighted_reservoir_sample", "q239_rag_chunks",
+    "q240_histogram_quantile_merge",
 }
 
 

@@ -105,21 +105,69 @@ def main() -> None:
 
     ev = spark.read.parquet(events_path)
     n_rows = ev.count()
-    w = Window.orderBy("ts", "event_id")
-    sliced = ev.withColumn(
-        "slice",
-        ((F.row_number().over(w) - 1) * n_files / n_rows).cast("int"),
-    )
-    sliced.cache()
-    for k in range(n_files):
+    probe = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    if probe.lo == 0 and probe.hi == n_rows - 1:
+        # Generated corpora carry DENSE ORDINAL event_ids assigned in
+        # time order (gen_scale_corpus sorts ts and ids in lockstep), so
+        # the time-ordered slice is a pure MAP expression — no global
+        # window. The round-7 1000x attempt proved the window form does
+        # not survive 100M rows in one partition (single-task sort +
+        # one giant cache block killed the JVM); this path writes all
+        # slices in ONE partitioned pass instead of n_files re-scans.
+        sliced = ev.withColumn(
+            "slice",
+            (F.col("event_id") * n_files / F.lit(n_rows)).cast("int"),
+        )
+        # ONE time-sorted file per slice: repartition by slice (each
+        # slice lands wholly in one task) and sort within the task, so
+        # every micro-batch file honors the debounce's arrival-order ==
+        # event-time-order contract. A plain partitionBy write emits one
+        # part file PER INPUT TASK per slice with identical mtimes —
+        # multi-hour disorder inside a slice, which is what surfaced the
+        # operator's late-key timeout bug at 100M rows.
         (
-            sliced.filter(F.col("slice") == k)
-            .drop("slice")
-            .coalesce(1)
-            .write.mode("append")
+            sliced.repartition(n_files, "slice")
+            .sortWithinPartitions("ts", "event_id")
+            .write.partitionBy("slice")
+            .mode("overwrite")
             .parquet(src_dir)
         )
-    sliced.unpersist()
+        # the file source orders discovered files by modification time;
+        # re-stamp them in slice order so micro-batches arrive in event
+        # time, exactly like the sequential writes did.
+        import glob as _glob
+        import re as _re
+
+        t0 = time.time() - n_files * 2
+        for d in sorted(
+            _glob.glob(os.path.join(src_dir, "slice=*")),
+            key=lambda p: int(_re.search(r"slice=(\d+)", p).group(1)),
+        ):
+            k = int(_re.search(r"slice=(\d+)", d).group(1))
+            for fpath in _glob.glob(os.path.join(d, "*.parquet")):
+                os.utime(fpath, (t0 + 2 * k, t0 + 2 * k))
+    else:
+        w = Window.orderBy("ts", "event_id")
+        sliced = ev.withColumn(
+            "slice",
+            # row_number is INT: at 100M rows * 200 files the product
+            # crosses int32 under ANSI — promote to long first
+            (
+                (F.row_number().over(w).cast("long") - 1) * n_files / n_rows
+            ).cast("int"),
+        )
+        sliced.cache()
+        for k in range(n_files):
+            (
+                sliced.filter(F.col("slice") == k)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+        sliced.unpersist()
 
     results: dict[str, dict] = {"n_rows": n_rows, "n_files": n_files,
                                 "events_path": events_path,
