@@ -79,6 +79,58 @@ def test_windowed_sum_product_flagged(spark):
     assert any("v * v" in s for s in sites), sites
 
 
+def test_mixed_marker_sum_still_flagged(spark):
+    """r7-advisory regression: a decimal marker in ONE subexpression must
+    not suppress the flag on a sibling unpromoted long*long product —
+    sum(y*y + cast(cast(y as decimal) as long)) accumulates in int64
+    (every additive operand is long-typed) with a product-scale term, yet
+    the old whole-argument substring check saw 'decimal' and skipped it.
+    Typing is per node now."""
+    df = (
+        spark.range(100)
+        .select((F.col("id") * 100000).alias("y"))
+        .agg(
+            F.sum(
+                F.col("y") * F.col("y")
+                + F.col("y").cast("decimal(10,0)").cast("long")
+            ).alias("s")
+        )
+    )
+    sites = sum_product_sites(_plan(df))
+    assert any("y * y" in s for s in sites), sites
+
+
+def test_long_cast_of_decimal_product_flagged(spark):
+    """A decimal-promoted product cast BACK to long re-enters the int64
+    accumulation class at product magnitude — the promotion was undone
+    before the sum buffer. Must flag (the old check saw 'decimal' and
+    skipped)."""
+    d = F.col("y").cast("decimal(19,0)")
+    df = (
+        spark.range(100)
+        .select((F.col("id") * 100000).alias("y"))
+        .agg(F.sum((d * d).cast("long")).alias("s"))
+    )
+    assert sum_product_sites(_plan(df)) != []
+
+
+def test_double_promoted_mixed_sum_not_flagged(spark):
+    """Converse: when Spark coerces the whole argument to double
+    (sum(y*y + cast(y as double)) → IEEE accumulation), there is no
+    volume class to flag — the interior long product is the per-row
+    domain class the --stress gate covers, not this walk."""
+    df = (
+        spark.range(100)
+        .select((F.col("id") * 100000).alias("y"))
+        .agg(
+            F.sum(
+                F.col("y") * F.col("y") + F.col("y").cast("double")
+            ).alias("s")
+        )
+    )
+    assert sum_product_sites(_plan(df)) == []
+
+
 def test_normalize_collapses_generated_constants():
     """Per-replicate salt literals normalize to one allowlist entry."""
     a = normalize("(key#12L * 614889281)")

@@ -77,18 +77,109 @@ def normalize(expr: str) -> str:
     return e
 
 
-def _is_int_product(arg: str) -> bool:
-    low = arg.lower()
-    if " * " not in arg:
-        return False
-    # decimal or double anywhere in the arg means the product runs
-    # promoted (CheckOverflow/decimal math or IEEE) — not the int64
-    # volume-overflow class this audit hunts.
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")") and _balanced(s, 0) == s[1:-1]:
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_top(s: str, ops: tuple[str, ...]) -> list[str]:
+    """Split on any of the operator tokens at paren depth 0."""
+    parts: list[str] = []
+    depth = start = i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            hit = next((op for op in ops if s.startswith(op, i)), None)
+            if hit:
+                parts.append(s[start:i])
+                i += len(hit)
+                start = i
+                continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _unwrap_cast(t: str) -> tuple[str, str] | None:
+    """If t is exactly ``cast(<expr> as <type>)``, return (expr, type)
+    — matched paren-balanced (a naive regex mis-splits
+    ``cast(a as bigint) * cast(b as bigint)``)."""
+    if not t.lower().startswith("cast("):
+        return None
+    inner = _balanced(t, 4)
+    if len("cast(") + len(inner) + 1 != len(t):
+        return None
+    depth = 0
+    pos = -1
+    for i, c in enumerate(inner):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and inner[i : i + 4] == " as ":
+            pos = i
+    if pos < 0:
+        return None
+    return inner[:pos].strip(), inner[pos + 4 :].strip()
+
+
+INT_TYPES = ("bigint", "long", "int", "smallint", "tinyint")
+
+
+def _expr_is_long(expr: str) -> bool:
+    """Recursive integer-typedness of a plan expression: does its VALUE
+    run in int-family arithmetic (so a SUM over it accumulates int64)?
+    Replaces the r1–r7 whole-argument substring check, whose
+    false-negative class the r7 advisory named: a decimal/double marker
+    ANYWHERE in the argument suppressed the flag, so
+    ``sum(a#L * b#L + cast(cast(c as decimal(10,0)) as bigint))`` — a
+    long-accumulating sum with an unpromoted long product — was never
+    audited. Typing is per node: casts type as their TARGET, compound
+    arithmetic types from its operands, markers only suppress the leaf
+    they actually promote."""
+    t = _strip_parens(expr)
+    c = _unwrap_cast(t)
+    if c:
+        return c[1].split("(")[0].strip().lower() in INT_TYPES
+    low = t.lower()
+    sub = _split_top(t, (" + ", " - ", " * ", " div "))
+    if len(sub) > 1:
+        # Spark coerces all operands of an arithmetic node to one type
+        return all(_expr_is_long(s) for s in sub)
     if "decimal" in low or "as double" in low or "todouble" in low:
         return False
-    # only long-typed attrs (name#12L) can reach int64 overflow by
-    # volume; double attrs (no L suffix) and float literals are IEEE.
-    return bool(re.search(r"#\d+L\b", arg))
+    if re.fullmatch(r"\w+#\d+L", t):
+        return True  # long attr
+    if re.fullmatch(r"-?\d+", t) or t == "N":
+        return True  # integer literal
+    if re.fullmatch(r"\w+#\d+[A-Za-z]*", t):
+        return False  # typed attr without L suffix (int/double/decimal)
+    # unknown shape with no promotion marker (function call, CASE, ...):
+    # the result type is NOT derivable from attr suffixes inside it —
+    # shiftleft(1, 16 - rn#7) returns the base's long type though rn is
+    # int, CASE WHEN (i#3 = j#4) THEN 1 ELSE 2 types from its branches
+    # not its predicate attrs — so err toward the int-family class and
+    # let the allowlist review, not the parser, clear the site.
+    return True
+
+
+def _is_int_product(arg: str) -> bool:
+    """The volume-growing int64-overflow class: the sum ACCUMULATES in
+    int-family arithmetic (arg types long, so the buffer is int64) and
+    the per-row value is product-scale (a multiplication involving at
+    least one attribute appears in the argument). Promoted accumulation
+    (decimal/double arg) is volume-safe whatever runs inside — interior
+    unpromoted products there are the per-row class the --stress gate
+    covers."""
+    if " * " not in arg or not re.search(r"#\d+", arg):
+        return False
+    return _expr_is_long(arg)
 
 
 def sum_product_sites(plan: str) -> list[str]:
@@ -291,25 +382,30 @@ def run_stress(out_dir: str, mult: int) -> int:
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    if "--static" in args:
-        emit = None
-        if "--emit" in args:
-            emit = args[args.index("--emit") + 1]
-        return run_static(emit)
-    if "--stress" in args:
-        rest = [a for a in args if a != "--stress" and not a.startswith("--mult")
-                and a not in ("",)]
-        mult = 32
-        if "--mult" in args:
-            mult = int(args[args.index("--mult") + 1])
-            i = rest.index(str(mult)) if str(mult) in rest else -1
-            if i >= 0:
-                rest.pop(i)
-        out_dir = rest[0] if rest else "/tmp/stress_corpus"
-        return run_stress(out_dir, mult)
-    print(__doc__)
-    return 2
+    # argparse (r7 advisory): the hand-rolled parser silently ignored
+    # `--mult=N` (filtered but never parsed → default 32) and could pop a
+    # positional out_dir that textually equalled the mult value.
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--static", action="store_true",
+                      help="walk optimized plans for unjustified sum-of-int-product sites")
+    mode.add_argument("--stress", action="store_true",
+                      help="run every query against a max-magnitude corpus")
+    p.add_argument("--emit", metavar="PATH", default=None,
+                   help="(--static) write/refresh the allowlist skeleton")
+    p.add_argument("out_dir", nargs="?", default="/tmp/stress_corpus",
+                   help="(--stress) stress-corpus directory")
+    p.add_argument("--mult", type=int, default=32,
+                   help="(--stress) volume multiplier (default 32)")
+    a = p.parse_args()
+    if a.static:
+        return run_static(a.emit)
+    return run_stress(a.out_dir, a.mult)
 
 
 if __name__ == "__main__":

@@ -105,10 +105,17 @@ def main() -> None:
 
     ev = spark.read.parquet(events_path)
     n_rows = ev.count()
+    # min==0 and max==n-1 alone admit duplicated/gapped ids (r7 advisory):
+    # such a corpus would pass the probe yet slice unevenly with
+    # within-slice event-time disorder, silently violating the debounce's
+    # arrival-order contract. countDistinct==n_rows closes that — min/max
+    # pinned at the ends + n distinct values forces exactly {0..n-1}.
     probe = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.countDistinct("event_id").alias("nd"),
     ).collect()[0]
-    if probe.lo == 0 and probe.hi == n_rows - 1:
+    if probe.lo == 0 and probe.hi == n_rows - 1 and probe.nd == n_rows:
         # Generated corpora carry DENSE ORDINAL event_ids assigned in
         # time order (gen_scale_corpus sorts ts and ids in lockstep), so
         # the time-ordered slice is a pure MAP expression — no global
