@@ -3541,3 +3541,180 @@ def q240_histogram_quantile_merge(
         .cast("long")
         .alias("merge_identity_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic KLL-style quantile sketch (q241): the value-domain-free
+# sibling of q240's fixed-width histogram. q240's merge is lossless but
+# needs a bucket width chosen once per metric; the KLL/MRL compactor
+# family (operators/kll.py — deterministic variant of the DataSketches
+# KLL) needs NOTHING about the value domain and certifies a worst-case
+# rank error it carries as an exact integer budget. The query is its own
+# proof harness: per-shard sketches built distributedly (Arrow grouped
+# map), merged on the driver, and the merged estimates checked IN-QUERY
+# against exact ranks from the full histogram — the certified flag is
+# the committed merge proof.
+
+KLL_K = 256  # compactor capacity: worst-case rank error ~ 2e6/K ppm
+# Shard key = (event_type, event_id mod KLL_SHARD_BUCKETS): the grouped
+# map materializes ONE SHARD per pandas group, so shard granularity —
+# not stream size — bounds worker memory; a deployment sizes the bucket
+# count to its partition volume (the merge is grouping-invariant in its
+# guarantee, so finer sharding costs nothing but a few more tiny
+# sketches to merge).
+KLL_SHARD_BUCKETS = 16
+
+
+@register(
+    "q241_kll_quantile_sketch",
+    oracle=None,  # compactor internals aren't SQL-expressible: declared
+    # rows-only (the q38/q82 convention); the certification columns are
+    # the in-query proof, and tests/test_kll.py value-checks the sketch
+    # against a pure-Python reference plus exact ranks.
+    doc=f"Deterministic KLL/MRL quantile sketch over floor(value*100) "
+    f"centi-units, K={KLL_K}: one bounded sketch per event_type shard "
+    "(applyInPandas — each shard's sorted buffer hierarchy compacts by "
+    "keeping the second of each adjacent pair, weight doubling per "
+    "level), merged on the driver by per-level concatenation + "
+    "re-compaction. Every compaction adds its level weight 2^h to an "
+    "exact integer error budget; the output certifies, per quantile, "
+    "that |sketch_rank(estimate) - true_rank(estimate)| <= budget "
+    "(certified=1) and that the merged sketch's total weight equals the "
+    "stream count exactly (weight_preserved=1) — the self-certifying "
+    "merge contract that makes the sketch safe to roll up shard-by-"
+    "shard at 100 TB without ever re-reading history. true_rank / "
+    "exact_centi come from the exact bounded centi-histogram (the q240 "
+    "frame) and exist only as the proof harness; production reads the "
+    "sketch alone. Scale shape: one grouped-map pass builds shard "
+    "sketches of <= ~K*log2(n/K) retained items each; only sketches "
+    "travel to the driver.",
+    tags=("events", "sketch", "quantile"),
+)
+def q241_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.kll import (
+        merge_sketches,
+        sketch_items,
+        sketch_quantile,
+        sketch_rank,
+        total_weight,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    centi = ev.select(
+        F.expr(
+            f"concat(event_type, '#', CAST(event_id % {KLL_SHARD_BUCKETS}"
+            " AS STRING))"
+        ).alias("shard"),
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("c"),
+    )
+
+    k = KLL_K
+
+    def shard_sketch(pdf):
+        # worker-side build: self-contained (nested, no module globals —
+        # the driver-sim runs with a non-repo cwd); the algorithm is the
+        # exact batch build of operators/kll.py::build_sketch, asserted
+        # identical in tests/test_kll.py.
+        import numpy as np
+        import pandas as pd
+
+        levels = [np.sort(pdf["c"].to_numpy(np.int64))]
+        budget = 0
+        h = 0
+        while h < len(levels):
+            buf = levels[h]
+            if len(buf) <= k:
+                h += 1
+                continue
+            m = len(buf) // 2
+            survivors = buf[1 : 2 * m : 2]
+            levels[h] = buf[2 * m :]
+            if h + 1 == len(levels):
+                levels.append(np.empty(0, dtype=np.int64))
+            levels[h + 1] = np.sort(
+                np.concatenate([levels[h + 1], survivors])
+            )
+            budget += 1 << h
+            h += 1
+        rows = [
+            {
+                "shard": pdf["shard"].iloc[0],
+                "level": lh,
+                "val": int(v),
+                "budget": budget,
+            }
+            for lh, lvl in enumerate(levels)
+            for v in lvl
+        ]
+        return pd.DataFrame(
+            rows, columns=["shard", "level", "val", "budget"]
+        )
+
+    sk_rows = (
+        centi.groupBy("shard")
+        .applyInPandas(
+            shard_sketch, "shard string, level int, val long, budget long"
+        )
+        .collect()
+    )
+    by_shard: dict[str, dict] = {}
+    for r in sk_rows:
+        s = by_shard.setdefault(r["shard"], {"levels": {}, "budget": 0})
+        s["levels"].setdefault(r["level"], []).append(r["val"])
+        s["budget"] = r["budget"]
+    sketches = []
+    for name in sorted(by_shard):
+        s = by_shard[name]
+        n_lv = max(s["levels"]) + 1 if s["levels"] else 0
+        levels = [
+            np.sort(np.asarray(s["levels"].get(h, []), dtype=np.int64))
+            for h in range(n_lv)
+        ]
+        sketches.append((levels, s["budget"]))
+    merged, budget = merge_sketches(sketches, k)
+
+    # exact side (proof harness only): the bounded centi-bucket histogram
+    hist = (
+        ev.groupBy(
+            F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )
+    bs = np.asarray([r["b"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.asarray([r["cnt"] for r in hist], dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+
+    out = []
+    for ppm in QTL_PPM:
+        est = sketch_quantile(merged, ppm)
+        i_exact = int(np.searchsorted(1_000_000 * cum, ppm * n, "left"))
+        exact = int(bs[min(i_exact, len(bs) - 1)])
+        j = int(np.searchsorted(bs, est, "right"))
+        true_rank = int(cum[j - 1]) if j else 0
+        est_rank = sketch_rank(merged, est)
+        out.append(
+            (
+                ppm,
+                est,
+                exact,
+                est_rank,
+                true_rank,
+                budget,
+                1 if abs(est_rank - true_rank) <= budget else 0,
+                1 if total_weight(merged) == n else 0,
+                n,
+                sketch_items(merged),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "ppm long, est_centi long, exact_centi long, est_rank long, "
+        "true_rank long, budget long, certified long, "
+        "weight_preserved long, n_total long, retained_items long",
+    )

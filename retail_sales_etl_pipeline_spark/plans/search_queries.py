@@ -961,3 +961,143 @@ def q239_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("chunk_len"),
         F.expr(fp_spark).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style rerank eval (q242): the second-stage ranking every
+# production retrieval stack runs — a cheap first stage (q89's BM25+ANN
+# RRF fusion) proposes a small candidate list, then an expensive PAIR
+# scorer that sees query and candidate TOGETHER re-orders it. The
+# cross-encoder proxy here is exact token-set Jaccard between the query
+# document's token set and each candidate's (a deterministic stand-in
+# for a neural pair scorer: same data flow, same cost envelope — one
+# bounded scorer call per candidate, never per corpus row). The output
+# is the eval artifact: per candidate, first-stage rank vs reranked
+# rank and the displacement between them — the table a retrieval team
+# reads to decide whether the second stage earns its latency.
+
+RERANK_QUERY_DOC = HYBRID_QUERY_VEC  # doc_id == vec_id identity (q89)
+
+
+def _rerank_oracle() -> str:
+    from .registry import QUERIES
+
+    fused = QUERIES["q89_hybrid_rrf_retrieval"].oracle
+    return f"""
+    WITH fused AS ({fused}),
+    fr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                 AS fused_rank
+      FROM fused
+    ),
+    qt AS (
+      SELECT DISTINCT term FROM (
+        SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS term
+        FROM documents WHERE doc_id = {RERANK_QUERY_DOC})
+    ),
+    qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS qn FROM qt),
+    ct AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT fr.doc_id,
+               unnest(string_split(lower(coalesce(d.text, '')), ' ')) AS term
+        FROM fr JOIN documents d ON d.doc_id = fr.doc_id)
+    ),
+    cn AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cn FROM ct GROUP BY doc_id
+    ),
+    ix AS (
+      SELECT ct.doc_id, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ct JOIN qt ON qt.term = ct.term GROUP BY ct.doc_id
+    ),
+    scored AS (
+      SELECT fr.doc_id, fr.fused_rank,
+             COALESCE(
+               (COALESCE(ix.inter, 0) * 1000000)
+                 // NULLIF(cn.cn + qn.qn - COALESCE(ix.inter, 0), 0),
+               0) AS jacc_ppm
+      FROM fr JOIN cn ON cn.doc_id = fr.doc_id
+      CROSS JOIN qn
+      LEFT JOIN ix ON ix.doc_id = fr.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, fused_rank,
+             CAST(row_number() OVER (ORDER BY jacc_ppm DESC, doc_id)
+                  AS BIGINT) AS rerank_rank,
+             CAST(jacc_ppm AS BIGINT) AS jacc_ppm
+      FROM scored
+    )
+    SELECT doc_id, fused_rank, rerank_rank, jacc_ppm,
+           CAST(fused_rank - rerank_rank AS BIGINT) AS displacement
+    FROM ranked
+    """
+
+
+@register(
+    "q242_crossencoder_rerank_eval",
+    # q89's registered oracle is spliced in as the candidate relation:
+    # the eval can never drift from the fused list it re-orders.
+    oracle=_rerank_oracle(),
+    doc="Cross-encoder-style second-stage rerank of q89's fused top-"
+    f"{HYBRID_TOP_K} list: each candidate is pair-scored against query "
+    f"doc {RERANK_QUERY_DOC} by exact distinct-token Jaccard in ppm "
+    "(integer floor-div, NULLIF-guarded for empty token unions), then "
+    "re-ranked; output is (fused_rank, rerank_rank, jacc_ppm, "
+    "displacement) per candidate — the standard two-stage retrieval "
+    "eval table. The query doc itself may appear in the candidate list "
+    "(BM25 can retrieve it); the rerank correctly puts it first — the "
+    "eval scores the fused list AS DELIVERED. Scale shape: the pair "
+    "scorer touches exactly the candidate list (20 rows joined to "
+    "their texts, query tokens broadcast), never the corpus — the "
+    "defining property of a second-stage reranker; both rank windows "
+    f"run over the bounded {HYBRID_TOP_K}-row frame. A neural "
+    "cross-encoder drops into the same plan as a mapInPandas scorer "
+    "over the same bounded candidate join.",
+    tags=("search", "fusion", "eval"),
+)
+def q242_crossencoder_rerank_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fused = q89_hybrid_rrf_retrieval(spark, sf_dir)
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    fr = fused.select(
+        "doc_id", F.row_number().over(wf).cast("long").alias("fused_rank")
+    )
+    toks = F.expr("array_distinct(split(lower(coalesce(text, '')), ' '))")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    qdoc = docs.filter(F.col("doc_id") == RERANK_QUERY_DOC).select(
+        F.col("toks").alias("qtoks")
+    )
+    scored = (
+        fr.join(docs, "doc_id")
+        .crossJoin(F.broadcast(qdoc))
+        .select(
+            "doc_id",
+            "fused_rank",
+            F.expr(
+                "COALESCE((CAST(size(array_intersect(toks, qtoks)) AS BIGINT)"
+                " * 1000000)"
+                " div NULLIF(CAST(size(toks) AS BIGINT)"
+                " + CAST(size(qtoks) AS BIGINT)"
+                " - CAST(size(array_intersect(toks, qtoks)) AS BIGINT), 0),"
+                " 0)"
+            ).alias("jacc_ppm"),
+        )
+    )
+    wr = Window.orderBy(F.desc("jacc_ppm"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "fused_rank",
+        F.row_number().over(wr).cast("long").alias("rerank_rank"),
+        F.col("jacc_ppm").cast("long").alias("jacc_ppm"),
+    ).select(
+        "doc_id",
+        "fused_rank",
+        "rerank_rank",
+        "jacc_ppm",
+        (F.col("fused_rank") - F.col("rerank_rank"))
+        .cast("long")
+        .alias("displacement"),
+    )
