@@ -143,20 +143,27 @@ def main() -> None:
     # map INTENTIONALLY absent ("queries": {}) — totals + error count only,
     # never clipped however large the registry grows. The complete per-query
     # map is committed in BENCH_LOCAL.json (written above, same run).
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {},
-                "n_queries": len(timings),
-                "errors": len(errors),
-                "sf": sf,
-                "detail": "BENCH_LOCAL.json",
-            },
-            separators=(",", ":"),
-        )
+    print(final_summary_line(total, len(timings), len(errors), sf))
+
+
+def final_summary_line(
+    total: float, n_queries: int, n_errors: int, sf: float | None
+) -> str:
+    """The LAST stdout line: registry-size-independent by construction
+    (tests pin its length under 400 bytes — the failure mode it exists
+    to prevent is the summary outgrowing the driver's capture window)."""
+    return json.dumps(
+        {
+            "metric": "registry_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "n_queries": n_queries,
+            "errors": n_errors,
+            "sf": sf,
+            "detail": "BENCH_LOCAL.json",
+        },
+        separators=(",", ":"),
     )
 
 

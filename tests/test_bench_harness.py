@@ -67,3 +67,20 @@ def test_plan_build_failure_also_isolated(spark):
     assert set(errors) == {"q_bad"}
     assert "plan construction exploded" in errors["q_bad"]
     assert set(timings) == {"q_ok"}
+
+
+def test_final_summary_line_is_capture_window_safe():
+    """The driver's tail-capture window is ~2,000 chars; rounds 3, 5 and
+    7 each lost (or truncated) their bench record when the summary line
+    grew with the registry. The final line is now registry-size-
+    INDEPENDENT: same length at 240 queries or 10,000."""
+    import json
+
+    line = bench.final_summary_line(12345.678, 240, 3, 0.1)
+    big = bench.final_summary_line(99999999.999, 10_000, 9_999, 0.1)
+    assert len(line) < 400 and len(big) < 400
+    parsed = json.loads(line)
+    assert parsed["queries"] == {}  # intentionally absent, never clipped
+    assert parsed["value"] == 12345.678
+    assert parsed["n_queries"] == 240
+    assert parsed["detail"] == "BENCH_LOCAL.json"
