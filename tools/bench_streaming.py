@@ -236,33 +236,45 @@ def main() -> None:
               dedup_stream_within_watermark(fingerprint_events(stream)))
 
     # correctness at this scale: the debounce survivors equal the batch
-    # kept-relative recompute on the same rows (same session, same zone)
-    import pandas as pd  # noqa: F401
-
-    got = {
-        (r.event_id, r.user_id)
-        for r in spark.read.parquet(
-            os.path.join(work, "sink_stateful_debounce")
-        ).collect()
-    }
-    pdf = (
-        ev.selectExpr(
-            "event_id", "user_id",
-            "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01', ts) AS us",
-        )
-        .toPandas()
-        .sort_values(["user_id", "us", "event_id"])
+    # kept-relative recompute on the same rows (same session, same zone).
+    # FULLY DISTRIBUTED comparison: the first 100M-row run crashed here
+    # collecting 98.5M survivor pairs into the driver (maxResultSize) —
+    # the twin is recomputed per user with an Arrow grouped map and
+    # diffed with exceptAll in both directions, so the check itself now
+    # scales like the operator it verifies.
+    got = spark.read.parquet(
+        os.path.join(work, "sink_stateful_debounce")
+    ).select("event_id", "user_id")
+    base = ev.selectExpr(
+        "event_id", "user_id",
+        "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01', ts) AS us",
     )
-    gap = 600 * 1_000_000
-    want = set()
-    last: dict[int, int] = {}
-    for eid, uid, us in pdf.itertuples(index=False):
-        if uid not in last or us - last[uid] > gap:
-            want.add((eid, uid))
-            last[uid] = us
-    results["debounce_matches_batch_twin"] = got == want
-    print(f"debounce stream==batch: {got == want} "
-          f"({len(got)} survivors)", file=sys.stderr)
+
+    def kept_relative(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["us", "event_id"])
+        gap = 600 * 1_000_000
+        last = None
+        keep_eid, keep_uid = [], []
+        for eid, uid, us in zip(pdf["event_id"], pdf["user_id"], pdf["us"]):
+            if last is None or us - last > gap:
+                keep_eid.append(eid)
+                keep_uid.append(uid)
+                last = us
+        return pd.DataFrame({"event_id": keep_eid, "user_id": keep_uid})
+
+    want = base.groupBy("user_id").applyInPandas(
+        kept_relative, "event_id long, user_id long"
+    )
+    n_got = got.count()
+    missing = want.exceptAll(got).count()
+    extra = got.exceptAll(want).count()
+    results["debounce_matches_batch_twin"] = missing == 0 and extra == 0
+    results["twin_diff"] = {"missing": missing, "extra": extra}
+    print(f"debounce stream==batch: {missing == 0 and extra == 0} "
+          f"({n_got} survivors; missing={missing} extra={extra})",
+          file=sys.stderr)
 
     if only_debounce:
         out_path = os.path.join(ROOT, "BENCH_STREAMING.json")
