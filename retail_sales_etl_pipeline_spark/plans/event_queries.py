@@ -3690,6 +3690,18 @@ def q241_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = np.cumsum(np.asarray([r["cnt"] for r in hist], dtype=np.int64))
     n = int(cum[-1]) if len(cum) else 0
 
+    schema = (
+        "ppm long, est_centi long, exact_centi long, est_rank long, "
+        "true_rank long, budget long, certified long, "
+        "weight_preserved long, n_total long, retained_items long"
+    )
+    if n == 0:
+        # empty stream (fresh partition / filtered-out day): no shard
+        # groups exist, so there is no sketch and no quantiles — an
+        # empty result with the declared schema, like every aggregate
+        # over nothing.
+        return spark.createDataFrame([], schema)
+
     out = []
     for ppm in QTL_PPM:
         est = sketch_quantile(merged, ppm)
@@ -3712,9 +3724,4 @@ def q241_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sketch_items(merged),
             )
         )
-    return spark.createDataFrame(
-        out,
-        "ppm long, est_centi long, exact_centi long, est_rank long, "
-        "true_rank long, budget long, certified long, "
-        "weight_preserved long, n_total long, retained_items long",
-    )
+    return spark.createDataFrame(out, schema)

@@ -73,6 +73,11 @@ def normalize(expr: str) -> str:
     (q232's 16 salted replicas normalize to ONE allowlist entry)."""
     e = re.sub(r"#\d+[A-Za-z]*", "", expr)
     e = re.sub(r"\b\d{4,}\b", "N", e)
+    # WithCTE/common-subexpression aliases embed a per-analysis counter
+    # in the NAME (_common_expr_11 vs _common_expr_28 for the same
+    # expression in different sessions) — canonicalize it or the
+    # allowlist key churns with the exprId allocator.
+    e = re.sub(r"\b_common_expr_\d+\b", "_common_expr_N", e)
     e = re.sub(r"\s+", " ", e).strip()
     return e
 
