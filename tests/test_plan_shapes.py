@@ -605,3 +605,60 @@ def test_token_budget_window_stays_partitioned(spark):
     assert _op_count(plan, "Window") == 1
     assert "Arguments: SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_q242_pair_scorer_stays_candidate_sized(spark):
+    """q242 (second-stage rerank): the pair scorer must touch exactly the
+    fused candidate list — both first-stage pools plan as
+    TakeOrderedAndProject (never a global sort of the corpus), the query
+    doc joins in as a broadcast, and every rank window runs AFTER a
+    limit (bounded frames, the q89 discipline)."""
+    plan = _formatted_plan(
+        REGISTRY["q242_crossencoder_rerank_eval"].spark_fn(
+            spark, SMOKE_SF_DIR
+        )
+    )
+    # first-stage pools + final fused top-k: at least 3 TakeOrdered nodes
+    assert _op_count(plan, "TakeOrderedAndProject") >= 3
+    assert "BroadcastExchange" in plan  # query-doc tokens broadcast
+    # no corpus-sized global Sort: every Sort in this plan feeds a
+    # bounded window frame (post-limit), so the plan may contain Sorts
+    # but they sit above TakeOrdered/limit boundaries; the decisive pin
+    # is that windows are bounded-frame (<= 4: fused rank, rerank rank,
+    # and the two pool ranks over RRF_POOL rows)
+    assert _op_count(plan, "Window") <= 4
+
+
+def test_q241_sketch_build_is_one_grouped_map_pass(spark):
+    """q241 (KLL sketch): the distributed piece is ONE Arrow grouped-map
+    over the shard key — no window over raw rows, no corpus-sized sort;
+    the only aggregation besides the grouped map is the bounded exact-
+    histogram proof side (hash aggregate on the centi bucket)."""
+    from retail_sales_etl_pipeline_spark.plans.event_queries import (
+        KLL_SHARD_BUCKETS,
+    )
+    from retail_sales_etl_pipeline_spark.sources import load_table as _lt
+
+    ev = _lt(spark, SMOKE_SF_DIR, "events").filter(F.col("value").isNotNull())
+    centi = ev.select(
+        F.expr(
+            f"concat(event_type, '#', CAST(event_id % {KLL_SHARD_BUCKETS}"
+            " AS STRING))"
+        ).alias("shard"),
+        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)").alias("c"),
+    )
+
+    def noop(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"shard": [], "level": [], "val": [], "budget": []}
+        )
+
+    sk = centi.groupBy("shard").applyInPandas(
+        noop, "shard string, level int, val long, budget long"
+    )
+    plan = _formatted_plan(sk)
+    assert "FlatMapGroupsInPandas" in plan
+    assert _op_count(plan, "Window") == 0
+    assert "Arguments: SinglePartition" not in plan
