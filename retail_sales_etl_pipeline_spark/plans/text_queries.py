@@ -1739,3 +1739,104 @@ def q231_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy (q243): the classic gibberish/degenerate-
+# text filter — Shannon entropy of the character distribution, in exact
+# micro-nats via the q88 fixed point: with per-char counts c_i and doc
+# length n, H = sum_i (c_i/n)·ln(n/c_i) = (sum_i c_i·(L(n)−L(c_i))) div n
+# where L(x) = floor(ln(x)·1e6 + 0.5) is evaluated per DISTINCT INTEGER
+# COUNT identically in both engines (1-ulp cross-libm differences are
+# ~2e-9 micro-nats, far inside the rounding headroom — the measured q88
+# boundary argument). Low char entropy catches repeated-character spam,
+# template boilerplate, and binary-ish junk that token-level scores
+# (q25/q65/q88) can miss; keyboard-mash gibberish scores HIGH here and
+# is caught by the stopword/LM side — the signals are complementary,
+# which is why production quality stacks carry both.
+
+ENT_LOW_MICRO = 2_000_000  # flag docs under 2.0 nats of char entropy
+
+_ENT_L = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q243_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n AS n_chars,
+           t.n_distinct AS n_distinct_chars,
+           CAST(SUM(c.c * ({_ENT_L.format(x="t.n")}
+                           - {_ENT_L.format(x="c.c")})) // t.n AS BIGINT)
+               AS char_entropy_micro,
+           CAST(SUM(c.c * ({_ENT_L.format(x="t.n")}
+                           - {_ENT_L.format(x="c.c")})) // t.n
+                < {ENT_LOW_MICRO} AS BIGINT) AS low_entropy
+    FROM cnt c JOIN tot t ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id, t.n, t.n_distinct
+    """,
+    doc="Per-document character-distribution Shannon entropy in exact "
+    "micro-nats (H = sum c_i*(L(n)-L(c_i)) div n over per-char counts, "
+    "L(x)=floor(ln(x)*1e6+0.5) per distinct integer count — the q88 "
+    "fixed point), with an n_distinct_chars audit column and a "
+    f"low_entropy flag under {ENT_LOW_MICRO / 1e6:.1f} nats — the "
+    "repeated-character / template-spam / binary-junk filter that "
+    "token-level quality scores miss (and the complement of the "
+    "stopword/LM side, which catches high-entropy keyboard mash). "
+    "Cross-engine: split(text,'') produces identical char arrays in "
+    "both engines including the empty-string edge (filtered). Scale "
+    "shape: one map-side char explode (linear in corpus chars), both "
+    "aggregates and the join key on doc_id — one shuffle, reused; "
+    "per-doc state is alphabet-sized. The per-doc integer sum is "
+    "bounded by n*L(n) (~3.5e13 at a 1M-char doc) — int64-safe at any "
+    "corpus size, documented in the overflow allowlist.",
+    tags=("text", "quality"),
+)
+def q243_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    ent_sum = (
+        f"SUM(c * ({_ENT_L.format(x='n')} - {_ENT_L.format(x='c')}))"
+    )
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(
+            F.expr(f"CAST({ent_sum} div n AS BIGINT)").alias(
+                "char_entropy_micro"
+            ),
+            F.expr(
+                f"CAST({ent_sum} div n < {ENT_LOW_MICRO} AS BIGINT)"
+            ).alias("low_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            F.col("n_distinct").alias("n_distinct_chars"),
+            "char_entropy_micro",
+            "low_entropy",
+        )
+    )

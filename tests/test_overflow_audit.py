@@ -163,3 +163,24 @@ def test_registry_sites_all_justified(spark):
     ]
     assert not missing, f"unjustified sum-of-int-product sites: {missing}"
     assert not stale, f"stale allowlist entries (plan changed): {stale}"
+
+
+def test_floor_of_promoted_interior_still_flagged(spark):
+    """FLOOR returns BIGINT whatever runs inside: the micro-nat fixed
+    point sum(c * (FLOOR(ln(cast(n as double))*1e6+0.5) - ...)) is a
+    long-accumulating product sum, and the 'as double' INSIDE the FLOOR
+    call must not suppress it (live false negative caught by q243)."""
+    df = (
+        spark.range(2, 100)
+        .selectExpr("id AS c", "id * 7 AS n")
+        .agg(
+            F.expr(
+                "SUM(c * (CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0"
+                " + 0.5) AS BIGINT)"
+                " - CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0"
+                " + 0.5) AS BIGINT)))"
+            ).alias("s")
+        )
+    )
+    sites = sum_product_sites(_plan(df))
+    assert sites, "FLOOR-of-ln product sum must be audited"

@@ -152,6 +152,14 @@ def _expr_is_long(expr: str) -> bool:
     c = _unwrap_cast(t)
     if c:
         return c[1].split("(")[0].strip().lower() in INT_TYPES
+    # FLOOR/CEIL return BIGINT in Spark SQL whatever runs inside — a
+    # promotion marker INSIDE the call (the q243 fixed point
+    # FLOOR(ln(cast(x as double))*1e6 + 0.5)) must not suppress the
+    # long typing of the RESULT (found as a live false negative the
+    # day the per-node typing landed).
+    m = re.match(r"(floor|ceil|ceiling)\(", t, flags=re.IGNORECASE)
+    if m and len(m.group(0)) + len(_balanced(t, len(m.group(0)) - 1)) + 1 == len(t):
+        return True
     low = t.lower()
     sub = _split_top(t, (" + ", " - ", " * ", " div "))
     if len(sub) > 1:

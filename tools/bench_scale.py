@@ -132,8 +132,10 @@ MARQUEE_100X = {
     # histogram quantiles
     "q238_weighted_reservoir_sample", "q239_rag_chunks",
     "q240_histogram_quantile_merge",
-    # round 8: deterministic KLL sketch, second-stage rerank eval
+    # round 8: deterministic KLL sketch, second-stage rerank eval,
+    # per-doc char entropy
     "q241_kll_quantile_sketch", "q242_crossencoder_rerank_eval",
+    "q243_char_entropy",
 }
 
 
