@@ -1,14 +1,24 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
 
 Prints TWO JSON lines; the LAST stdout line is a compact (~400 byte)
-self-contained summary guaranteed to fit any tail-capture window:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01": sec, ... 16 headline queries}, "n_queries": N,
-     "sf": 0.1, "detail": "BENCH_LOCAL.json"}
+self-contained summary — totals, query/error counts, calibration probe
+seconds, and a pointer to the detail file; its per-query map is
+INTENTIONALLY empty ("queries": {}) so the line stays registry-size-
+independent and can never outgrow the driver's ~2,000-char tail-capture
+window (rounds 3/5/7 each lost or truncated their record that way).
 The line before it carries all short-key per-query timings; the full-name
-per-query timings are written to BENCH_LOCAL.json next to this script
-(rounds 3 and 5 lost their driver records because the all-queries line
-outgrew the ~2,000-char capture buffer). Human-readable lines → stderr.
+map goes to a detail JSON file next to this script. Human-readable lines
+→ stderr.
+
+Two runners share this script, and round 8's driver run silently
+overwrote the builder's committed per-query record — so the detail file
+is now ROLE-SPECIFIC: driver (default) runs write BENCH_DRIVER_LATEST.json;
+the builder's committed canonical record is written only when
+SPARK_GRAFT_BENCH_ROLE=builder (→ BENCH_LOCAL.json). Each record also
+carries a host-speed CALIBRATION probe — one fixed reference query
+(q01) timed before and after the sweep — so a slow host window (r8's
+uniform 1.3x inflation) is measured inside the record, not inferred by
+comparing across files.
 
 Each query is executed with a `noop`-format write so the full distributed
 plan runs (scan → shuffle → agg) without materializing results on the
@@ -28,6 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+# Which runner is invoking us decides where the per-query detail map
+# lands: the driver's per-round regeneration must never clobber the
+# builder's committed canonical record (it did in round 8 — two records,
+# one filename, and the worktree copy silently diverged 297.6s → 393.3s).
+ROLE = os.environ.get("SPARK_GRAFT_BENCH_ROLE", "driver")
+DETAIL_FILE = "BENCH_LOCAL.json" if ROLE == "builder" else "BENCH_DRIVER_LATEST.json"
+
+# Host-speed calibration probe: one fixed, cheap, never-changing query
+# timed immediately before and after the sweep. Ratios between records
+# are only meaningful divided by their calibration seconds.
+CALIBRATION_QUERY = "q01_clean_filters"
 
 
 def run_queries(
@@ -89,6 +111,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def calibrate() -> float:
+        q = registry[CALIBRATION_QUERY]
+        t0 = time.time()
+        q.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    cal_start = calibrate()
+
     # Queries tagged 'slow-twin' are deliberate anti-pattern demos kept
     # only to pin hash-identity against their scalable twins (e.g. q154,
     # the per-group applyInPandas form of q55/q83). They are NOT plans
@@ -100,6 +130,7 @@ def main() -> None:
         del registry[n]
 
     timings, errors = run_queries(spark, registry)
+    cal_end = calibrate()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -111,8 +142,14 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "sf": sf,
+        "role": ROLE,
+        "calibration": {
+            "query": CALIBRATION_QUERY,
+            "start_s": cal_start,
+            "end_s": cal_end,
+        },
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_FILE)
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
@@ -129,7 +166,7 @@ def main() -> None:
                 "queries": short,
                 "errors": len(errors),
                 "sf": sf,
-                "detail": "BENCH_LOCAL.json",
+                "detail": DETAIL_FILE,
             },
             separators=(",", ":"),
         )
@@ -142,16 +179,23 @@ def main() -> None:
     # line is therefore a ~200-byte self-contained summary with the per-query
     # map INTENTIONALLY absent ("queries": {}) — totals + error count only,
     # never clipped however large the registry grows. The complete per-query
-    # map is committed in BENCH_LOCAL.json (written above, same run).
-    print(final_summary_line(total, len(timings), len(errors), sf))
+    # map is in the role-specific detail file (written above, same run).
+    print(final_summary_line(total, len(timings), len(errors), sf, cal_start, cal_end))
 
 
 def final_summary_line(
-    total: float, n_queries: int, n_errors: int, sf: float | None
+    total: float,
+    n_queries: int,
+    n_errors: int,
+    sf: float | None,
+    cal_start: float | None = None,
+    cal_end: float | None = None,
 ) -> str:
     """The LAST stdout line: registry-size-independent by construction
     (tests pin its length under 400 bytes — the failure mode it exists
-    to prevent is the summary outgrowing the driver's capture window)."""
+    to prevent is the summary outgrowing the driver's capture window).
+    Carries the in-run calibration seconds so cross-record comparisons
+    can normalize away host-window speed."""
     return json.dumps(
         {
             "metric": "registry_queries_total_wall",
@@ -161,7 +205,8 @@ def final_summary_line(
             "n_queries": n_queries,
             "errors": n_errors,
             "sf": sf,
-            "detail": "BENCH_LOCAL.json",
+            "cal_s": [cal_start, cal_end],
+            "detail": DETAIL_FILE,
         },
         separators=(",", ":"),
     )

@@ -145,5 +145,12 @@ def sketch_quantile(levels: list[np.ndarray], ppm: int) -> int:
     weights = weights[order]
     cum = np.cumsum(weights)
     n = int(cum[-1])
-    idx = int(np.searchsorted(1_000_000 * cum, ppm * n, side="left"))
+    # Smallest idx with 1e6*cum[idx] >= ppm*n, computed WITHOUT the
+    # int64 product (1_000_000 * cum silently wraps past ~9.2e12 total
+    # weight — numpy does not promote): since cum is integral, the
+    # condition is equivalent to cum[idx] >= ceil(ppm*n / 1e6), and the
+    # threshold is an exact Python big-int (the streaming/histogram.py
+    # convention).
+    thresh = -((-ppm * n) // 1_000_000)
+    idx = int(np.searchsorted(cum, thresh, side="left"))
     return int(items[min(idx, len(items) - 1)])

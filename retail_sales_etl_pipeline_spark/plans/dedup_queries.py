@@ -2359,16 +2359,16 @@ def triangles_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup chain depth via recursive CTE (q188): the FOURTH graph
-# statistic over the verified pair list (after q60 membership, q164
-# centrality, q172 clustering) — and the declarative-recursion API
-# surface: Spark 4 ships WITH RECURSIVE, so the transitive-reachability
-# question q60 answers with hand-rolled big-star/small-star loops can
-# now be asked in one SQL statement on BOTH engines. Spark's recursion
-# supports UNION ALL only (no dedup step), so the recursion runs over
-# the CANONICAL DAG — pairs are already (doc_a < doc_b), ascending
-# edges can never cycle — which guarantees termination and makes the
-# per-path multiset identical across engines by construction.
+# Near-dup chain depth (q188): the FOURTH graph statistic over the
+# verified pair list (after q60 membership, q164 centrality, q172
+# clustering). The walk runs over the CANONICAL DAG — pairs are already
+# (doc_a < doc_b), ascending edges can never cycle — which guarantees
+# termination and makes the path multiset identical across engines by
+# construction. The Spark side is a LEVEL-SYNCHRONOUS aggregated walk
+# (one row per (doc, depth), not per path — see chain_depth_from_pairs);
+# the oracle keeps DuckDB's WITH RECURSIVE enumeration, and the hash
+# match is the proof the aggregated form counts exactly the recursion's
+# path rows.
 CHAIN_MAX_HOPS = 8
 
 
@@ -2411,60 +2411,84 @@ CHAIN_MAX_HOPS = 8
         tg=token_ngrams_expr("text", 3)[1],
         jac=NEARDUP_JACCARD,
     ),
-    doc="Duplication chain depth via declarative recursion (Spark 4 "
-    "WITH RECURSIVE — the API-surface twin of q60's hand-rolled "
-    "large-star/small-star loops): from the near-dup DAG's roots "
-    "(docs never appearing as the larger member of a verified pair), "
-    "walk the canonical ascending edges and emit each reachable doc's "
-    "min/max chain depth and path count. Deep chains with shallow "
-    "clustering (q172) are the transitive-closure false friends that "
-    "make component-level dedup risky — min_depth tells a curator how "
-    "many borderline hops justify each doc's membership. Termination "
-    "is BY CONSTRUCTION: Spark recursion supports UNION ALL only (no "
-    "dedup between iterations), so the walk runs over the acyclic "
-    "canonical direction (doc_a < doc_b always ascends), with a "
-    f"depth cap of {CHAIN_MAX_HOPS} as an explicit fan-out bound — "
-    "path multiplicity on diamonds is bounded by the LSH hot-bucket "
-    "degree caps upstream. Each recursion step executes as one "
-    "distributed hash join per iteration, exactly the q60 loop "
-    "Catalyst now writes for us. Oracle: the identical WITH RECURSIVE "
-    "on DuckDB.",
-    tags=("dedup", "graph", "recursive", "spark4"),
+    doc="Duplication chain depth via a level-synchronous aggregated "
+    "walk: from the near-dup DAG's roots (docs never appearing as the "
+    "larger member of a verified pair), walk the canonical ascending "
+    "edges and emit each reachable doc's min/max chain depth and path "
+    "count. Deep chains with shallow clustering (q172) are the "
+    "transitive-closure false friends that make component-level dedup "
+    "risky — min_depth tells a curator how many borderline hops "
+    "justify each doc's membership. Termination is BY CONSTRUCTION: "
+    "the walk runs over the acyclic canonical direction (doc_a < "
+    "doc_b always ascends), with a depth cap of "
+    f"{CHAIN_MAX_HOPS} as an explicit fan-out bound. Each hop is one "
+    "distributed hash join + hash aggregate over a frontier bounded "
+    "by |docs| rows — the per-PATH row explosion that killed the "
+    "earlier WITH RECURSIVE form on replica-heavy corpora "
+    "(STRESS_r8 q188/q201: RECURSION_ROW_LIMIT_EXCEEDED on 32-way "
+    "duplication cliques) is aggregated away before it exists. "
+    "Oracle: DuckDB WITH RECURSIVE path enumeration — the hash match "
+    "proves the aggregated counts equal the enumerated rows.",
+    tags=("dedup", "graph", "iterative"),
 )
 def q188_neardup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = q21_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return chain_depth_from_pairs(spark, verified, view="q188_verified")
+    return chain_depth_from_pairs(spark, verified)
 
 
-def chain_depth_from_pairs(
-    spark: SparkSession, pairs: DataFrame, view: str
-) -> DataFrame:
-    """Recursive chain-depth walk over a canonical verified pair frame —
-    shared by the self-contained q188 and its from-materialized twin
-    q201 (distinct ``view`` names keep the temp views independent)."""
-    verified = pairs.localCheckpoint(eager=True)  # the recursion
-    # references the pair list once per iteration — materialize once
-    verified.createOrReplaceTempView(view)
-    return spark.sql(f"""
-      WITH RECURSIVE roots AS (
-        SELECT DISTINCT doc_a AS doc_id FROM {view} v
-        WHERE NOT EXISTS (
-          SELECT 1 FROM {view} w WHERE w.doc_b = v.doc_a
+def chain_depth_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Level-synchronous AGGREGATED chain-depth walk over a canonical
+    verified pair frame — shared by the self-contained q188 and its
+    from-materialized twin q201.
+
+    This replaced the WITH RECURSIVE form after STRESS_r8: the recursion
+    materializes ONE ROW PER PATH, and on a replica-heavy corpus (the
+    32-way-duplicated stress corpus turns each near-dup pair into a
+    32-clique) path multiplicity explodes combinatorially —
+    RECURSION_ROW_LIMIT_EXCEEDED on exactly the corpus class where
+    chain depth is most asked. The aggregated walk keeps ONE ROW PER
+    (doc, depth) instead: level k holds (doc_id, number of length-k
+    root-paths reaching it), and each hop is one distributed hash join
+    + hash aggregate, so per-level row count is bounded by |docs|
+    regardless of path multiplicity — the same bounded-frontier shape
+    as the q60 large-star/small-star loops. Identical output by
+    construction: min/max over depths with a nonzero count and the SUM
+    of per-depth counts are exactly the recursion's MIN/MAX/COUNT(*)
+    over enumerated path rows. Path COUNTS (not rows) can still grow
+    combinatorially on dense DAGs; they are int64 sums with the
+    {CHAIN_MAX_HOPS}-hop cap and upstream LSH degree caps as the bound,
+    and the ANSI-mode gate turns any exceedance into a loud error."""
+    verified = pairs.localCheckpoint(eager=True)  # every hop re-reads
+    # the pair list — materialize once
+    edges = verified.select(F.col("doc_a").alias("doc_id"), "doc_b")
+    heads = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    roots = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .join(heads, "doc_id", "left_anti")
+    )
+    level = roots.select(
+        "doc_id", F.lit(1).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    levels = [level.select("doc_id", F.lit(0).alias("depth"), "cnt")]
+    for k in range(1, CHAIN_MAX_HOPS + 1):
+        level = (
+            level.join(edges, "doc_id")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)  # bounded: <= |docs| rows
         )
-      ),
-      chain AS (
-        SELECT doc_id, 0 AS depth FROM roots
-        UNION ALL
-        SELECT v.doc_b, c.depth + 1
-        FROM chain c JOIN {view} v ON v.doc_a = c.doc_id
-        WHERE c.depth < {CHAIN_MAX_HOPS}
-      )
-      SELECT doc_id,
-             CAST(MIN(depth) AS BIGINT) AS min_depth,
-             CAST(MAX(depth) AS BIGINT) AS max_depth,
-             CAST(COUNT(*) AS BIGINT) AS n_paths
-      FROM chain GROUP BY doc_id
-    """)
+        if level.isEmpty():
+            break
+        levels.append(level.select("doc_id", F.lit(k).alias("depth"), "cnt"))
+    all_levels = levels[0]
+    for lvl in levels[1:]:
+        all_levels = all_levels.unionByName(lvl)
+    return all_levels.groupBy("doc_id").agg(
+        F.min("depth").cast("long").alias("min_depth"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("cnt").cast("long").alias("n_paths"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2548,18 +2572,17 @@ def q200_triangles_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q201_chain_depth_materialized",
     oracle=_registered_oracle("q188_neardup_chain_depth"),
-    doc="q188's recursive chain-depth walk computed from the materialized "
-    "verified pair checkpoint — the WITH RECURSIVE joins re-read a "
-    "two-column parquet per iteration instead of re-deriving the pair "
-    "list. Oracle spliced verbatim from q188; hash match == twin "
-    "identity.",
-    tags=("dedup", "graph", "recursive", "spark4", "composition"),
+    doc="q188's level-synchronous chain-depth walk computed from the "
+    "materialized verified pair checkpoint — the per-hop joins re-read "
+    "a two-column parquet instead of re-deriving the pair list. Oracle "
+    "spliced verbatim from q188; hash match == twin identity.",
+    tags=("dedup", "graph", "iterative", "composition"),
 )
 def q201_chain_depth_materialized(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return chain_depth_from_pairs(
-        spark, _materialized_pairs(spark, sf_dir), view="q201_verified"
+        spark, _materialized_pairs(spark, sf_dir)
     )
 
 

@@ -1067,8 +1067,18 @@ def q242_crossencoder_rerank_eval(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks")
     )
-    qdoc = docs.filter(F.col("doc_id") == RERANK_QUERY_DOC).select(
-        F.col("toks").alias("qtoks")
+    # Global aggregate => EXACTLY one row even when the query doc is
+    # absent from the corpus (qtoks degrades to the empty array, scoring
+    # every candidate at jacc 0) — the DuckDB oracle's COUNT-over-empty
+    # qn CTE behaves the same way, so the degenerate corpus stays
+    # hash-symmetric instead of the crossJoin annihilating to 0 rows.
+    qdoc = (
+        docs.filter(F.col("doc_id") == RERANK_QUERY_DOC)
+        .agg(
+            F.coalesce(
+                F.first("toks"), F.expr("CAST(array() AS ARRAY<STRING>)")
+            ).alias("qtoks")
+        )
     )
     scored = (
         fr.join(docs, "doc_id")

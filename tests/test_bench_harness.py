@@ -76,11 +76,30 @@ def test_final_summary_line_is_capture_window_safe():
     INDEPENDENT: same length at 240 queries or 10,000."""
     import json
 
-    line = bench.final_summary_line(12345.678, 240, 3, 0.1)
-    big = bench.final_summary_line(99999999.999, 10_000, 9_999, 0.1)
+    line = bench.final_summary_line(12345.678, 240, 3, 0.1, 1.234, 1.456)
+    big = bench.final_summary_line(99999999.999, 10_000, 9_999, 0.1, 999.999, 999.999)
     assert len(line) < 400 and len(big) < 400
     parsed = json.loads(line)
     assert parsed["queries"] == {}  # intentionally absent, never clipped
     assert parsed["value"] == 12345.678
     assert parsed["n_queries"] == 240
-    assert parsed["detail"] == "BENCH_LOCAL.json"
+    # calibration probe seconds travel in the summary line itself
+    assert parsed["cal_s"] == [1.234, 1.456]
+    # detail file is role-specific: driver runs (the default) must never
+    # clobber the builder's committed BENCH_LOCAL.json (round-8 collision)
+    assert parsed["detail"] == bench.DETAIL_FILE
+    assert bench.DETAIL_FILE in ("BENCH_LOCAL.json", "BENCH_DRIVER_LATEST.json")
+
+
+def test_detail_file_role_separation(monkeypatch):
+    """Driver-role (default) and builder-role runs write DIFFERENT files."""
+    import importlib
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROLE", raising=False)
+    importlib.reload(bench)
+    assert bench.DETAIL_FILE == "BENCH_DRIVER_LATEST.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROLE", "builder")
+    importlib.reload(bench)
+    assert bench.DETAIL_FILE == "BENCH_LOCAL.json"
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROLE", raising=False)
+    importlib.reload(bench)

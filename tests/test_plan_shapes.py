@@ -557,14 +557,21 @@ def test_cusum_plans_as_windows_not_iteration(spark):
     assert _op_count(plan, "Window") <= 2
 
 
-def test_recursive_chain_depth_uses_native_recursion(spark):
-    """q188 IS the recursion showcase: the plan must contain Spark's
-    recursive-CTE execution node, proving the declarative form (not a
-    driver loop) executes the walk."""
+def test_chain_depth_walk_is_aggregated_not_recursive(spark):
+    """q188's chain walk must be the LEVEL-SYNCHRONOUS aggregated form:
+    no recursive-CTE execution node anywhere (the WITH RECURSIVE form
+    enumerated one row per PATH and died on replica-heavy corpora —
+    STRESS_r8 RECURSION_ROW_LIMIT_EXCEEDED), every frontier a
+    checkpointed bounded frame, and the final rollup one hash
+    aggregate over the unioned levels."""
     plan = _formatted_plan(
         REGISTRY["q188_neardup_chain_depth"].spark_fn(spark, SMOKE_SF_DIR)
     )
-    assert "UnionLoop" in plan or "Recursi" in plan, plan[:1500]
+    assert "UnionLoop" not in plan and "Recursi" not in plan, plan[:1500]
+    # levels arrive as checkpointed RDD scans; the only relational work
+    # left in the final plan is union + the min/max/sum rollup
+    assert "Union" in plan
+    assert _op_count(plan, "HashAggregate") >= 2  # partial + final
 
 
 def test_roc_auc_window_runs_over_bucket_aggregate(spark):

@@ -358,7 +358,7 @@ OVERFLOW_MARKERS = ("ARITHMETIC_OVERFLOW", "CAST_OVERFLOW", "overflow",
                     "NUMERIC_VALUE_OUT_OF_RANGE")
 
 
-def run_stress(out_dir: str, mult: int) -> int:
+def run_stress(out_dir: str, mult: int, only: list[str] | None = None) -> int:
     from retail_sales_etl_pipeline_spark.plans.registry import load_all
     from retail_sales_etl_pipeline_spark.session import get_spark
 
@@ -367,6 +367,12 @@ def run_stress(out_dir: str, mult: int) -> int:
     if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         build_stress(spark, out_dir, mult)
     registry = load_all()
+    if only:
+        missing = sorted(set(only) - set(registry))
+        if missing:
+            print(f"unknown query name(s): {missing}", file=sys.stderr)
+            return 2
+        registry = {n: registry[n] for n in only}
     overflows: dict[str, str] = {}
     others: dict[str, str] = {}
     for name, q in sorted(registry.items()):
@@ -415,10 +421,13 @@ def main() -> int:
                    help="(--stress) stress-corpus directory")
     p.add_argument("--mult", type=int, default=32,
                    help="(--stress) volume multiplier (default 32)")
+    p.add_argument("--only", default=None,
+                   help="(--stress) comma-separated query names to run")
     a = p.parse_args()
     if a.static:
         return run_static(a.emit)
-    return run_stress(a.out_dir, a.mult)
+    only = [n for n in (a.only or "").split(",") if n] or None
+    return run_stress(a.out_dir, a.mult, only)
 
 
 if __name__ == "__main__":

@@ -105,16 +105,19 @@ def main() -> None:
             cum += r.cnt
             if p99 is None and 100 * cum >= 99 * total:
                 p99 = r.deg
-        n_pairs = row.deg_sum // 2
+        # SUM/MAX over an empty degree frame are NULL (None): a corpus
+        # with zero verified pairs must record a zero-density scale, not
+        # crash the probe on None // 2.
+        n_pairs = (row.deg_sum or 0) // 2
         results[scale] = {
             "n_docs": n_docs,
             "n_pairs": int(n_pairs),
             "n_graph_nodes": row.n_graph_nodes,
             "edges_per_node": round(
-                row.deg_sum / row.n_graph_nodes, 3
+                (row.deg_sum or 0) / row.n_graph_nodes, 3
             ) if row.n_graph_nodes else 0.0,
-            "max_degree": row.max_degree,
-            "p99_degree": p99,
+            "max_degree": row.max_degree or 0,
+            "p99_degree": p99 or 0,
             "probe_seconds": round(time.time() - t0, 1),
         }
         print(f"{scale}: {json.dumps(results[scale])}", file=sys.stderr,
