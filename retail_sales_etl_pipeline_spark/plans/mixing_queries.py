@@ -1353,3 +1353,141 @@ def q238_weighted_reservoir_sample(
     top = keyed.orderBy(F.desc("key_nano"), F.asc("doc_id")).limit(RES_K)
     w = Window.orderBy(F.desc("key_nano"), F.asc("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING (q245): q158 ranks candidates by importance
+# weight and keeps the deterministic top-K — but Xie et al.'s actual
+# selection step RESAMPLES: draw K docs WITHOUT replacement with
+# probability proportional to the importance weight w = exp(logw), which
+# keeps diversity the hard top-K throws away (top-K concentrates on the
+# single most target-like template). Gumbel-top-K on log-weights is
+# equivalent to Efraimidis-Spirakis A-ES on the weights: draw
+# e_i = -ln(u_i)/w_i ~ Exp(w_i) and keep the K SMALLEST, i.e. order by
+# ln(-ln u_i) - ln(w_i). Both logs stay in the exact-integer micro-nat
+# convention: u_i is a salted affine transform of doc_id quantized to
+# u_micro in [1, 1e6] (deterministic, partition-independent — the
+# q58/q238 convention, never rand()), -ln(u) in micro-nats is
+# L(1e6) - L(u_micro) = 13815511 - L(u_micro) (ln of INTEGERS only),
+# and the sort key is L(-ln(u)_micro) - logw_micronat — int64-exact and
+# bit-identical across engines.
+DSIR_RESAMPLE_K = 100
+# Salt multiplier: must be well-spread MODULO the 1e6 quantizer (the
+# first pick, 999_983 = -17 mod 1e6, collapsed all small doc_ids into a
+# ~0.03-nat noise band and the "resample" degenerated to hard top-K).
+# 48_271 (MINSTD) is coprime to 1e6 and strides the full range;
+# A < 5e4 keeps A * (doc_id % POLY_MOD) < 5e13, int64-safe.
+DSIR_RS_A, DSIR_RS_B = 48_271, 11_213
+_LN_1E6_MICRO = 13815511  # floor(ln(1e6)*1e6 + 0.5), inlined identically
+POLY_MOD_SQL = 1_000_000_007  # functions.scalar.POLY_MOD, inlined for SQL
+
+
+@register(
+    "q245_dsir_importance_resample",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, source, h % {DSIR_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS occ
+      FROM (
+        SELECT doc_id, source, unnest(
+          list_transform(string_split(text, ' '), t -> {_TOK_H_DUCK})
+        ) AS h
+        FROM documents
+      )
+      GROUP BY doc_id, source, bucket
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COALESCE(SUM(CASE WHEN source IN ({_DSIR_TGT_IN})
+                                    THEN occ END), 0) AS BIGINT) AS cnt_t,
+             CAST(COALESCE(SUM(CASE WHEN source NOT IN ({_DSIR_TGT_IN})
+                                    THEN occ END), 0) AS BIGINT) AS cnt_r
+      FROM occ GROUP BY bucket
+    ),
+    ratio AS (
+      SELECT bucket,
+             CAST(FLOOR(ln(CAST(cnt_t + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT)
+             - CAST(FLOOR(ln(CAST(cnt_r + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS l_micro
+      FROM counts WHERE cnt_r >= 1
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(ln(CAST(SUM(cnt_r) + {DSIR_BUCKETS} AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(SUM(cnt_t) + {DSIR_BUCKETS} AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+      FROM counts
+    ),
+    scored AS (
+      SELECT o.doc_id, ANY_VALUE(o.source) AS source,
+             CAST(SUM(o.occ) AS BIGINT) AS n_tokens,
+             CAST(SUM(o.occ * r.l_micro)
+                  + SUM(o.occ) * ANY_VALUE(t.c_micro) AS BIGINT)
+                 AS logw_micronat
+      FROM occ o JOIN ratio r USING (bucket) CROSS JOIN tot t
+      WHERE o.source NOT IN ({_DSIR_TGT_IN})
+      GROUP BY o.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_tokens, logw_micronat,
+             CAST(FLOOR(ln(CAST(GREATEST(
+               {_LN_1E6_MICRO}
+               - CAST(FLOOR(ln(CAST(
+                   ({DSIR_RS_A} * (doc_id % {POLY_MOD_SQL})
+                    + {DSIR_RS_B}) % 1000000 + 1
+                   AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT),
+               1) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - logw_micronat AS key_micronat
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, logw_micronat, key_micronat,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY key_micronat ASC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {DSIR_RESAMPLE_K}
+    """,
+    doc="DSIR importance RESAMPLING (Xie et al. 2023, arXiv:2302.03169 "
+    "§2 step 3): draw "
+    f"{DSIR_RESAMPLE_K} candidate docs WITHOUT replacement with "
+    "probability proportional to the importance weight exp(logw) from "
+    "q158's hashed-unigram model — Gumbel-top-K on log-weights, "
+    "realized as Efraimidis-Spirakis A-ES (keep the K smallest "
+    "ln(-ln u) - ln w). Unlike q158's hard top-K (which concentrates "
+    "on the most target-like template), resampling preserves diversity "
+    "in proportion to target-likeness — the selection used for "
+    "targeted pretraining mixes. Determinism: u is a salted affine "
+    "transform of doc_id quantized to [1, 1e6] (reproducible across "
+    "runs, partitionings, and cluster sizes), every log is "
+    "L(x)=floor(ln(x)*1e6+0.5) of an INTEGER, and the sort key is an "
+    "exact int64 micro-nat difference — fully hash-checked. Scale "
+    "shape: q158's scoring core (map-side Arrow bucket folds, "
+    "broadcast <= B-row model, one doc-grain aggregate) plus a "
+    "map-side key and TakeOrdered(K) — per-partition bounded heaps, "
+    "never a global sort; the K-row rank window runs after the limit.",
+    tags=("mixing", "selection", "sampling", "topk", "pandas-udf"),
+)
+def q245_dsir_importance_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = dsir_scores(docs).withColumn(
+        "key_micronat",
+        F.expr(
+            f"CAST(FLOOR(ln(CAST(GREATEST("
+            f"{_LN_1E6_MICRO}"
+            f" - CAST(FLOOR(ln(CAST(({DSIR_RS_A} * (doc_id % {POLY_MOD_SQL})"
+            f" + {DSIR_RS_B}) % 1000000 + 1"
+            f" AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT),"
+            f" 1) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+            f" - logw_micronat"
+        ),
+    )
+    top = keyed.orderBy(F.asc("key_micronat"), F.asc("doc_id")).limit(
+        DSIR_RESAMPLE_K
+    )
+    w = Window.orderBy(F.asc("key_micronat"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "doc_id", "source", "n_tokens", "logw_micronat", "key_micronat", "rnk"
+    )

@@ -669,3 +669,15 @@ def test_q241_sketch_build_is_one_grouped_map_pass(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert _op_count(plan, "Window") == 0
     assert "Arguments: SinglePartition" not in plan
+
+
+def test_kmv_union_sketch_has_no_nested_loop_join(spark):
+    """q219's union-sketch input joins fingerprints to source pairs; the
+    old OR-condition form ((source==src_a)|(source==src_b)) planned as a
+    BroadcastNestedLoopJoin — |fp| x n_pairs comparisons, the one join
+    in the package that degraded to a nested loop. The two-equi-join
+    UNION form must stay hash/broadcast-join-only at any source count."""
+    plan = _formatted_plan(
+        REGISTRY["q219_kmv_cardinality_algebra"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
