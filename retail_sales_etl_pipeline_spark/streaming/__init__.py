@@ -10,20 +10,30 @@ from .events import (
     stream_stream_attribution,
     windowed_event_counts,
 )
+from .kll_rollup import (
+    KllRollup,
+    certify_against_exact,
+    one_shot_sketch,
+    sketches_identical,
+)
 from .scoring import dsir_score_stream, export_dsir_model
 from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
+    "KllRollup",
+    "certify_against_exact",
     "dedup_stream_against_index",
     "dedup_stream_within_watermark",
     "dsir_score_stream",
     "exactly_once_parquet_sink",
     "export_dsir_model",
     "fingerprint_events",
+    "one_shot_sketch",
     "read_events_stream",
     "run_to_memory",
     "run_with_exactly_once_sink",
     "sessionized_counts",
+    "sketches_identical",
     "stream_stream_attribution",
     "windowed_event_counts",
 ]

@@ -136,6 +136,8 @@ MARQUEE_100X = {
     # per-doc char entropy
     "q241_kll_quantile_sketch", "q242_crossencoder_rerank_eval",
     "q243_char_entropy",
+    # round 9: exact substring spans, DSIR resample
+    "q244_exact_substring_spans", "q245_dsir_importance_resample",
 }
 
 

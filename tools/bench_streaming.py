@@ -28,8 +28,15 @@ Round-6 state-growth fix flags:
   --only-debounce   run just the stateful debounce + its batch-twin
               assertion (the decade re-measurement loop)
 
+  --kll       run ONLY the streaming KLL sketch rollup (r8 directive #7):
+              foreachBatch merges per-batch shard sketches into a running
+              sketch; diffed against (a) a bit-identical batch REPLAY of
+              the same slices and (b) the one-shot q241-shaped batch
+              sketch under the merge contract (exact weight + rank
+              certification). Records matches_batch_twin.
+
 Usage: python tools/bench_streaming.py [--events DIR] [--files N]
-           [--rocksdb] [--expire] [--only-debounce]
+           [--rocksdb] [--expire] [--only-debounce] [--kll]
 """
 
 from __future__ import annotations
@@ -59,6 +66,7 @@ def main() -> None:
     use_rocksdb = "--rocksdb" in args
     use_expire = "--expire" in args
     only_debounce = "--only-debounce" in args
+    only_kll = "--kll" in args
 
     from retail_sales_etl_pipeline_spark.session import get_spark
     from retail_sales_etl_pipeline_spark.streaming import (
@@ -209,6 +217,110 @@ def main() -> None:
               f"{batches} micro-batches, {out_rows} output rows",
               file=sys.stderr, flush=True)
         return q
+
+    if only_kll:
+        # --- streaming KLL sketch rollup twin ---------------------------
+        import glob as _glob
+
+        from retail_sales_etl_pipeline_spark.operators.kll import (
+            total_weight,
+        )
+        from retail_sales_etl_pipeline_spark.streaming.kll_rollup import (
+            KllRollup,
+            certify_against_exact,
+            exact_centi_hist,
+            one_shot_sketch,
+            sketches_identical,
+        )
+
+        rollup = KllRollup()
+        ckpt = os.path.join(work, "ckpt_kll")
+        t0 = time.time()
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(rollup.sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        print(f"kll_rollup stream: {dt:.1f}s, {int(n_rows/dt)} rows/s, "
+              f"{rollup.n_batches} micro-batches, budget={rollup.budget}",
+              file=sys.stderr, flush=True)
+
+        # (a) replay twin: fold the slice files in the stream's discovery
+        # order (mtime — re-stamped in slice order above) in BATCH mode;
+        # the deterministic compactor must reproduce the sketch EXACTLY.
+        replay = KllRollup()
+        slice_files = sorted(
+            _glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                       recursive=True),
+            key=os.path.getmtime,
+        )
+        for fpath in slice_files:
+            replay.fold_batch(
+                spark.read.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"
+                ).parquet(fpath)
+            )
+        replay_identical = sketches_identical(
+            rollup.snapshot(), replay.snapshot()
+        )
+
+        # (b) merge-contract diff vs the one-shot q241-shaped sketch
+        batch_levels, batch_budget = one_shot_sketch(ev)
+        hist = exact_centi_hist(ev)
+        stream_cert = certify_against_exact(*rollup.snapshot(), hist)
+        batch_cert = certify_against_exact(batch_levels, batch_budget, hist)
+        matches = (
+            replay_identical
+            and stream_cert["weight_preserved"]
+            and batch_cert["weight_preserved"]
+            and stream_cert["certified_all"]
+            and batch_cert["certified_all"]
+        )
+        results["kll_rollup"] = {
+            "seconds": round(dt, 2),
+            "rows_per_sec": int(n_rows / dt),
+            "micro_batches": rollup.n_batches,
+            "stream_budget": rollup.budget,
+            "batch_budget": batch_budget,
+            "sketch_weight": total_weight(rollup.levels),
+            "replay_identical": replay_identical,
+            "stream_quantiles": {
+                str(k): v for k, v in stream_cert["quantiles"].items()
+            },
+            "batch_quantiles": {
+                str(k): v for k, v in batch_cert["quantiles"].items()
+            },
+        }
+        results["kll_matches_batch_twin"] = matches
+        print(f"kll stream==batch: replay_identical={replay_identical}, "
+              f"weight={total_weight(rollup.levels)}/{n_rows}, "
+              f"certified stream={stream_cert['certified_all']} "
+              f"batch={batch_cert['certified_all']}",
+              file=sys.stderr)
+
+        out_path = os.path.join(ROOT, "BENCH_STREAMING.json")
+        label = (
+            f"{os.path.basename(os.path.dirname(events_path))}"
+            f"_{n_rows // 1_000_000}M_rows_kll_rollup"
+        )
+        doc = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                doc = json.load(f)
+        doc[label] = results
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({"metric": "streaming_bench_done",
+                          "out": out_path, "label": label}))
+        return
 
     if not only_debounce:
         stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
