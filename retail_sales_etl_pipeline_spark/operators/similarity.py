@@ -77,6 +77,24 @@ def hyperplane_dot_pair(col: str, bit_k: int, dims: int = _DIMS) -> tuple[str, s
     return dot_pair(col, spark_arr)[0], f"list_dot_product({col}::DOUBLE[], {duck_arr})"
 
 
+def l2sq_sub_pair(a: str, b: str, start: int, length: int) -> tuple[str, str]:
+    """Squared L2 distance over one subvector (0-based element ``start``,
+    ``length`` elements) as a paired (Spark SQL, DuckDB SQL) expression.
+
+    Both sides are the SAME unrolled left-associated 8-ish-term sum of
+    per-index squared differences — index-ordered, so the double result is
+    bit-identical across engines (the q30 dot-product convention). Spark
+    array subscripts are 0-based, DuckDB's 1-based; both inputs are
+    already DOUBLE[] views so no per-term casts are needed.
+    """
+    s_terms, d_terms = [], []
+    for i in range(length):
+        j = start + i
+        s_terms.append(f"(({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}]))")
+        d_terms.append(f"(({a}[{j + 1}] - {b}[{j + 1}]) * ({a}[{j + 1}] - {b}[{j + 1}]))")
+    return " + ".join(s_terms), " + ".join(d_terms)
+
+
 def rp_bucket_pair(col: str, table: int, bits: int = RP_BITS) -> tuple[str, str]:
     """Sign-bit bucket id for one LSH table: bit r set when the projection
     onto hyperplane (table*bits + r) is positive."""

@@ -3905,3 +3905,196 @@ def q244_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_windows",
         )
     )
+
+
+# --- q247: LSH banding parameter tuner (analytic S-curve) -------------------
+#
+# For a MinHash budget of P permutations split into b bands of r rows, a
+# pair with Jaccard s collides with probability 1 - (1 - s^r)^b (the LSH
+# S-curve). The tuner evaluates every power-of-two factorization of two
+# budgets — P=16 (the deployed q22 configuration, banded 4x4) and P=128 (a
+# scale-up proposal) — against the corpus's OWN observed pair-similarity
+# distribution (the q22 candidates verified with exact trigram Jaccard),
+# reporting expected recall over true near-dups (jacc >= the q21 threshold)
+# and expected false-positive collision mass over the rest. All arithmetic
+# is exact int64 fixed-point (ppm): s^r and (1-s^r)^b are computed by
+# repeated squaring with truncating division at each step — identical
+# operation sequences in Spark (`div`) and DuckDB (`//`), so hashes are
+# exact. Truncation bias is < log2(P) ppm per value, far below the 1-ppm
+# grid the report is quoted on.
+
+TUNER_GRID: list[tuple[int, int, int]] = [
+    (p, p // r, r)
+    for p in (16, 128)
+    for r in (2**k for k in range(0, p.bit_length()))
+    if p % r == 0
+]
+_TUNE_DUP_PPM = int(NEARDUP_JACCARD * 1_000_000)  # 300000
+
+
+def _tuner_levels(div: str) -> list[dict[str, str]]:
+    """Fixed-point power-chain columns, grouped into dependency levels
+    (each level references only columns from earlier levels). ``div`` is
+    the dialect's truncating integer division (`div` / `//`)."""
+    max_p = max(p for p, _, _ in TUNER_GRID)
+    n_lv = max_p.bit_length()  # log2(128)+1 = 8
+    levels: list[dict[str, str]] = [{} for _ in range(n_lv + 2)]
+    # s-chain: s{2^k} = s^(2^k), level k ("s1" is jacc_ppm itself, level 0)
+    for k in range(1, n_lv):
+        prev = f"s{2 ** (k - 1)}"
+        levels[k][f"s{2 ** k}"] = f"(({prev} * {prev}) {div} 1000000)"
+    # q-chains: qp_{r}_{e} = (1000000 - s^r)^e, e doubling up to bands
+    for _, b, r in TUNER_GRID:
+        if b <= 1:
+            continue
+        base_lv = r.bit_length()  # log2(r) + 1
+        levels[base_lv][f"qp_{r}_1"] = f"(1000000 - s{r})"
+        e, lv = 1, base_lv
+        while e < b:
+            prev = f"qp_{r}_{e}"
+            e, lv = e * 2, lv + 1
+            levels[lv].setdefault(f"qp_{r}_{e}", f"(({prev} * {prev}) {div} 1000000)")
+    return [lv for lv in levels if lv]
+
+
+def _tuner_collide(b: int, r: int) -> str:
+    return f"s{r * b}" if b == 1 else f"(1000000 - qp_{r}_{b})"
+
+
+def _tuner_oracle() -> str:
+    chain_ctes, prev = [], "scored0"
+    for i, lv in enumerate(_tuner_levels("//")):
+        cols = ", ".join(f"{e} AS {n}" for n, e in lv.items())
+        chain_ctes.append(f"lv{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"lv{i}"
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN dup = 1 THEN {_tuner_collide(b, r)} ELSE 0 END) AS BIGINT)"
+        f" AS dup_sum_{i}, "
+        f"CAST(SUM(CASE WHEN dup = 1 THEN 0 ELSE {_tuner_collide(b, r)} END) AS BIGINT)"
+        f" AS nondup_sum_{i}"
+        for i, (_, b, r) in enumerate(TUNER_GRID)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {p} AS n_perms, {b} AS bands, {r} AS rows_per_band, "
+        f"dup_sum_{i} AS dup_sum, nondup_sum_{i} AS nondup_sum, "
+        f"n_dup, n_nondup FROM agg"
+        for i, (p, b, r) in enumerate(TUNER_GRID)
+    )
+    return f"""
+    WITH {_DUCK_CAND_CTE},
+    d AS (
+      SELECT doc_id, {_TG_DUCK} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    scored0 AS (
+      SELECT c.doc_a, c.doc_b,
+             (1000000 * len(list_intersect(a.tg, b.tg)))
+               // len(list_distinct(a.tg || b.tg)) AS s1,
+             CASE WHEN (1000000 * len(list_intersect(a.tg, b.tg)))
+               // len(list_distinct(a.tg || b.tg)) >= {_TUNE_DUP_PPM}
+               THEN 1 ELSE 0 END AS dup
+      FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b
+    ),
+    {", ".join(chain_ctes)},
+    agg AS (
+      SELECT CAST(SUM(dup) AS BIGINT) AS n_dup,
+             CAST(SUM(1 - dup) AS BIGINT) AS n_nondup,
+             {sums}
+      FROM {prev}
+    )
+    SELECT CAST(n_perms AS INTEGER) AS n_perms,
+           CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           n_dup, n_nondup,
+           CAST(CASE WHEN n_dup = 0 THEN 0
+                ELSE dup_sum // n_dup END AS BIGINT) AS exp_recall_ppm,
+           CAST(CASE WHEN n_nondup = 0 THEN 0
+                ELSE nondup_sum // n_nondup END AS BIGINT) AS exp_fp_ppm
+    FROM ({rows})
+    """
+
+
+@register(
+    "q247_lsh_param_tuner",
+    oracle=_tuner_oracle(),
+    doc=f"LSH banding parameter tuner: evaluates the analytic S-curve "
+    f"collision probability 1-(1-s^r)^b for every power-of-two "
+    f"factorization of a 16-permutation budget (the deployed q22 4x4 "
+    f"config) and a 128-permutation scale-up, against the corpus's own "
+    f"observed pair-similarity distribution (q22 LSH candidates verified "
+    f"with exact trigram Jaccard). Reports expected recall over true "
+    f"near-dups (jacc >= {_TUNE_DUP_PPM} ppm) and expected false-positive "
+    f"collision mass over the rest, so the b/r choice is data-driven, not "
+    f"folklore. Everything is exact int64 fixed-point: s^r and (1-s^r)^b "
+    f"by repeated squaring with truncating division, identical operation "
+    f"sequences in both engines (truncation bias < log2(P) ppm). Scale "
+    f"shape: one pass over the bounded candidate-pair set (hot buckets "
+    f"capped upstream), {len(TUNER_GRID)} grid rows evaluated as extra "
+    f"columns on that single pass — one global aggregate, no per-row "
+    f"re-scan, then a {len(TUNER_GRID)}-way stack of the one-row result.",
+    tags=("dedup", "lsh"),
+)
+def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.expr(_TG_SPARK).alias("tg"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b"))
+    s1 = (
+        "(1000000 * CAST(size(array_intersect(tg_a, tg_b)) AS BIGINT))"
+        " div CAST(size(array_distinct(concat(tg_a, tg_b))) AS BIGINT)"
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.expr(s1).alias("s1"),
+            F.expr(f"CASE WHEN {s1} >= {_TUNE_DUP_PPM} THEN 1 ELSE 0 END").alias("dup"),
+        )
+    )
+    for lv in _tuner_levels("div"):
+        scored = scored.withColumns({n: F.expr(e) for n, e in lv.items()})
+    agg = scored.agg(
+        F.expr("CAST(SUM(dup) AS BIGINT)").alias("n_dup"),
+        F.expr("CAST(SUM(1 - dup) AS BIGINT)").alias("n_nondup"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN dup = 1 THEN {_tuner_collide(b_, r_)}"
+                f" ELSE 0 END) AS BIGINT)"
+            ).alias(f"dup_sum_{i}")
+            for i, (_, b_, r_) in enumerate(TUNER_GRID)
+        ],
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN dup = 1 THEN 0"
+                f" ELSE {_tuner_collide(b_, r_)} END) AS BIGINT)"
+            ).alias(f"nondup_sum_{i}")
+            for i, (_, b_, r_) in enumerate(TUNER_GRID)
+        ],
+    )
+    stack = (
+        f"stack({len(TUNER_GRID)}, "
+        + ", ".join(
+            f"{p}, {b_}, {r_}, dup_sum_{i}, nondup_sum_{i}"
+            for i, (p, b_, r_) in enumerate(TUNER_GRID)
+        )
+        + ") AS (n_perms, bands, rows_per_band, dup_sum, nondup_sum)"
+    )
+    return agg.selectExpr("n_dup", "n_nondup", stack).select(
+        F.col("n_perms").cast("int").alias("n_perms"),
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "n_dup",
+        "n_nondup",
+        F.expr(
+            "CAST(CASE WHEN n_dup = 0 THEN 0 ELSE dup_sum div n_dup END AS BIGINT)"
+        ).alias("exp_recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_nondup = 0 THEN 0"
+            " ELSE nondup_sum div n_nondup END AS BIGINT)"
+        ).alias("exp_fp_ppm"),
+    )

@@ -14,6 +14,7 @@ from ..operators.similarity import (
     RP_MAX_BUCKET,
     RP_TABLES,
     dot_pair,
+    l2sq_sub_pair,
     norm_pair,
     rp_bucket_pair,
     rp_buckets_pandas,
@@ -2169,4 +2170,168 @@ def q233_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_negative"),
+    )
+
+
+# --- q246: product-quantization codebook + ADC top-k ------------------------
+#
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+# split the 64-dim vector into M=8 contiguous 8-dim subvectors; per
+# subspace, quantize to the nearest of K=16 codebook entries (deterministic
+# sample: the subvectors of vec_id < 16, the q31 centroid convention); a
+# vector is then 8 small codes (~8 bytes) instead of 256 bytes of floats.
+# Query scoring is Asymmetric Distance Computation: a per-query lookup
+# table of Q*M*K=640 exact subspace distances is broadcast and the doc
+# side contributes ONLY its codes — the raw embedding column is never
+# touched after encoding, which is the whole point at 100 TB.
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_K = 16  # codebook entries per subspace (vec_id < PQ_K)
+
+_PQ_SUB = [l2sq_sub_pair("a.emb", "c.emb", m * PQ_SUBDIM, PQ_SUBDIM) for m in range(PQ_M)]
+
+
+def _pq_oracle() -> str:
+    scored_cols = ",\n             ".join(f"{d} AS d{m}" for m, (_, d) in enumerate(_PQ_SUB))
+    rnk_cols = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, cid) AS r{m}"
+        for m in range(PQ_M)
+    )
+    code_cols = ",\n             ".join(
+        f"MAX(CASE WHEN r{m} = 1 THEN cid END) AS code_{m}" for m in range(PQ_M)
+    )
+    lut_cols = ",\n             ".join(
+        f"{d.replace('a.emb', 'q.emb')} AS d{m}" for m, (_, d) in enumerate(_PQ_SUB)
+    )
+    joins = "\n      ".join(
+        f"JOIN lut l{m} ON l{m}.query_id = l0.query_id AND l{m}.cid = w.code_{m}"
+        for m in range(1, PQ_M)
+    )
+    adc = " + ".join(f"l{m}.d{m}" for m in range(PQ_M))
+    return f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    cents AS (SELECT vec_id AS cid, emb FROM v WHERE vec_id < {PQ_K}),
+    scored AS (
+      SELECT a.vec_id, c.cid,
+             {scored_cols}
+      FROM v a JOIN cents c ON true
+    ),
+    rnk AS (
+      SELECT vec_id, cid,
+             {rnk_cols}
+      FROM scored
+    ),
+    codes AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM rnk GROUP BY vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             {lut_cols}
+      FROM v q JOIN cents c ON q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT l0.query_id, w.vec_id AS neighbor_id, {adc} AS adc_dist
+      FROM codes w
+      JOIN lut l0 ON l0.cid = w.code_0
+      {joins}
+      WHERE w.vec_id <> l0.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+      ) AS rnk FROM adc
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "q246_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN (Jégou et al.): each 64-dim vector is "
+    f"encoded as M={PQ_M} per-subspace codes against a K={PQ_K}-entry "
+    "deterministic codebook (subvectors of vec_id < K, the q31 centroid "
+    "convention), then queries score candidates by Asymmetric Distance "
+    "Computation against a broadcast Q*M*K lookup table. Scale shape: "
+    "encoding is one broadcast nested-loop over K=16 rows folded by "
+    "map-side min_by partials (one shuffle of N code rows, ~8 bytes of "
+    "payload per vector vs 256 bytes of floats); scoring is a chain of "
+    f"{PQ_M} broadcast hash joins on the LUT — the embedding column is "
+    "never read again, and nothing shuffles until the final per-query "
+    "top-k. ADC distance is a fixed-order 8-term double sum of unrolled "
+    "index-ordered subspace distances, so hashes are bit-exact vs the "
+    "oracle (no float aggregation across shuffled rows anywhere). "
+    "Tie-breaks (distance, then centroid id / neighbor id) mirrored via "
+    "min_by(struct) <-> row_number windows.",
+    tags=("similarity", "compression"),
+)
+def q246_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _vec_view_spark(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb")
+    )
+
+    # Encode: nearest codebook entry per subspace. One broadcast
+    # nested-loop (K=16 rows) then a single groupBy whose 8 min_by
+    # partials collapse N*K scored rows to N map-side.
+    pairs = v.alias("a").join(F.broadcast(cents.withColumnRenamed("emb", "c_emb")).alias("c"))
+    code_aggs = []
+    for m in range(PQ_M):
+        s_expr, _ = l2sq_sub_pair("a.emb", "c.c_emb", m * PQ_SUBDIM, PQ_SUBDIM)
+        code_aggs.append(
+            F.min_by(
+                F.col("c.cid"),
+                F.struct(F.expr(s_expr).alias("d"), F.col("c.cid").alias("c")),
+            ).alias(f"code_{m}")
+        )
+    codes = pairs.groupBy(F.col("a.vec_id").alias("vec_id")).agg(*code_aggs)
+
+    # ADC lookup table: Q*K rows x M distance columns, broadcast.
+    lut = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .alias("a")
+        .join(F.broadcast(cents.withColumnRenamed("emb", "c_emb")).alias("c"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("c.cid").alias("cid"),
+            *[
+                F.expr(l2sq_sub_pair("a.emb", "c.c_emb", m * PQ_SUBDIM, PQ_SUBDIM)[0]).alias(
+                    f"d{m}"
+                )
+                for m in range(PQ_M)
+            ],
+        )
+    )
+
+    # Chain of broadcast hash joins: code_m -> LUT row. The first join
+    # fans each doc out to the Q queries; the rest are keyed on
+    # (query_id, code_m).
+    r = codes.join(
+        F.broadcast(lut.select("query_id", F.col("cid").alias("code_0"), "d0")),
+        on="code_0",
+    )
+    for m in range(1, PQ_M):
+        r = r.join(
+            F.broadcast(
+                lut.select("query_id", F.col("cid").alias(f"code_{m}"), f"d{m}")
+            ),
+            on=["query_id", f"code_{m}"],
+        )
+    adc = F.expr(" + ".join(f"d{m}" for m in range(PQ_M)))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        r.filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .withColumn("rank", F.col("rank").cast("int"))
     )

@@ -681,3 +681,44 @@ def test_kmv_union_sketch_has_no_nested_loop_join(spark):
         REGISTRY["q219_kmv_cardinality_algebra"].spark_fn(spark, SMOKE_SF_DIR)
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_q246_pq_adc_is_broadcast_only_until_topk(spark):
+    """q246 (PQ ADC): the LUT scoring chain must be broadcast hash joins
+    (the doc side carries only codes — never the embedding column), with
+    no sort-merge join anywhere and data-sized shuffles only for the
+    encode groupBy and the per-query top-k window."""
+    plan = _formatted_plan(
+        REGISTRY["q246_pq_adc_topk"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "SortMergeJoin") == 0
+    assert _op_count(plan, "BroadcastHashJoin") == 8  # one per subspace
+    # the only hash-partition exchanges: encode groupBy + top-k window
+    import re
+
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= 2, plan[:2000]
+
+
+def test_q247_tuner_is_one_aggregate_pass(spark):
+    """q247 (LSH tuner): all 13 grid cells are columns on ONE pass over
+    the candidate pairs — a single global aggregate fanned out with
+    stack(), never 13 re-scans of the pair join (the q194 convention)."""
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        TUNER_GRID,
+    )
+
+    plan = _formatted_plan(
+        REGISTRY["q247_lsh_param_tuner"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    # 3 Generates: band unpivot on each self-join side + the final
+    # grid stack() — crucially not one per grid cell (13)
+    assert _op_count(plan, "Generate") <= 3
+    # exactly one single-partition exchange: the global one-row aggregate
+    assert _op_count(plan, "Arguments: SinglePartition") <= 1
+    # the documents scan fan-in is fixed by the candidate pipeline's
+    # self-join shape (8 at present) — the decisive bound is that it
+    # does NOT scale with the 13-cell grid (one scan per grid row)
+    assert plan.count("Scan parquet") < len(TUNER_GRID), plan.count(
+        "Scan parquet"
+    )
