@@ -1146,9 +1146,17 @@ def _z_duck_layout(tag: str, filecol: str) -> str:
     tags=("analytics", "layout"),
 )
 def q167_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo_p, hi_p, lo_d, hi_d = Z_BOX
+    filed = _z_filed(spark, sf_dir)
+    return _zone_layout_stats(filed, "zorder", "zfile").unionByName(
+        _zone_layout_stats(filed, "date_sorted", "lfile")
+    )
+
+
+def _z_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(price_b, day_b, n_rows): orders bucketed onto the 256x256 grid —
+    the shared input of the q167 and q249 layout audits."""
     orders = load_table(spark, sf_dir, "orders")
-    cells = (
+    return (
         orders.selectExpr(
             f"LEAST(255, CAST(floor(o_totalprice / {Z_PRICE_STEP}D) AS INT))"
             " AS price_b",
@@ -1158,40 +1166,50 @@ def q167_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_b", "day_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    filed = cells.selectExpr(
+
+
+def _z_filed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q167 cell/file assignment frame: per-cell row counts plus the
+    Morton (zfile) and date-sorted (lfile) file ids."""
+    cells = _z_cells(spark, sf_dir)
+    return cells.selectExpr(
         "price_b", "day_b", "n_rows",
         f"({_morton16('div', 'price_b', 'day_b')}) div 256 AS zfile",
         "day_b AS lfile",
     )
 
-    def layout(tag: str, filecol: str) -> DataFrame:
-        per_file = filed.groupBy(filecol).agg(
-            F.min("price_b").alias("min_p"), F.max("price_b").alias("max_p"),
-            F.min("day_b").alias("min_d"), F.max("day_b").alias("max_d"),
-            F.sum("n_rows").alias("file_rows"),
-            F.sum(
-                F.when(
-                    F.col("price_b").between(lo_p, hi_p)
-                    & F.col("day_b").between(lo_d, hi_d),
-                    F.col("n_rows"),
-                ).otherwise(F.lit(0))
-            ).alias("box_rows"),
-        )
-        touched = (
-            (F.col("min_p") <= hi_p) & (F.col("max_p") >= lo_p)
-            & (F.col("min_d") <= hi_d) & (F.col("max_d") >= lo_d)
-        )
-        return per_file.agg(
-            F.lit(tag).alias("layout"),
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.sum(touched.cast("long")).cast("long").alias("files_touched"),
-            F.sum(
-                F.when(touched, F.col("file_rows")).otherwise(F.lit(0))
-            ).cast("long").alias("rows_scanned"),
-            F.sum("box_rows").cast("long").alias("rows_matched"),
-        )
-    return layout("zorder", "zfile").unionByName(
-        layout("date_sorted", "lfile")
+
+def _zone_layout_stats(
+    filed: DataFrame, tag: str, filecol: str
+) -> DataFrame:
+    """Per-layout zone-map pruning stats off a (price_b, day_b, n_rows,
+    <filecol>) frame (the q167 fixed-file-grid form; q249 computes its
+    grouped three-layout variant inline)."""
+    lo_p, hi_p, lo_d, hi_d = Z_BOX
+    per_file = filed.groupBy(filecol).agg(
+        F.min("price_b").alias("min_p"), F.max("price_b").alias("max_p"),
+        F.min("day_b").alias("min_d"), F.max("day_b").alias("max_d"),
+        F.sum("n_rows").alias("file_rows"),
+        F.sum(
+            F.when(
+                F.col("price_b").between(lo_p, hi_p)
+                & F.col("day_b").between(lo_d, hi_d),
+                F.col("n_rows"),
+            ).otherwise(F.lit(0))
+        ).alias("box_rows"),
+    )
+    touched = (
+        (F.col("min_p") <= hi_p) & (F.col("max_p") >= lo_p)
+        & (F.col("min_d") <= hi_d) & (F.col("max_d") >= lo_d)
+    )
+    return per_file.agg(
+        F.lit(tag).alias("layout"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(touched.cast("long")).cast("long").alias("files_touched"),
+        F.sum(
+            F.when(touched, F.col("file_rows")).otherwise(F.lit(0))
+        ).cast("long").alias("rows_scanned"),
+        F.sum("box_rows").cast("long").alias("rows_matched"),
     )
 
 
@@ -2720,4 +2738,331 @@ def q232_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (m_micro - full_mean_micro))"
             " div (COUNT(m_micro) - 1) AS DOUBLE))"
         ).alias("se_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout audit (q249): q167's zone-map harness with the curve
+# the literature says to use instead of Morton when locality is the goal
+# (Faloutsos & Roseman, PODS '89: Hilbert has no Z-order "seams" — every
+# curve step is a unit Manhattan step, so per-file bounding boxes stay
+# compact). The 2-D Hilbert index is computed MSB-first through the classic
+# 4-state machine (the iterative xy2d recursion of "Programming the Hilbert
+# curve", flattened to a digit/state table); both 16-entry tables are packed
+# base-4 into single int64 constants so the lookup is pure div/shift/mod
+# arithmetic — identical integers in both dialects, validated cell-by-cell
+# against the textbook recursion in tests/test_r9b_wave.py. Output adds the
+# box-INDEPENDENT locality metric (per-file bounding-box area) next to
+# q167's fixed-box pruning stats: at 100 TB, sum_bbox_area is what decides
+# zorder-vs-hilbert for OPTIMIZE, not one lucky query box.
+H_BITS = 8  # 256x256 cells -> 16-bit Hilbert index -> 256 files
+# D[s][q] / S[s][q] packed base-4 at entry index s*4+q (q = 2*x_bit+y_bit):
+# D = [[0,1,3,2],[0,3,1,2],[2,1,3,0],[2,3,1,0]]
+# S = [[1,0,2,0],[0,3,1,1],[2,2,0,3],[3,1,3,2]]
+H_DCONST = 506895540
+H_SCONST = 3083492385
+
+
+def _hilbert_steps(div_op: str, one_shl: str) -> list[tuple[str, str]]:
+    """Ordered (column, sql) pairs that thread the packed 4-state Hilbert
+    machine over (price_b, day_b) MSB-first. ``one_shl`` is a dialect
+    template for 2^{n} with a dynamic exponent (the table lookup shift)."""
+    steps: list[tuple[str, str]] = [("hs0", "CAST(0 AS BIGINT)")]
+    for i, lvl in enumerate(range(H_BITS - 1, -1, -1)):
+        q = (
+            f"(2 * ((price_b {div_op} {1 << lvl}) % 2)"
+            f" + ((day_b {div_op} {1 << lvl}) % 2))"
+        )
+        idx = f"(2 * (hs{i} * 4 + {q}))"
+        shl = one_shl.format(n=idx)
+        steps.append((f"hd{i}", f"(({H_DCONST} {div_op} {shl}) % 4)"))
+        steps.append((f"hs{i + 1}", f"(({H_SCONST} {div_op} {shl}) % 4)"))
+    fold = "CAST(0 AS BIGINT)"
+    for i in range(H_BITS):
+        fold = f"({fold} * 4 + hd{i})"
+    steps.append(("hilbert_d", fold))
+    return steps
+
+
+def _hilbert_duck_ctes() -> str:
+    steps = _hilbert_steps("//", "(CAST(1 AS BIGINT) << ({n}))")
+    ctes = [f"h0 AS (SELECT *, {steps[0][1]} AS hs0 FROM cells)"]
+    for i in range(H_BITS):
+        hd_name, hd_sql = steps[1 + 2 * i]
+        hs_name, hs_sql = steps[2 + 2 * i]
+        ctes.append(
+            f"h{i + 1} AS (SELECT *, {hd_sql} AS {hd_name},"
+            f" {hs_sql} AS {hs_name} FROM h{i})"
+        )
+    ctes.append(
+        "keys AS (SELECT price_b, day_b, n_rows,"
+        f" ({steps[-1][1]}) AS hkey,"
+        f" ({_morton16('//', 'price_b', 'day_b')}) AS zkey,"
+        f" day_b * 256 + price_b AS lkey FROM h{H_BITS})"
+    )
+    packs = ", ".join(
+        f"LEAST(255, 256 * (SUM(n_rows) OVER (ORDER BY {key})"
+        f" - n_rows) // (SUM(n_rows) OVER ())) AS {col}"
+        for key, col in (("hkey", "hfile"), ("zkey", "zfile"), ("lkey", "lfile"))
+    )
+    ctes.append(
+        f"packed AS (SELECT price_b, day_b, n_rows, {packs} FROM keys)"
+    )
+    ctes.append(
+        "unpiv AS ("
+        + " UNION ALL ".join(
+            f"SELECT price_b, day_b, n_rows, '{tag}' AS layout,"
+            f" {col} AS f FROM packed"
+            for tag, col in (
+                ("hilbert", "hfile"),
+                ("zorder", "zfile"),
+                ("date_sorted", "lfile"),
+            )
+        )
+        + ")"
+    )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "q249_hilbert_layout",
+    oracle=f"""
+    WITH {_Z_DUCK_CELLS},
+    {_hilbert_duck_ctes()},
+    perfile AS (
+      SELECT layout, f,
+             MIN(price_b) AS min_p, MAX(price_b) AS max_p,
+             MIN(day_b) AS min_d, MAX(day_b) AS max_d,
+             SUM(n_rows) AS file_rows,
+             SUM(CASE WHEN price_b BETWEEN {Z_BOX[0]} AND {Z_BOX[1]}
+                       AND day_b BETWEEN {Z_BOX[2]} AND {Z_BOX[3]}
+                 THEN n_rows ELSE 0 END) AS box_rows
+      FROM unpiv GROUP BY layout, f
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN min_p <= {Z_BOX[1]} AND max_p >= {Z_BOX[0]}
+                          AND min_d <= {Z_BOX[3]} AND max_d >= {Z_BOX[2]}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           CAST(SUM(CASE WHEN min_p <= {Z_BOX[1]} AND max_p >= {Z_BOX[0]}
+                          AND min_d <= {Z_BOX[3]} AND max_d >= {Z_BOX[2]}
+                    THEN file_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(box_rows) AS BIGINT) AS rows_matched,
+           CAST(SUM((max_p - min_p + 1) * (max_d - min_d + 1)) AS BIGINT)
+               AS sum_bbox_area,
+           CAST(MAX((max_p - min_p + 1) * (max_d - min_d + 1)) AS BIGINT)
+               AS max_bbox_area
+    FROM perfile GROUP BY layout
+    """,
+    doc="Hilbert-vs-Z-order-vs-date-sorted layout audit with ROW-BUDGET "
+    "file packing — the real OPTIMIZE model: cells are sorted along "
+    "each curve and packed into 256 equal-row files by cumulative row "
+    "count (q167's fixed `div 256` cut would make any quadrant-"
+    "recursive curve produce the same 16x16 blocks; byte-balanced "
+    "packing is where curve choice actually bites). The 2-D Hilbert "
+    "index runs MSB-first through the classic 4-state digit/state "
+    "machine, both lookup tables packed base-4 into int64 constants so "
+    "every step is div/shiftleft/mod integer arithmetic — identical in "
+    "both dialects and validated against the textbook xy2d recursion "
+    "for all 65,536 cells in tests. Reports q167's fixed-box zone-map "
+    "pruning stats PLUS the box-independent locality metric: total and "
+    "max per-file bounding-box area (Faloutsos & Roseman PODS '89 — "
+    "Hilbert's unit-step property keeps file bboxes compact where "
+    "Z-order's bit-interleave seams stretch them). Scale shape: ONE "
+    "fact scan, one <=65k-cell shuffle; the state-machine chain is 17 "
+    "codegen'd projections over the cell table, the packing cumsums "
+    "are windows over that SAME bounded table, and the three layouts "
+    "ride one stack() fan-out of the cells — zero joins, no re-scan. "
+    "This is the OPTIMIZE-layout decision query: run once per table, "
+    "read sum_bbox_area.",
+    tags=("analytics", "layout"),
+)
+def q249_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _z_cells(spark, sf_dir)
+    for name, sql in _hilbert_steps(
+        "div", "shiftleft(CAST(1 AS BIGINT), {n})"
+    ):
+        df = df.selectExpr("*", f"{sql} AS {name}")
+    keys = df.selectExpr(
+        "price_b", "day_b", "n_rows",
+        "hilbert_d AS hkey",
+        f"({_morton16('div', 'price_b', 'day_b')}) AS zkey",
+        "day_b * 256 + price_b AS lkey",
+    )
+    packed = keys.selectExpr(
+        "price_b", "day_b", "n_rows",
+        *[
+            f"LEAST(255, 256 * (SUM(n_rows) OVER (ORDER BY {key})"
+            f" - n_rows) div (SUM(n_rows) OVER ())) AS {col}"
+            for key, col in (
+                ("hkey", "hfile"), ("zkey", "zfile"), ("lkey", "lfile")
+            )
+        ],
+    )
+    # One cell pass fans out 3x (one row per layout) instead of three
+    # re-executions of the whole subtree — the fact table is scanned once.
+    unpiv = packed.selectExpr(
+        "price_b", "day_b", "n_rows",
+        "stack(3, 'hilbert', hfile, 'zorder', zfile,"
+        " 'date_sorted', lfile) AS (layout, f)",
+    )
+    lo_p, hi_p, lo_d, hi_d = Z_BOX
+    per_file = unpiv.groupBy("layout", "f").agg(
+        F.min("price_b").alias("min_p"), F.max("price_b").alias("max_p"),
+        F.min("day_b").alias("min_d"), F.max("day_b").alias("max_d"),
+        F.sum("n_rows").alias("file_rows"),
+        F.sum(
+            F.when(
+                F.col("price_b").between(lo_p, hi_p)
+                & F.col("day_b").between(lo_d, hi_d),
+                F.col("n_rows"),
+            ).otherwise(F.lit(0))
+        ).alias("box_rows"),
+    )
+    touched = (
+        (F.col("min_p") <= hi_p) & (F.col("max_p") >= lo_p)
+        & (F.col("min_d") <= hi_d) & (F.col("max_d") >= lo_d)
+    )
+    area = (F.col("max_p") - F.col("min_p") + 1) * (
+        F.col("max_d") - F.col("min_d") + 1
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(touched.cast("long")).cast("long").alias("files_touched"),
+        F.sum(
+            F.when(touched, F.col("file_rows")).otherwise(F.lit(0))
+        ).cast("long").alias("rows_scanned"),
+        F.sum("box_rows").cast("long").alias("rows_matched"),
+        F.sum(area).cast("long").alias("sum_bbox_area"),
+        F.max(area).cast("long").alias("max_bbox_area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (q250): the mechanism a pipeline
+# needs the day its corpus statistics leave the trust boundary — per-source
+# document counts released under the discrete (two-sided geometric) Laplace
+# mechanism of Ghosh-Roughgarden-Sundararajan (the universally-optimal
+# discrete analogue of Laplace noise). alpha = 1/2 (epsilon = ln 2 per
+# unit sensitivity) makes every CDF value an exact dyadic rational, so the
+# whole inverse-CDF draw is integer arithmetic: u is a deterministic
+# uniform over [0, POLY_MOD^2) built from two independent polynomial
+# hashes of the (salted) group key, and the noise is the inverse CDF of u
+# evaluated through a threshold ladder computed once in exact Fractions —
+# no floats anywhere, so the release is bit-identical cross-engine and
+# hash-checked. Noise is truncated to +-DP_NOISE_CAP (tail mass < 2^-57,
+# the standard bounded-noise variant). The true count and sampled noise
+# columns stay in THIS result because the correctness gate verifies the
+# mechanism; a production release ships (source, dp_count) only.
+DP_NOISE_CAP = 59
+DP_EPS_MICRO = 693147  # ln 2 in micro-nats: alpha = exp(-eps) = 1/2
+_DP_R = POLY_MOD * POLY_MOD  # uniform range of u: two stacked poly hashes
+
+# Dialect-paired hash expressions built from the shared template, so the
+# Spark u and the oracle u agree by construction (same polynomial, same
+# salts, same stacking).
+from ..operators.text import poly_hash_pair as _poly_hash_pair  # noqa: E402 — placed with its one consumer
+
+_DP_H1 = _poly_hash_pair("concat('dp1:', source)", "'dp1:' || source")
+_DP_H2 = _poly_hash_pair("concat('dp2:', source)", "'dp2:' || source")
+
+# Affine post-mix before stacking: raw polynomial hashes of sequential
+# keys ('src10', 'src11', ...) differ only by the last character's
+# base^0 contribution — a +-few-units delta that would land neighbors in
+# the SAME noise bucket (the q245 salt-collapse lesson). A big-multiplier
+# affine map amplifies a delta of 1 to ~2.65e9 mod POLY_MOD, restoring
+# spread; multipliers stay below 9.2e18 / POLY_MOD so the product is
+# int64-exact in both engines.
+_DP_A1, _DP_C1 = 2_654_435_769, 104_729      # 2^32 / golden ratio
+_DP_A2, _DP_C2 = 2_246_822_519, 15_485_863   # xxhash PRIME32_2
+
+
+def _dp_u(h1: str, h2: str) -> str:
+    m1 = f"(({_DP_A1} * ({h1}) + {_DP_C1}) % {POLY_MOD})"
+    m2 = f"(({_DP_A2} * ({h2}) + {_DP_C2}) % {POLY_MOD})"
+    return f"{m1} * CAST({POLY_MOD} AS BIGINT) + {m2}"
+
+
+_DP_U_SPARK = _dp_u(_DP_H1[0], _DP_H2[0])
+_DP_U_DUCK = _dp_u(_DP_H1[1], _DP_H2[1])
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(k, floor(CDF(k) * R)) for the alpha=1/2 two-sided geometric:
+    P(0) = 1/3, P(+-m) = (1/3)*2^-m; CDF(-m) = 2^(1-m)/3,
+    CDF(k>=0) = 1 - 2^-k/3. Exact via Fractions, evaluated once."""
+    from fractions import Fraction
+
+    out = []
+    for k in range(-DP_NOISE_CAP, DP_NOISE_CAP):
+        if k < 0:
+            cdf = Fraction(2, 3 * (1 << (-k)))
+        else:
+            cdf = 1 - Fraction(1, 3 * (1 << k))
+        out.append((k, (cdf.numerator * _DP_R) // cdf.denominator))
+    return out
+
+
+_DP_THRESHOLDS = _dp_thresholds()
+
+
+def _dp_noise_case(u: str) -> str:
+    """Inverse-CDF threshold ladder as one CASE expression (valid in both
+    dialects): smallest k with u < floor(CDF(k)*R), else +cap."""
+    whens = " ".join(
+        f"WHEN {u} < {thr} THEN {k}" for k, thr in _DP_THRESHOLDS
+    )
+    return f"(CASE {whens} ELSE {DP_NOISE_CAP} END)"
+
+
+@register(
+    "q250_dp_noisy_release",
+    oracle=f"""
+    WITH grp AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    keyed AS (
+      SELECT source, n_docs, {_DP_U_DUCK} AS u
+      FROM grp
+    )
+    SELECT source, n_docs,
+           CAST({_dp_noise_case("u")} AS BIGINT) AS dp_noise,
+           CAST(n_docs + {_dp_noise_case("u")} AS BIGINT) AS dp_count,
+           CAST({DP_EPS_MICRO} AS BIGINT) AS epsilon_micro
+    FROM keyed
+    """,
+    doc="Differentially-private per-source document counts: the discrete "
+    "Laplace (two-sided geometric, Ghosh et al.) mechanism at "
+    "epsilon = ln 2, drawn DETERMINISTICALLY — u is two stacked "
+    "polynomial hashes of the salted group key (uniform over "
+    "POLY_MOD^2 ~ 1e18) pushed through the inverse CDF as a "
+    f"{2 * DP_NOISE_CAP}-threshold integer CASE ladder precomputed in "
+    "exact Fractions (alpha = 1/2 makes every CDF value dyadic; zero "
+    "floats end to end, so the mechanism itself is hash-verified "
+    "cross-engine — the property a privacy audit actually wants to "
+    "check). Noise truncated to +-" f"{DP_NOISE_CAP} (tail < 2^-57). "
+    "True count and noise columns are retained HERE for the "
+    "correctness gate; a real release ships (source, dp_count, "
+    "epsilon) only. Scale shape: one scan, one tiny group-by on "
+    "source, then per-row codegen'd CASE arithmetic — no joins, no "
+    "driver round-trip; at 100 TB the ladder cost is per GROUP, not "
+    "per row.",
+    tags=("analytics", "privacy"),
+)
+def q250_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    keyed = grp.selectExpr("source", "n_docs", f"{_DP_U_SPARK} AS u")
+    noise = _dp_noise_case("u")
+    return keyed.selectExpr(
+        "source",
+        "n_docs",
+        f"CAST({noise} AS BIGINT) AS dp_noise",
+        f"CAST(n_docs + {noise} AS BIGINT) AS dp_count",
+        f"CAST({DP_EPS_MICRO} AS BIGINT) AS epsilon_micro",
     )

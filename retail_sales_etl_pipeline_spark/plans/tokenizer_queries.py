@@ -1078,3 +1078,138 @@ def q225_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency spectrum + unseen-mass / species-richness estimates
+# (q248): the corpus-scaling question every vocab/dataset decision hides —
+# "how much of the type distribution have we NOT seen yet?" — answered from
+# the count-of-counts table alone. N_r = number of token types occurring
+# exactly r times; Good-Turing says the probability mass of UNSEEN types is
+# f1/N (Good 1953), the smoothed adjusted count for frequency r is
+# r* = (r+1)·N_{r+1}/N_r, and Chao1 (Chao 1984, bias-corrected form)
+# estimates total species richness as V + f1·(f1−1)/(2·(f2+1)). All three
+# are pure integer arithmetic over two cheap aggregations, so the whole
+# audit is hash-checked. Spectrum rows above GT_R_CAP collapse into one
+# tail bucket (GT smoothing is only ever used at small r; the cap also
+# bounds the (r+1)·N_{r+1} product — see the int64 note below).
+GT_R_CAP = 1000  # spectrum rows kept per exact r; r > cap -> tail bucket
+
+@register(
+    "q248_good_turing_vocab",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ),
+    spec AS (
+      SELECT CASE WHEN cnt <= {GT_R_CAP} THEN cnt
+                  ELSE {GT_R_CAP + 1} END AS r_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(cnt) AS BIGINT) AS type_mass
+      FROM freq GROUP BY 1
+    ),
+    wind AS (
+      SELECT r_bucket, n_types, type_mass,
+             CASE WHEN r_bucket < {GT_R_CAP}
+                   AND lead(r_bucket) OVER (ORDER BY r_bucket)
+                       = r_bucket + 1
+                  THEN lead(n_types) OVER (ORDER BY r_bucket)
+                  ELSE 0 END AS nx_types,
+             CAST(SUM(type_mass) OVER () AS BIGINT) AS n_tokens,
+             CAST(SUM(n_types) OVER () AS BIGINT) AS n_vocab,
+             CAST(COALESCE(SUM(CASE WHEN r_bucket = 1 THEN n_types END)
+                           OVER (), 0) AS BIGINT) AS f1,
+             CAST(COALESCE(SUM(CASE WHEN r_bucket = 2 THEN n_types END)
+                           OVER (), 0) AS BIGINT) AS f2
+      FROM spec
+    )
+    SELECT r_bucket, n_types, type_mass,
+           CAST(COALESCE(
+             1000000 * (r_bucket + 1) * nx_types // n_types, 0)
+             AS BIGINT) AS gt_rstar_micro,
+           n_tokens, n_vocab,
+           CAST(1000000 * f1 // n_tokens AS BIGINT) AS p0_unseen_ppm,
+           CAST(n_vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_total_types
+    FROM wind
+    """,
+    doc="Good-Turing frequency spectrum: one row per occurrence-count "
+    f"class r (exact for r <= {GT_R_CAP}, one tail bucket above) with "
+    "N_r (n_types), the token mass at r, and the GT adjusted count "
+    "r* = (r+1)N_{r+1}/N_r in micro-units (0 where N_{r+1} is absent "
+    "or r is capped — the standard 'no estimate' sentinel); every row "
+    "also carries the corpus-level estimates: unseen-type probability "
+    "mass P0 = f1/N in ppm (Good 1953) and bias-corrected Chao1 total "
+    "species richness V + f1(f1-1)/(2(f2+1)) (always defined, f2=0 "
+    "safe). This is the 'is more data worth crawling' audit: P0 and "
+    "Chao1-V say how much type space remains unsampled. Exactness: "
+    "integer counts and truncating div only — fully hash-checked. "
+    "Scale shape: ONE corpus scan -> vocab-sized shuffle (token "
+    "counts) -> spectrum-sized shuffle (count-of-counts); the r+1 "
+    "neighbor lookup and the corpus totals are windows over the "
+    f"spectrum, which the r-cap bounds at {GT_R_CAP + 1} rows — a "
+    "constant-size single-partition finish, no joins, no re-scan. "
+    "int64 envelope: 1e6*(r+1)*N_{r+1} <= 1e6*(GT_R_CAP+1)*V — safe "
+    "below ~9.2e9 vocabulary types; f1*(f1-1) caps at f1 ~ 3.0e9 "
+    "singleton types (at 100 TB, shard the estimate per source first; "
+    "both bounds sit far above any single-corpus vocabulary observed "
+    "in practice).",
+    tags=("text", "tokenizer", "profiling"),
+)
+def q248_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spec = (
+        freq.selectExpr(
+            f"CASE WHEN cnt <= {GT_R_CAP} THEN cnt"
+            f" ELSE {GT_R_CAP + 1} END AS r_bucket",
+            "cnt",
+        )
+        .groupBy("r_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("type_mass"),
+        )
+    )
+    # Both the r+1 neighbor lookup and the corpus totals are windows over
+    # the SPECTRUM table — bounded at GT_R_CAP+1 rows by construction, so
+    # the single-partition window is a constant-size finish and the corpus
+    # is scanned exactly ONCE (a spec self-join + broadcast-total variant
+    # re-ran the token count three times).
+    wind = spec.selectExpr(
+        "r_bucket",
+        "n_types",
+        "type_mass",
+        f"CASE WHEN r_bucket < {GT_R_CAP}"
+        " AND lead(r_bucket) OVER (ORDER BY r_bucket) = r_bucket + 1"
+        " THEN lead(n_types) OVER (ORDER BY r_bucket)"
+        " ELSE 0 END AS nx_types",
+        "CAST(SUM(type_mass) OVER () AS BIGINT) AS n_tokens",
+        "CAST(SUM(n_types) OVER () AS BIGINT) AS n_vocab",
+        "CAST(COALESCE(SUM(CASE WHEN r_bucket = 1 THEN n_types END)"
+        " OVER (), 0) AS BIGINT) AS f1",
+        "CAST(COALESCE(SUM(CASE WHEN r_bucket = 2 THEN n_types END)"
+        " OVER (), 0) AS BIGINT) AS f2",
+    )
+    return wind.selectExpr(
+        "r_bucket",
+        "n_types",
+        "type_mass",
+        "CAST(COALESCE(1000000 * (r_bucket + 1) * nx_types"
+        " div n_types, 0) AS BIGINT) AS gt_rstar_micro",
+        "n_tokens",
+        "n_vocab",
+        "CAST(1000000 * f1 div n_tokens AS BIGINT) AS p0_unseen_ppm",
+        "CAST(n_vocab + (f1 * (f1 - 1)) div (2 * (f2 + 1)) AS BIGINT)"
+        " AS chao1_total_types",
+    )

@@ -722,3 +722,45 @@ def test_q247_tuner_is_one_aggregate_pass(spark):
     assert plan.count("Scan parquet") < len(TUNER_GRID), plan.count(
         "Scan parquet"
     )
+
+
+def test_q248_spectrum_is_one_corpus_scan_no_joins(spark):
+    """q248 (Good-Turing): neighbor lookup + totals must be windows over
+    the r-capped spectrum — one corpus scan, zero joins (a self-join +
+    broadcast-total formulation re-ran the token count three times)."""
+    plan = _formatted_plan(
+        REGISTRY["q248_good_turing_vocab"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Scan parquet") == 1, plan[:1500]
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert _op_count(plan, join) == 0
+    assert _op_count(plan, "Window") >= 1
+
+
+def test_q249_layouts_ride_one_fact_scan(spark):
+    """q249 (Hilbert layout): the three layouts must fan out of ONE cell
+    aggregate via stack(), with the packing cumsums as windows over the
+    bounded cell table — one fact scan, zero joins (the unioned
+    per-layout form scanned orders six times)."""
+    plan = _formatted_plan(
+        REGISTRY["q249_hilbert_layout"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Scan parquet") == 1, plan[:1500]
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert _op_count(plan, join) == 0
+    assert _op_count(plan, "Generate") == 1  # the stack() fan-out
+
+
+def test_q250_dp_release_is_scan_agg_project(spark):
+    """q250 (DP release): the threshold ladder must stay a codegen'd CASE
+    projection — one scan, one group-by exchange, no joins, no window."""
+    plan = _formatted_plan(
+        REGISTRY["q250_dp_noisy_release"].spark_fn(spark, SMOKE_SF_DIR)
+    )
+    assert _op_count(plan, "Scan parquet") == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "Window"):
+        assert _op_count(plan, op) == 0

@@ -1,0 +1,199 @@
+"""Round-9 second wave: Good-Turing/Chao1 vocabulary estimates (q248),
+the Hilbert-curve row-budget layout audit (q249), and the deterministic
+discrete-Laplace DP count release (q250).
+
+Hash-parity with the DuckDB oracles is the primary gate; these tests pin
+the VALUE semantics a hash can't explain: the packed state machine
+against the textbook xy2d recursion, the exact-Fraction geometric CDF
+ladder, noise spread (the q245 salt-collapse regression), and a full
+brute-force recomputation of the frequency spectrum.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from retail_sales_etl_pipeline_spark.plans.analytic_queries import (
+    DP_NOISE_CAP,
+    H_BITS,
+    H_DCONST,
+    H_SCONST,
+    _DP_R,
+    _DP_THRESHOLDS,
+    _hilbert_steps,
+)
+from retail_sales_etl_pipeline_spark.plans.registry import load_all
+from retail_sales_etl_pipeline_spark.plans.tokenizer_queries import GT_R_CAP
+from retail_sales_etl_pipeline_spark.sources import load_table
+
+from .conftest import ORACLE_SF_DIR, SMOKE_SF_DIR
+
+REGISTRY = load_all()
+
+
+# --- Hilbert state machine ------------------------------------------------
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """The textbook bottom-up Hilbert recursion ('Programming the Hilbert
+    curve' / Wikipedia xy2d) — the ground truth the packed tables must
+    reproduce."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _machine_d(x: int, y: int) -> int:
+    """The packed-table arithmetic exactly as the SQL computes it."""
+    s = 0
+    d = 0
+    for lvl in range(H_BITS - 1, -1, -1):
+        q = 2 * ((x >> lvl) & 1) + ((y >> lvl) & 1)
+        idx = 2 * (s * 4 + q)
+        d = d * 4 + ((H_DCONST >> idx) & 3)
+        s = (H_SCONST >> idx) & 3
+    return d
+
+
+def test_hilbert_tables_match_textbook_xy2d_all_cells():
+    n = 1 << H_BITS
+    for x in range(n):
+        for y in range(n):
+            assert _machine_d(x, y) == _xy2d(n, x, y), (x, y)
+
+
+def test_hilbert_sql_arithmetic_matches_python(spark):
+    """The Spark-dialect expression chain (div/shiftleft/mod) must produce
+    the same index as the Python walk — on a stride sample of the grid."""
+    cells = [
+        (x, y) for x in range(0, 256, 7) for y in range(0, 256, 11)
+    ]
+    df = spark.createDataFrame(cells, "price_b int, day_b int")
+    for name, sql in _hilbert_steps(
+        "div", "shiftleft(CAST(1 AS BIGINT), {n})"
+    ):
+        df = df.selectExpr("*", f"{sql} AS {name}")
+    got = {
+        (r.price_b, r.day_b): r.hilbert_d
+        for r in df.select("price_b", "day_b", "hilbert_d").collect()
+    }
+    assert got == {(x, y): _xy2d(256, x, y) for x, y in cells}
+
+
+def test_q249_hilbert_locality_beats_zorder(spark):
+    rows = {
+        r.layout: r
+        for r in REGISTRY["q249_hilbert_layout"]
+        .spark_fn(spark, ORACLE_SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"hilbert", "zorder", "date_sorted"}
+    # every layout answers the same query box
+    matched = {r.rows_matched for r in rows.values()}
+    assert len(matched) == 1
+    # row-budget packing keeps zone maps honest: scanned >= matched
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_matched
+    # the Faloutsos-Roseman property: Hilbert bounding boxes are no worse
+    # than Morton's (strictly better on any non-degenerate grid)
+    assert rows["hilbert"].sum_bbox_area <= rows["zorder"].sum_bbox_area
+    assert rows["hilbert"].max_bbox_area <= rows["zorder"].max_bbox_area
+
+
+# --- discrete-Laplace DP release -------------------------------------------
+
+
+def test_dp_thresholds_are_the_exact_geometric_cdf():
+    ks = [k for k, _ in _DP_THRESHOLDS]
+    ts = [t for _, t in _DP_THRESHOLDS]
+    assert ks == list(range(-DP_NOISE_CAP, DP_NOISE_CAP))
+    # strictly increasing, inside [0, R)
+    assert all(a < b for a, b in zip(ts, ts[1:]))
+    assert 0 < ts[0] and ts[-1] < _DP_R
+    thr = dict(_DP_THRESHOLDS)
+    # CDF(-1) = 1/3 and CDF(0) = 2/3, exactly (floor of exact fractions)
+    assert thr[-1] == _DP_R // 3
+    assert thr[0] == (2 * _DP_R) // 3
+    # geometric decay: bucket mass halves every step outward (+-1 floor)
+    for k in range(0, DP_NOISE_CAP - 2):
+        m1 = thr[k + 1] - thr[k]
+        m2 = thr[k + 2] - thr[k + 1]
+        assert abs(m1 - 2 * m2) <= 2, k
+    for k in range(2, DP_NOISE_CAP - 1):
+        m_out = thr[-k] - thr[-k - 1]
+        m_in = thr[-k + 1] - thr[-k]
+        assert abs(m_in - 2 * m_out) <= 2, k
+
+
+def test_q250_mechanism_properties(spark):
+    fn = REGISTRY["q250_dp_noisy_release"].spark_fn
+    rows = sorted(
+        fn(spark, ORACLE_SF_DIR).collect(), key=lambda r: r.source
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r.dp_count == r.n_docs + r.dp_noise
+        assert -DP_NOISE_CAP <= r.dp_noise <= DP_NOISE_CAP
+        assert r.epsilon_micro == 693147
+    # deterministic: a second run is bit-identical
+    again = sorted(
+        fn(spark, ORACLE_SF_DIR).collect(), key=lambda r: r.source
+    )
+    assert rows == again
+    # spread: sequential source names must NOT collapse into one noise
+    # bucket (the q245 salt-collapse regression — raw polynomial hashes
+    # of 'src10'/'src11'/... differ by ~1 before the affine post-mix)
+    assert len({r.dp_noise for r in rows}) >= 3
+
+
+# --- Good-Turing spectrum ---------------------------------------------------
+
+
+def test_q248_matches_brute_force_spectrum(spark):
+    texts = [
+        r.text
+        for r in load_table(spark, SMOKE_SF_DIR, "documents")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    freq = Counter(
+        w for t in texts for w in t.lower().split(" ")
+    )
+    spec = Counter()
+    mass = Counter()
+    for _, c in freq.items():
+        b = c if c <= GT_R_CAP else GT_R_CAP + 1
+        spec[b] += 1
+        mass[b] += c
+    n_tokens = sum(freq.values())
+    n_vocab = len(freq)
+    f1, f2 = spec.get(1, 0), spec.get(2, 0)
+    p0 = 1_000_000 * f1 // n_tokens
+    chao1 = n_vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+    expected = set()
+    for b, n_types in spec.items():
+        nx = spec.get(b + 1, 0) if b < GT_R_CAP else 0
+        rstar = (
+            1_000_000 * (b + 1) * nx // n_types if nx else 0
+        )
+        expected.add(
+            (b, n_types, mass[b], rstar, n_tokens, n_vocab, p0, chao1)
+        )
+    got = {
+        tuple(r)
+        for r in REGISTRY["q248_good_turing_vocab"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert got == expected
