@@ -562,3 +562,50 @@ def common_span_pandas(pairs, tf_cap: int, text_a: str = "text_a", text_b: str =
     return pairs.select("doc_a", "doc_b", text_a, text_b).mapInPandas(
         per_batch, schema
     )
+
+
+def misra_gries_shard_summaries(
+    toks, k: int, token_col: str = "token", shard_col: str = "shard"
+):
+    """Per-shard Misra-Gries frequent-item summaries (Arrow grouped map).
+
+    Each shard's token stream is folded chunk-by-chunk into a bounded
+    summary of at most ``k`` counters: a chunk's exact value_counts (a
+    zero-error MG summary of the chunk) is added to the running summary,
+    and whenever the summary exceeds ``k`` entries the (k+1)-th largest
+    count is subtracted from every counter and non-positive entries drop
+    (the Agarwal et al. 'Mergeable Summaries' merge rule) — memory stays
+    O(k + chunk) however large the shard. The guarantee the caller
+    relies on: any token whose SHARD count exceeds n_shard/(k+1) is in
+    the summary; by pigeonhole, any token whose GLOBAL count exceeds
+    N/(k+1) survives in at least one shard. Summary CONTENTS beyond that
+    recall set depend on fold order (Arrow batch order is not
+    deterministic), so callers must treat the output as a candidate set
+    and re-count exactly — never publish the residual counts.
+
+    Output rows per shard: one (token=None, cnt=n_shard) total row plus
+    one (token, residual cnt) row per retained counter.
+    """
+    import pandas as pd
+
+    chunk = 65536
+
+    def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        counters: dict[str, int] = {}
+        col = pdf[token_col]
+        for lo in range(0, len(col), chunk):
+            vc = col.iloc[lo : lo + chunk].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - sub for t, c in counters.items() if c > sub
+                }
+        rows = [{"token": None, "cnt": len(col)}]
+        rows += [{"token": t, "cnt": c} for t, c in counters.items()]
+        return pd.DataFrame(rows)
+
+    return toks.groupBy(shard_col).applyInPandas(
+        summarize, "token string, cnt long"
+    )

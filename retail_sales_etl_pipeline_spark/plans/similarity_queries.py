@@ -2335,3 +2335,135 @@ def q246_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (q252): Gonzalez (1985) farthest-point
+# traversal — the classic 2-approximation for k-center, used in data
+# pipelines as DIVERSITY selection: pick the K most mutually-distant
+# embeddings as a coverage skeleton (dedup keeps what's identical out;
+# this keeps what's maximally different in). Deterministic: seed = min
+# vec_id, each round adds the point with the largest min-distance to the
+# chosen set (ties -> smallest vec_id), full-dim squared-L2 as the
+# unrolled index-ordered 64-term sum (the q30/q246 bit-exactness
+# convention). The Spark side is the honest distributed form of an
+# inherently sequential-by-round algorithm: per round, ONE scan of the
+# vector table scores LEAST(d2 to each chosen center) — centers ride
+# along as literal arrays (K*64 doubles of driver state, the q38
+# bounded-collect pattern), so round r costs one scan, never a
+# self-join; the oracle is the same K rounds as an unrolled CTE chain.
+KC_K = 4
+
+
+def _l2sq_lit_spark(col: str, center: list[float]) -> str:
+    """Unrolled 64-term squared-L2 between an array column and a literal
+    center — textually index-ordered and left-associated exactly like
+    l2sq_sub_pair, so the double result is bit-identical to the oracle's
+    column-vs-column form."""
+    terms = [
+        f"(({col}[{j}] - ({v!r}D)) * ({col}[{j}] - ({v!r}D)))"
+        for j, v in enumerate(center)
+    ]
+    return " + ".join(terms)
+
+
+def _kc_oracle() -> str:
+    d2 = l2sq_sub_pair("a.emb", "c.emb", 0, 64)[1]
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "c0 AS (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 1)",
+        f"r1 AS (SELECT a.vec_id, a.emb, ({d2}) AS mind"
+        " FROM v a LEFT JOIN c0 c ON TRUE)",
+    ]
+    for i in range(1, KC_K):
+        excl = " AND ".join(
+            f"vec_id <> (SELECT vec_id FROM c{j})" for j in range(i)
+        )
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, emb, mind FROM r{i} WHERE {excl}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT a.vec_id, a.emb,"
+            f" LEAST(a.mind, ({d2})) AS mind"
+            f" FROM r{i} a LEFT JOIN c{i} c ON TRUE)"
+        )
+    rounds = "\n    UNION ALL ".join(
+        [
+            "SELECT 0 AS round, vec_id, 0.0 AS sel_d2 FROM c0",
+        ]
+        + [
+            f"SELECT {i} AS round, vec_id, mind AS sel_d2 FROM c{i}"
+            for i in range(1, KC_K)
+        ]
+        + [
+            f"SELECT {KC_K} AS round, CAST(-1 AS BIGINT) AS vec_id,"
+            " m AS sel_d2 FROM (SELECT MAX(mind) AS m,"
+            f" COUNT(*) AS nn FROM r{KC_K}) WHERE nn > 0",
+        ]
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rounds
+
+
+@register(
+    "q252_kcenter_coreset",
+    oracle=_kc_oracle(),
+    doc=f"Gonzalez farthest-point k-center coreset (K={KC_K}): diversity "
+    "selection over the embedding table — seed = min vec_id, then each "
+    "round adds the point maximizing min squared-L2 distance to the "
+    "chosen set (tie -> smallest vec_id); output is the selection "
+    "trace (round, vec_id, the argmax distance = the PREVIOUS set's "
+    "covering radius) plus a final row (round=K, vec_id=-1) with the "
+    "covering radius of the full selection — the k-center objective "
+    "value, a 2-approximation of optimal (Gonzalez 1985). Exactness: "
+    "d2 is the unrolled index-ordered 64-term sum (bit-identical "
+    "cross-engine, q246 convention); LEAST skips NULLs identically in "
+    "both engines, which also makes the oracle's CTE chain degrade "
+    "correctly when the corpus has fewer than K points (both sides "
+    "emit only the achievable rounds). Scale shape: K-1 scans of the "
+    "vector table, each a map-only LEAST-of-literals projection + "
+    "TakeOrdered(1) — centers are bounded driver state (K*64 "
+    "doubles, the q38 pattern), no self-join, no shuffle beyond the "
+    "single-row top-1; at 100 TB each round is one embarrassingly "
+    "parallel pass.",
+    tags=("similarity", "sampling", "iterative"),
+)
+def q252_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = "round INT, vec_id BIGINT, sel_d2 DOUBLE"
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    seed = v.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], out_schema)
+    chosen = [int(seed[0].vec_id)]
+    centers = [list(seed[0].emb)]
+    results: list[tuple] = [(0, chosen[0], 0.0)]
+    for rnd in range(1, KC_K):
+        mind = "LEAST(" + ", ".join(
+            f"({_l2sq_lit_spark('emb', c)})" for c in centers
+        ) + ")" if len(centers) > 1 else _l2sq_lit_spark("emb", centers[0])
+        cand = (
+            v.filter(~F.col("vec_id").isin(chosen))
+            .selectExpr("vec_id", "emb", f"({mind}) AS mind")
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        r = cand[0]
+        results.append((rnd, int(r.vec_id), float(r.mind)))
+        chosen.append(int(r.vec_id))
+        centers.append(list(r.emb))
+    mind_all = "LEAST(" + ", ".join(
+        f"({_l2sq_lit_spark('emb', c)})" for c in centers
+    ) + ")" if len(centers) > 1 else _l2sq_lit_spark("emb", centers[0])
+    cov = (
+        v.selectExpr(f"({mind_all}) AS mind")
+        .agg(F.max("mind").alias("m"))
+        .collect()[0].m
+    )
+    results.append((KC_K, -1, float(cov)))
+    return spark.createDataFrame(results, out_schema)

@@ -1840,3 +1840,105 @@ def q243_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low_entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with exact verification (q251): the
+# deterministic-guarantee sibling of q197's count-min path. MG keeps at
+# most K counters per shard and NEVER misses an item with count >
+# N/(K+1) (Misra-Gries 1982; mergeable per Agarwal et al. 2012) — a
+# recall theorem, where CMS offers a probabilistic overestimate bound.
+# The two compose differently at 100 TB: CMS gives estimated counts from
+# a fixed 4 KB cell table; MG gives a certain candidate superset with
+# bounded size (shards*K) and no hash-collision failure mode. Both then
+# re-count candidates exactly over a semi-joined stream. Because MG
+# summary CONTENTS depend on fold order, only the exact-verified output
+# leaves the operator — which is precisely why the query is fully
+# hash-checkable against the plain frequent-items SQL: a recall bug
+# would drop rows and break the hash.
+MG_K = 64          # counters per shard -> guarantee threshold N/(K+1)
+MG_SHARDS = 32     # deterministic doc_id-keyed shards (memory unit)
+
+
+@register(
+    "q251_misra_gries_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT token FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE len(token) > 0
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    )
+    SELECT f.token,
+           f.cnt AS exact_count,
+           t.n AS n_tokens,
+           CAST(1000000 * f.cnt // t.n AS BIGINT) AS share_ppm
+    FROM freq f CROSS JOIN total t
+    WHERE f.cnt * {MG_K + 1} > t.n
+    """,
+    doc="Misra-Gries heavy hitters with exact verification: per-shard "
+    f"bounded summaries (K={MG_K} counters, {MG_SHARDS} doc_id-keyed "
+    "shards, Arrow grouped map) generate a candidate set that "
+    "PROVABLY contains every token with count > N/(K+1) — the "
+    "deterministic-recall complement of q197's count-min estimate "
+    "(no hash collisions, mergeable by the Agarwal et al. rule); the "
+    "exact pass then counts only the candidate-semi-joined stream and "
+    "keeps tokens over the threshold. The oracle is the plain "
+    "frequent-items SQL, so the hash match IS the recall proof: if "
+    "any true heavy hitter fell out of an MG summary, its row would "
+    "be missing. Integer threshold cnt*(K+1) > N avoids division "
+    "rounding. Scale shape: one corpus scan through the grouped map "
+    "(summaries are K-sized per shard; shard count scales with "
+    "executor memory, the threshold does not depend on it), one "
+    "candidate-broadcast semi-joined recount — the vocabulary-sized "
+    "aggregate never happens. Order caveat documented in the "
+    "operator: summary residuals are order-dependent and never leave "
+    "the operator; the verified output is order- and "
+    "partition-independent.",
+    tags=("text", "sketch", "aggregate", "pandas-udf"),
+)
+def q251_misra_gries_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text import misra_gries_shard_summaries
+
+    documents = load_table(spark, sf_dir, "documents")
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .select(
+            "token", (F.col("doc_id") % MG_SHARDS).alias("shard")
+        )
+    )
+    # The summary output is bounded at shards*(K+1) rows, so ONE pass
+    # materializes it to the driver (the q38/q252 bounded-collect
+    # pattern) — a second DataFrame consumer would re-execute the whole
+    # grouped-map corpus scan (no CTE sharing across consumers).
+    rows = misra_gries_shard_summaries(toks, MG_K).collect()
+    out_schema = (
+        "token string, exact_count long, n_tokens long, share_ppm long"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    n = sum(r.cnt for r in rows if r.token is None)
+    cand = sorted({r.token for r in rows if r.token is not None})
+    cand_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in cand], "token string")
+    )
+    return (
+        toks.join(cand_df, "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .filter(F.col("exact_count") * (MG_K + 1) > F.lit(n))
+        .selectExpr(
+            "token",
+            "exact_count",
+            f"CAST({n} AS BIGINT) AS n_tokens",
+            f"CAST(1000000 * exact_count div {n} AS BIGINT) AS share_ppm",
+        )
+    )

@@ -764,3 +764,20 @@ def test_q250_dp_release_is_scan_agg_project(spark):
     for op in ("SortMergeJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "Window"):
         assert _op_count(plan, op) == 0
+
+
+def test_q251_mg_recount_is_candidate_broadcast(spark):
+    """q251 (Misra-Gries): the summary pass collects once (bounded at
+    shards*(K+1) rows), so the RETURNED plan is only the recount —
+    one corpus scan semi-joined against broadcast literal candidates,
+    never a vocabulary-sized shuffle join and never a second
+    grouped-map execution."""
+    plan = _formatted_plan(
+        REGISTRY["q251_misra_gries_heavy_hitters"].spark_fn(
+            spark, SMOKE_SF_DIR
+        )
+    )
+    assert _op_count(plan, "Scan parquet") == 1, plan[:1500]
+    assert _op_count(plan, "SortMergeJoin") == 0
+    assert _op_count(plan, "BroadcastHashJoin") == 1
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 0

@@ -197,3 +197,116 @@ def test_q248_matches_brute_force_spectrum(spark):
         .collect()
     }
     assert got == expected
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+def test_mg_summaries_keep_every_guaranteed_token(spark):
+    """Recall theorem on a constructed skewed stream: tokens with count >
+    n/(K+1) must appear in the shard summaries regardless of fold order."""
+    from retail_sales_etl_pipeline_spark.operators.text import (
+        misra_gries_shard_summaries,
+    )
+
+    k = 4
+    # one shard: 60x 'hot', 30x 'warm', 200 singletons -> n=290,
+    # threshold n/(k+1) = 58 -> 'hot' guaranteed, singletons never
+    rows = (
+        [("hot", 0)] * 60 + [("warm", 0)] * 30
+        + [(f"x{i}", 0) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "token string, shard int")
+    out = misra_gries_shard_summaries(df, k).collect()
+    total = [r.cnt for r in out if r.token is None]
+    assert total == [290]
+    cands = {r.token for r in out if r.token is not None}
+    assert "hot" in cands
+    assert len(cands) <= k
+
+
+def test_q251_equals_exact_frequent_items(spark):
+    from retail_sales_etl_pipeline_spark.plans.text_queries import MG_K
+
+    texts = [
+        r.text
+        for r in load_table(spark, SMOKE_SF_DIR, "documents")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    freq = Counter(w for t in texts for w in t.split(" ") if len(w) > 0)
+    n = sum(freq.values())
+    expected = {
+        (w, c, n, 1_000_000 * c // n)
+        for w, c in freq.items()
+        if c * (MG_K + 1) > n
+    }
+    got = {
+        tuple(r)
+        for r in REGISTRY["q251_misra_gries_heavy_hitters"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # corpus actually exercises the path
+
+
+# --- k-center coreset -------------------------------------------------------
+
+
+def test_q252_matches_numpy_gonzalez(spark):
+    import numpy as np
+
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        KC_K,
+    )
+
+    rows = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    def d2_to(c):
+        # left-associated index-ordered sum, like the SQL
+        acc = np.zeros(len(X))
+        for j in range(X.shape[1]):
+            acc = acc + (X[:, j] - c[j]) * (X[:, j] - c[j])
+        return acc
+
+    chosen = [0]  # index of min vec_id
+    mind = d2_to(X[0])
+    expected = [(0, int(ids[0]), 0.0)]
+    for rnd in range(1, KC_K):
+        mask = np.ones(len(X), bool)
+        mask[chosen] = False
+        # argmax by (mind desc, vec_id asc)
+        best = None
+        for i in np.nonzero(mask)[0]:
+            key = (-mind[i], ids[i])
+            if best is None or key < best[0]:
+                best = (key, i)
+        i = best[1]
+        expected.append((rnd, int(ids[i]), float(mind[i])))
+        chosen.append(i)
+        mind = np.minimum(mind, d2_to(X[i]))
+    expected.append((KC_K, -1, float(mind.max())))
+
+    got = [
+        (r.round, r.vec_id, r.sel_d2)
+        for r in REGISTRY["q252_kcenter_coreset"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    ]
+    got.sort()
+    assert got == expected
+    # selection is genuinely diverse: K distinct ids, radii non-increasing
+    sel = [v for _, v, _ in got[:KC_K]]
+    assert len(set(sel)) == KC_K
+    radii = [d for rnd, _, d in got if rnd >= 1]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
