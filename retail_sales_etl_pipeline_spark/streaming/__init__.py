@@ -10,6 +10,11 @@ from .events import (
     stream_stream_attribution,
     windowed_event_counts,
 )
+from .heavy_hitters import (
+    MgRollup,
+    read_documents_stream,
+    verified_heavy_hitters,
+)
 from .kll_rollup import (
     KllRollup,
     certify_against_exact,
@@ -21,6 +26,7 @@ from .sinks import exactly_once_parquet_sink, run_with_exactly_once_sink
 
 __all__ = [
     "KllRollup",
+    "MgRollup",
     "certify_against_exact",
     "dedup_stream_against_index",
     "dedup_stream_within_watermark",
@@ -29,11 +35,13 @@ __all__ = [
     "export_dsir_model",
     "fingerprint_events",
     "one_shot_sketch",
+    "read_documents_stream",
     "read_events_stream",
     "run_to_memory",
     "run_with_exactly_once_sink",
     "sessionized_counts",
     "sketches_identical",
     "stream_stream_attribution",
+    "verified_heavy_hitters",
     "windowed_event_counts",
 ]

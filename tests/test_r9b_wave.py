@@ -1,12 +1,14 @@
 """Round-9 second wave: Good-Turing/Chao1 vocabulary estimates (q248),
-the Hilbert-curve row-budget layout audit (q249), and the deterministic
-discrete-Laplace DP count release (q250).
+the Hilbert-curve row-budget layout audit (q249), the deterministic
+discrete-Laplace DP count release (q250), Misra-Gries heavy hitters
+(q251), and the Gonzalez k-center coreset (q252).
 
 Hash-parity with the DuckDB oracles is the primary gate; these tests pin
 the VALUE semantics a hash can't explain: the packed state machine
 against the textbook xy2d recursion, the exact-Fraction geometric CDF
-ladder, noise spread (the q245 salt-collapse regression), and a full
-brute-force recomputation of the frequency spectrum.
+ladder, noise spread (the q245 salt-collapse regression), brute-force
+recomputations of the frequency spectrum and the farthest-point
+traversal, and the MG recall theorem on a constructed skewed stream.
 """
 
 from __future__ import annotations
