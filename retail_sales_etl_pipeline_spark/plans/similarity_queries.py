@@ -2467,3 +2467,233 @@ def q252_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     results.append((KC_K, -1, float(cov)))
     return spark.createDataFrame(results, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance (q253): the production ANN question q31/q52 leave
+# open — a new ingest batch arrives; do NOT rebuild the index. Assign the
+# batch to the EXISTING centroids (one broadcast argmax pass, q31's exact
+# assignment), and report per-centroid occupancy drift: base count, added
+# count, added share, and a hot flag when a cell exceeds 2x the mean —
+# the retrain trigger every IVF deployment monitors (imbalanced cells
+# degrade probe recall; the q59 bucket-cap lesson applied to ANN). The
+# incoming batch is carved deterministically (vec_id % 13 == 0, q169's
+# CDC convention) so the query is self-contained and hash-checked.
+IVF_INC_MOD = 13
+
+
+@register(
+    "q253_ivf_index_maintenance",
+    oracle=f"""
+    WITH v AS ({_DUCK_VEC_CTE}),
+    cents AS (SELECT * FROM v WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, centroid_id,
+             CAST(vec_id % {IVF_INC_MOD} = 0 AS BIGINT) AS is_new
+      FROM (
+        SELECT a.vec_id, b.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN cents b ON true
+      ) WHERE rnk = 1
+    ),
+    cells AS (
+      SELECT centroid_id,
+             CAST(SUM(1 - is_new) AS BIGINT) AS n_base,
+             CAST(SUM(is_new) AS BIGINT) AS n_new,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM assign GROUP BY centroid_id
+    )
+    SELECT centroid_id, n_base, n_new, n_total,
+           CAST(1000000 * n_new // n_total AS BIGINT) AS added_share_ppm,
+           CAST(n_total * CAST(SUM(1) OVER () AS BIGINT)
+                > 2 * CAST(SUM(n_total) OVER () AS BIGINT)
+                AS BIGINT) AS hot_flag
+    FROM cells
+    """,
+    doc=f"IVF index maintenance: assign ALL vectors (base + the "
+    f"vec_id % {IVF_INC_MOD} = 0 incremental carve, q169's CDC "
+    "convention) to the existing K={0} centroids with q31's exact "
+    "broadcast argmax, then report per-centroid occupancy: base/new/"
+    "total counts, added share in ppm, and a hot flag when a cell "
+    "exceeds 2x the mean occupancy (n_total*K > 2*N in exact "
+    "integers) — the retrain trigger an IVF deployment monitors "
+    "instead of rebuilding per batch (imbalanced cells degrade "
+    "fixed-nprobe recall). Scale shape: one vector scan, the K-wide "
+    "broadcast score + map-side max_by collapse (no N*K shuffle), a "
+    "K-row aggregate, and K-row windows for the totals — everything "
+    "after the scan is centroid-sized.".format(N_CENTROIDS),
+    tags=("similarity", "index", "incremental"),
+)
+def q253_ivf_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = _vec_view_spark(spark, sf_dir)
+    assign = _ivf_assign(_ivf_scored(v)).withColumn(
+        "is_new",
+        (F.col("vec_id") % IVF_INC_MOD == 0).cast("long"),
+    )
+    cells = assign.groupBy("centroid_id").agg(
+        F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_base"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    return cells.selectExpr(
+        "centroid_id",
+        "n_base",
+        "n_new",
+        "n_total",
+        "CAST(1000000 * n_new div n_total AS BIGINT) AS added_share_ppm",
+        "CAST(n_total * CAST(SUM(1) OVER () AS BIGINT)"
+        " > 2 * CAST(SUM(n_total) OVER () AS BIGINT) AS BIGINT)"
+        " AS hot_flag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k retrieval eval (q254): the graded ranking metric the recall@k
+# evals (q111/q210) don't capture — position matters. Relevance is
+# label agreement (the q101/q135 convention), the discount weights
+# 1e6/log2(i+1) are precomputed INTEGER literals (k is small and fixed,
+# so the whole metric is exact integer arithmetic — no transcendental
+# evaluation inside either engine), and IDCG uses the corpus-true
+# relevant count capped at k, so a query with few relevant neighbors is
+# scored against an achievable ideal.
+NDCG_K = 10
+_NDCG_W = {
+    i: int(1_000_000 / __import__("math").log2(i + 1) + 0.5)
+    for i in range(1, NDCG_K + 1)
+}
+_NDCG_W_CASE = (
+    "CASE rnk "
+    + " ".join(f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items())
+    + " ELSE 0 END"
+)
+_NDCG_CUMW = {}
+_acc = 0
+for _i in range(1, NDCG_K + 1):
+    _acc += _NDCG_W[_i]
+    _NDCG_CUMW[_i] = _acc
+_NDCG_IDCG_CASE = (
+    "CASE LEAST(n_rel_total, " + str(NDCG_K) + ") "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in _NDCG_CUMW.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "q254_ndcg_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm, label
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT a.vec_id AS query_id, a.label,
+             CAST(b.label = a.label AS BIGINT) AS rel, rnk
+      FROM (
+        SELECT a.vec_id, a.label, b.vec_id AS neighbor_id, b.label AS blabel,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+      ) AS a(vec_id, label, bvid, blabel, rnk)
+      JOIN v b ON b.vec_id = a.bvid
+      WHERE rnk <= {NDCG_K}
+    ),
+    totals AS (
+      SELECT a.vec_id AS query_id,
+             CAST(COUNT(*) FILTER (WHERE b.label = a.label
+                                   AND b.vec_id <> a.vec_id) AS BIGINT)
+                 AS n_rel_total
+      FROM v a JOIN v b ON a.vec_id < {N_QUERIES}
+      GROUP BY a.vec_id
+    ),
+    dcg AS (
+      SELECT query_id, label,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_retrieved,
+             CAST(SUM(rel * ({_NDCG_W_CASE})) AS BIGINT) AS dcg_micro
+      FROM ranked GROUP BY query_id, label
+    )
+    SELECT d.query_id, d.label, d.n_rel_retrieved,
+           CAST(LEAST(t.n_rel_total, {NDCG_K}) AS BIGINT) AS n_rel_ideal,
+           d.dcg_micro,
+           CAST({_NDCG_IDCG_CASE} AS BIGINT) AS idcg_micro,
+           CAST(1000000 * d.dcg_micro
+                // NULLIF({_NDCG_IDCG_CASE}, 0) AS BIGINT) AS ndcg_ppm
+    FROM dcg d JOIN totals t ON t.query_id = d.query_id
+    """,
+    doc=f"nDCG@{NDCG_K} retrieval eval: brute-force cosine top-"
+    f"{NDCG_K} per query (q30's exact ranking), relevance = label "
+    "agreement (the q101/q135 convention), DCG with 1e6/log2(i+1) "
+    "discount weights precomputed as integer literals and IDCG from "
+    "the corpus-true relevant count capped at k — position-aware "
+    "ranking quality, exact integer arithmetic end to end (the only "
+    "doubles are the cosine scores that produce the ranking, "
+    "bit-identical cross-engine per the q30 convention; ndcg_ppm is "
+    "a truncating integer ratio). NULL-safe: a query with zero "
+    "relevant neighbors scores NULL ndcg (0/0), kept as NULL in both "
+    "engines. Scale shape: q30's scored window plus one per-query "
+    "relevant-count aggregate; at corpus scale the ranking side swaps "
+    "for the q64 ANN stack and this exact form stays as its judge.",
+    tags=("similarity", "eval"),
+)
+def q254_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
+        "label",
+    )
+    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = (
+        a.join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (F.col("b.label") == F.col("a.label")).cast("long").alias("rel"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NDCG_K)
+    )
+    dcg = ranked.groupBy("query_id", "label").agg(
+        F.sum("rel").cast("long").alias("n_rel_retrieved"),
+        F.expr(f"CAST(SUM(rel * ({_NDCG_W_CASE})) AS BIGINT)").alias(
+            "dcg_micro"
+        ),
+    )
+    totals = (
+        a.join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .groupBy(F.col("a.vec_id").alias("query_id"))
+        .agg(
+            F.sum(
+                (F.col("b.label") == F.col("a.label")).cast("long")
+            ).cast("long").alias("n_rel_total")
+        )
+    )
+    return (
+        dcg.join(totals, "query_id")
+        .selectExpr(
+            "query_id",
+            "label",
+            "n_rel_retrieved",
+            f"CAST(LEAST(n_rel_total, {NDCG_K}) AS BIGINT) AS n_rel_ideal",
+            "dcg_micro",
+            f"CAST({_NDCG_IDCG_CASE} AS BIGINT) AS idcg_micro",
+            f"CAST(1000000 * dcg_micro div NULLIF({_NDCG_IDCG_CASE}, 0)"
+            " AS BIGINT) AS ndcg_ppm",
+        )
+    )

@@ -312,3 +312,105 @@ def test_q252_matches_numpy_gonzalez(spark):
     assert len(set(sel)) == KC_K
     radii = [d for rnd, _, d in got if rnd >= 1]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+# --- IVF maintenance + nDCG eval -------------------------------------------
+
+
+def test_q253_occupancy_matches_python_recount(spark):
+    import numpy as np
+
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        IVF_INC_MOD,
+        N_CENTROIDS,
+    )
+
+    rows = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    cents = {int(i): X[np.where(ids == i)[0][0]] for i in range(N_CENTROIDS)}
+    counts: dict[int, dict[str, int]] = {}
+    for j in range(len(ids)):
+        best = None
+        for cid, cv in sorted(cents.items()):
+            cn = np.sqrt((cv * cv).sum())
+            cos = float(X[j] @ cv) / (nrm[j] * cn)
+            key = (-cos, cid)
+            if best is None or key < best[0]:
+                best = (key, cid)
+        cid = best[1]
+        c = counts.setdefault(cid, {"base": 0, "new": 0})
+        c["new" if ids[j] % IVF_INC_MOD == 0 else "base"] += 1
+    got = {
+        r.centroid_id: r
+        for r in REGISTRY["q253_ivf_index_maintenance"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(counts)
+    n_cells = len(counts)
+    n_total_all = len(ids)
+    for cid, c in counts.items():
+        r = got[cid]
+        assert (r.n_base, r.n_new) == (c["base"], c["new"])
+        assert r.n_total == c["base"] + c["new"]
+        assert r.added_share_ppm == 1_000_000 * r.n_new // r.n_total
+        assert r.hot_flag == int(r.n_total * n_cells > 2 * n_total_all)
+
+
+def test_q254_ndcg_matches_python_recount(spark):
+    import math
+
+    import numpy as np
+
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        NDCG_K,
+        N_QUERIES,
+    )
+
+    rows = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    labels = {int(r.vec_id): r.label for r in rows}
+    nrm = np.sqrt((X * X).sum(axis=1))
+    w = {i: int(1_000_000 / math.log2(i + 1) + 0.5) for i in range(1, NDCG_K + 1)}
+    got = {
+        r.query_id: r
+        for r in REGISTRY["q254_ndcg_eval"].spark_fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(range(N_QUERIES))
+    for q in range(N_QUERIES):
+        qi = np.where(ids == q)[0][0]
+        scored = sorted(
+            (
+                (-float(X[qi] @ X[j]) / (nrm[qi] * nrm[j]), int(ids[j]))
+                for j in range(len(ids))
+                if ids[j] != q
+            ),
+        )[:NDCG_K]
+        rels = [int(labels[v] == labels[q]) for _, v in scored]
+        dcg = sum(r * w[i + 1] for i, r in enumerate(rels))
+        n_rel_total = sum(
+            1 for v, l in labels.items() if v != q and l == labels[q]
+        )
+        ideal = min(n_rel_total, NDCG_K)
+        idcg = sum(w[i] for i in range(1, ideal + 1))
+        r = got[q]
+        assert r.n_rel_retrieved == sum(rels)
+        assert r.dcg_micro == dcg
+        assert r.idcg_micro == idcg
+        assert r.n_rel_ideal == ideal
+        if idcg:
+            assert r.ndcg_ppm == 1_000_000 * dcg // idcg
+            assert 0 <= r.ndcg_ppm <= 1_000_000
+        else:
+            assert r.ndcg_ppm is None
