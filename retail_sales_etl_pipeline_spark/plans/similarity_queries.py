@@ -2697,3 +2697,181 @@ def q254_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS ndcg_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN-Shapley data valuation (q255): which training points actually HELP?
+# Jia et al. (VLDB 2019) give the exact closed form for KNN utility —
+# for each validation point, sort training points by distance and run
+# the suffix recurrence s_i = s_{i+1} + (m_i - m_{i+1})/K * min(K,i)/i
+# (s_N = m_N/N), where m_i is label agreement. Points that push correct
+# labels into the top-K get positive value; mislabeled or out-of-place
+# points go negative — the principled cut list for data curation, at
+# O(N log N) per validation point instead of exponential Shapley. The
+# recurrence is a per-query suffix SUM window over the distance ranking
+# (the q30 shape), with each term a single truncating micro-division so
+# both engines produce identical integers (div and // both truncate
+# toward zero, including negatives).
+SHAP_K = 5
+
+
+@register(
+    "q255_knn_shapley_valuation",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_DOT_D.replace("a.emb", "embedding::DOUBLE[]").replace("b.emb", "embedding::DOUBLE[]")} AS n2,
+             label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS train_id, b.label,
+             CAST(b.label = a.label AS BIGINT) AS m,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY (a.n2 + b.n2 - 2 * ({_DOT_D})),
+                        b.vec_id
+             ) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY a.vec_id) AS BIGINT)
+                 AS n_train
+      FROM v a JOIN v b
+        ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+    ),
+    deltas AS (
+      SELECT query_id, train_id, label, rnk, n_train, m,
+             CASE WHEN lead(m) OVER w IS NULL
+                  THEN m * 1000000 // n_train
+                  ELSE (m - lead(m) OVER w) * 1000000
+                       * LEAST({SHAP_K}, rnk) // ({SHAP_K} * rnk)
+             END AS delta_micro
+      FROM scored
+      WINDOW w AS (PARTITION BY query_id ORDER BY rnk)
+    ),
+    shap AS (
+      SELECT query_id, train_id, label,
+             CAST(SUM(delta_micro) OVER (
+               PARTITION BY query_id ORDER BY rnk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS BIGINT) AS s_micro
+      FROM deltas
+    )
+    SELECT train_id, label,
+           CAST(SUM(s_micro) // {N_QUERIES} AS BIGINT)
+               AS avg_shapley_micro,
+           CAST(SUM(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_queries,
+           CAST(SUM(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg_queries
+    FROM shap GROUP BY train_id, label
+    """,
+    doc=f"KNN-Shapley data valuation (Jia et al. 2019): the exact "
+    f"closed-form Shapley value of every training point for a K={SHAP_K} "
+    "nearest-neighbor utility over the validation queries — the suffix "
+    "recurrence s_i = s_(i+1) + (m_i - m_(i+1))/K * min(K,i)/i on the "
+    "distance ranking, evaluated as a per-query suffix-SUM window with "
+    "each term one truncating micro-division (identical integers in "
+    "both engines; div and // both truncate toward zero, negatives "
+    "included). Output: per-training-point average value plus "
+    "helps/hurts query counts — the principled curation cut list "
+    "(negative value = the point pushes wrong labels into top-K; the "
+    "efficiency property sum_i s_i = matches@K / K is value-tested "
+    "within truncation tolerance). Distances: d2 = n2_a + n2_b - "
+    "2*dot with the squared norms computed ONCE per vector in the "
+    "view and one index-ordered dot per pair (bit-identical "
+    "cross-engine, the q30 convention) — the unrolled 64-subscript "
+    "form used on small relations re-evaluates its array per "
+    "subscript once Catalyst collapses the projection into the "
+    "pairwise join (~150us/pair at 10x, measured and rejected). "
+    "Scale shape: the q30 scored relation (Q broadcast x N train) "
+    "plus per-query windows — at corpus scale the exact ranking swaps "
+    "for the ANN stack over a candidate pool and this form stays as "
+    "the oracle on the pool.",
+    tags=("similarity", "eval", "valuation"),
+)
+def q255_knn_shapley_valuation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # n2 is computed ONCE per vector in the view; the per-pair work is a
+    # single dot product (d2 = n2_a + n2_b - 2*dot). The unrolled
+    # 64-subscript form used elsewhere on SMALL relations re-evaluates
+    # the transform() array per subscript once Catalyst collapses the
+    # projection into the join — ~150us/pair at 10x, measured; this form
+    # is the pairwise-scan shape that actually scales.
+    n2_spark = _DOT_S.replace("a.emb", "embedding").replace(
+        "b.emb", "embedding"
+    )
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(n2_spark).alias("n2"),
+        "label",
+    )
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
+    # The per-pair dot is an interpreted lambda (Spark does not codegen
+    # higher-order functions), so the scoring map stage must not be
+    # pinned to the parquet split count — repartition the train side to
+    # full parallelism before fanning out Q rows per vector.
+    b = (
+        v.filter(F.col("vec_id") >= N_QUERIES)
+        .repartition(F.col("vec_id"))
+        .alias("b")
+    )
+    pair_dot = _DOT_S.replace("a.emb", "a.embedding").replace(
+        "b.emb", "b.embedding"
+    )
+    wq = Window.partitionBy("query_id")
+    wr = wq.orderBy("rnk")
+    scored = (
+        b.join(a)
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("train_id"),
+            F.col("b.label").alias("label"),
+            (F.col("b.label") == F.col("a.label")).cast("long").alias("m"),
+            F.expr(f"a.n2 + b.n2 - 2 * ({pair_dot})").alias("d2"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                wq.orderBy(F.asc("d2"), F.asc("train_id"))
+            ),
+        )
+        .withColumn("n_train", F.count(F.lit(1)).over(wq).cast("long"))
+    )
+    deltas = scored.withColumn("m_next", F.lead("m").over(wr)).selectExpr(
+        "query_id", "train_id", "label", "rnk",
+        "CASE WHEN m_next IS NULL"
+        " THEN m * 1000000 div n_train"
+        f" ELSE (m - m_next) * 1000000 * LEAST({SHAP_K}, rnk)"
+        f"      div ({SHAP_K} * rnk)"
+        " END AS delta_micro",
+    )
+    # Suffix sum as a DESC-ordered prefix sum: Spark's UnboundedFollowing
+    # frame re-aggregates the remaining rows for EVERY row (O(n^2) per
+    # partition — 42 s at 10x, measured); the incremental
+    # UnboundedPreceding frame over rnk DESC is the O(n) form and the
+    # deltas are exact integers, so the reordering changes nothing.
+    shap = deltas.withColumn(
+        "s_micro",
+        F.sum("delta_micro")
+        .over(
+            wq.orderBy(F.desc("rnk")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    return shap.groupBy("train_id", "label").agg(
+        F.expr(f"CAST(SUM(s_micro) div {N_QUERIES} AS BIGINT)").alias(
+            "avg_shapley_micro"
+        ),
+        F.sum((F.col("s_micro") > 0).cast("long")).cast("long").alias(
+            "n_pos_queries"
+        ),
+        F.sum((F.col("s_micro") < 0).cast("long")).cast("long").alias(
+            "n_neg_queries"
+        ),
+    )

@@ -781,3 +781,16 @@ def test_q251_mg_recount_is_candidate_broadcast(spark):
     assert _op_count(plan, "SortMergeJoin") == 0
     assert _op_count(plan, "BroadcastHashJoin") == 1
     assert _op_count(plan, "FlatMapGroupsInPandas") == 0
+
+
+def test_q255_suffix_sum_avoids_unbounded_following_frame(spark):
+    """q255 (KNN-Shapley): the suffix sum must be the DESC-ordered
+    incremental prefix frame — Spark's UNBOUNDED FOLLOWING frame
+    re-aggregates the tail for every row (O(n^2) per query partition,
+    42 s at 10x vs 3.7 s, measured)."""
+    plan = _formatted_plan(
+        REGISTRY["q255_knn_shapley_valuation"].spark_fn(
+            spark, SMOKE_SF_DIR
+        )
+    )
+    assert "UNBOUNDED FOLLOWING" not in plan.upper(), plan[:2000]

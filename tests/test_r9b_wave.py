@@ -414,3 +414,86 @@ def test_q254_ndcg_matches_python_recount(spark):
             assert 0 <= r.ndcg_ppm <= 1_000_000
         else:
             assert r.ndcg_ppm is None
+
+
+def test_q255_matches_python_knn_shapley(spark):
+    import numpy as np
+
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        N_QUERIES,
+        SHAP_K,
+    )
+
+    rows = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    labels = {int(r.vec_id): r.label for r in rows}
+    tr = np.nonzero(ids >= N_QUERIES)[0]
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def fold_dot(u, w):
+        # left-associated index-ordered sum, like the SQL aggregate
+        acc = 0.0
+        for d in range(len(u)):
+            acc = acc + u[d] * w[d]
+        return acc
+
+    n2 = {int(ids[j]): fold_dot(X[j], X[j]) for j in range(len(ids))}
+    per_train: dict[int, list[int]] = {}
+    for q in range(N_QUERIES):
+        qi = np.where(ids == q)[0][0]
+        # d2 = n2_a + n2_b - 2*dot, exactly as both engines compute it
+        order = []
+        for j in tr:
+            d2v = n2[q] + n2[int(ids[j])] - 2 * fold_dot(X[qi], X[j])
+            order.append((d2v, int(ids[j])))
+        order.sort()
+        m = [int(labels[v] == labels[q]) for _, v in order]
+        n = len(order)
+        deltas = []
+        for i in range(1, n + 1):
+            if i == n:
+                deltas.append(trunc_div(m[-1] * 1_000_000, n))
+            else:
+                num = (m[i - 1] - m[i]) * 1_000_000 * min(SHAP_K, i)
+                deltas.append(trunc_div(num, SHAP_K * i))
+        # suffix sums
+        s = [0] * n
+        acc_s = 0
+        for i in range(n - 1, -1, -1):
+            acc_s += deltas[i]
+            s[i] = acc_s
+        # Shapley efficiency: sum_i s_i == utility(full) = matches@K / K
+        # in exact rationals. With per-delta micro truncation the error
+        # is amplified by rank (sum_i s_i = sum_j j*delta_j), so the
+        # honest bound is sum_j j < n(n+1)/2 micro.
+        total = sum(s)
+        util = trunc_div(sum(m[:SHAP_K]) * 1_000_000, SHAP_K)
+        assert abs(total - util) <= n * (n + 1) // 2
+        for (d2v, vid), sv in zip(order, s):
+            per_train.setdefault(vid, []).append(sv)
+
+    got = {
+        r.train_id: r
+        for r in REGISTRY["q255_knn_shapley_valuation"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(per_train)
+    for vid, vals in per_train.items():
+        r = got[vid]
+        assert r.avg_shapley_micro == trunc_div(sum(vals), N_QUERIES)
+        assert r.n_pos_queries == sum(1 for v in vals if v > 0)
+        assert r.n_neg_queries == sum(1 for v in vals if v < 0)
+        assert r.label == labels[vid]
+    # the valuation is discriminative on this corpus: someone helps,
+    # and not everyone helps
+    assert any(r.avg_shapley_micro > 0 for r in got.values())
+    assert any(r.avg_shapley_micro <= 0 for r in got.values())
