@@ -583,14 +583,16 @@ def misra_gries_shard_summaries(
     deterministic), so callers must treat the output as a candidate set
     and re-count exactly — never publish the residual counts.
 
-    Output rows per shard: one (token=None, cnt=n_shard) total row plus
-    one (token, residual cnt) row per retained counter.
+    Output rows per shard, keyed by the emitted ``shard`` column: one
+    (shard, token=None, cnt=n_shard) total row plus one (shard, token,
+    residual cnt) row per retained counter — streaming consumers merge
+    each shard's rows as ONE real summary rather than singletons.
     """
     import pandas as pd
 
     chunk = 65536
 
-    def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def summarize(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         counters: dict[str, int] = {}
         col = pdf[token_col]
         for lo in range(0, len(col), chunk):
@@ -602,10 +604,14 @@ def misra_gries_shard_summaries(
                 counters = {
                     t: c - sub for t, c in counters.items() if c > sub
                 }
-        rows = [{"token": None, "cnt": len(col)}]
-        rows += [{"token": t, "cnt": c} for t, c in counters.items()]
+        shard = key[0]
+        rows = [{"shard": shard, "token": None, "cnt": len(col)}]
+        rows += [
+            {"shard": shard, "token": t, "cnt": c}
+            for t, c in counters.items()
+        ]
         return pd.DataFrame(rows)
 
     return toks.groupBy(shard_col).applyInPandas(
-        summarize, "token string, cnt long"
+        summarize, "shard long, token string, cnt long"
     )

@@ -3032,19 +3032,24 @@ def _dp_noise_case(u: str) -> str:
            CAST({DP_EPS_MICRO} AS BIGINT) AS epsilon_micro
     FROM keyed
     """,
-    doc="Differentially-private per-source document counts: the discrete "
-    "Laplace (two-sided geometric, Ghosh et al.) mechanism at "
-    "epsilon = ln 2, drawn DETERMINISTICALLY — u is two stacked "
-    "polynomial hashes of the salted group key (uniform over "
-    "POLY_MOD^2 ~ 1e18) pushed through the inverse CDF as a "
+    doc="DETERMINISTIC SIMULATION of the discrete-Laplace (two-sided "
+    "geometric, Ghosh et al.) noisy-count mechanism at the parameters "
+    "of epsilon = ln 2 — NOT a differentially-private release. The "
+    "noise draw u is two stacked polynomial hashes of hard-coded "
+    "salts over the PUBLIC group key, so anyone with code access can "
+    "recompute dp_noise and recover exact counts; no epsilon "
+    "guarantee holds for this mechanism as implemented. What IS "
+    "exercised (and hash-verified cross-engine) is the mechanism "
+    "plumbing a real release would use: uniform u over "
+    "POLY_MOD^2 ~ 1e18 pushed through the inverse CDF as a "
     f"{2 * DP_NOISE_CAP}-threshold integer CASE ladder precomputed in "
     "exact Fractions (alpha = 1/2 makes every CDF value dyadic; zero "
-    "floats end to end, so the mechanism itself is hash-verified "
-    "cross-engine — the property a privacy audit actually wants to "
-    "check). Noise truncated to +-" f"{DP_NOISE_CAP} (tail < 2^-57). "
-    "True count and noise columns are retained HERE for the "
-    "correctness gate; a real release ships (source, dp_count, "
-    "epsilon) only. Scale shape: one scan, one tiny group-by on "
+    "floats end to end). Noise truncated to +-" f"{DP_NOISE_CAP} "
+    "(tail < 2^-57). A real release requires (1) a SECRET "
+    "per-release seed folded into the hash in place of the literal "
+    "salts and (2) shipping (source, dp_count, epsilon) only — the "
+    "n_docs/dp_noise columns are retained HERE purely for the "
+    "correctness gate. Scale shape: one scan, one tiny group-by on "
     "source, then per-row codegen'd CASE arithmetic — no joins, no "
     "driver round-trip; at 100 TB the ladder cost is per GROUP, not "
     "per row.",

@@ -89,16 +89,15 @@ class MgRollup:
             doc_token_shards(batch_docs), self.k
         ).collect()
         self.n_batches += 1
+        # The operator emits its grouping key, so each shard's rows merge
+        # as ONE real K-counter summary (not singletons) — the Agarwal
+        # et al. merge then composes shard summaries into the rollup.
         shard_sums: dict[object, dict[str, int]] = {}
-        for i, r in enumerate(rows):
-            # rows carry no shard column (the operator is grouped); each
-            # None-token row starts a new shard's block in collect order
-            # is NOT guaranteed — so treat every non-total row as its own
-            # single-entry summary: summing singletons is the same merge.
+        for r in rows:
             if r.token is None:
                 self.n_tokens += int(r.cnt)
             else:
-                shard_sums[i] = {r.token: int(r.cnt)}
+                shard_sums.setdefault(r.shard, {})[r.token] = int(r.cnt)
         self.counters = merge_mg(
             self.counters, list(shard_sums.values()), self.k
         )
