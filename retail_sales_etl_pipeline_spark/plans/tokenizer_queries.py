@@ -1213,3 +1213,184 @@ def q248_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_vocab + (f1 * (f1 - 1)) div (2 * (f2 + 1)) AS BIGINT)"
         " AS chao1_total_types",
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge trainer (q256) — the loop that q94 is one round of.
+# Real byte-pair-encoding training (Sennrich et al. 2016) is N SEQUENTIAL
+# greedy merges: count adjacent symbol pairs over the corpus (weighted by
+# word frequency), merge the most frequent pair everywhere, repeat. The
+# key scale fact: after ONE corpus-sized word-count aggregation, training
+# touches only the distinct-word table — every round is vocab-bounded,
+# never corpus-bounded, so 100 TB of text costs one scan plus N
+# vocab-sized rounds.
+#
+# Merge application must be LEFT-TO-RIGHT NON-OVERLAPPING (for pair (a,a)
+# the word "a a a a" becomes "aa aa", not "aa a a"). Both engines apply
+# it as the same single fold over the symbol sequence encoded as a
+# \x1f-joined string: acc ends-with sep+L and s == R -> append R to acc
+# (turning the trailing L into LR), else append sep+s. A symbol CREATED
+# by the merge is L||R which is strictly longer than L, so it can never
+# re-match as L within the same pass — the fold is exactly the regex
+# left-to-right scan, without lookbehind (which RE2/DuckDB lacks).
+# Verified identical on "aaaa"/"aab"/"baa" fixtures in both engines and
+# against a pure-Python reference trainer in tests/test_r10_wave.py.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 10
+BPE_SEP = "\x1f"  # unit separator: never appears in corpus text
+
+
+def _bpe_fold_pair(left: str, right: str) -> tuple[str, str]:
+    """(spark_expr, duck_lambda_body) applying one merge to a seg string.
+
+    ``left``/``right`` are embedded as literals on the Spark side (the
+    driver loop knows the winner); the DuckDB side references the
+    winner CTE's columns (w.left_sym / w.right_sym) instead, so the
+    oracle needs no literal injection.
+    """
+    s = BPE_SEP
+    el = left.replace("\\", "\\\\").replace("'", "\\'")
+    er = right.replace("\\", "\\\\").replace("'", "\\'")
+    spark = (
+        f"aggregate(slice(split(seg, '{s}'), 2,"
+        f" greatest(size(split(seg, '{s}')) - 1, 0)),"
+        f" element_at(split(seg, '{s}'), 1),"
+        f" (acc, s) -> CASE WHEN s = '{er}'"
+        f" AND (acc = '{el}' OR endswith(acc, '{s}{el}'))"
+        f" THEN acc || '{er}' ELSE acc || '{s}' || s END)"
+    )
+    duck = (
+        f"list_reduce(string_split(s.seg, '{s}'),"
+        f" (acc, x) -> CASE WHEN x = w.right_sym"
+        f" AND (acc = w.left_sym OR ends_with(acc, '{s}' || w.left_sym))"
+        f" THEN acc || w.right_sym ELSE acc || '{s}' || x END)"
+    )
+    return spark, duck
+
+
+def _bpe_oracle() -> str:
+    """Unrolled per-round CTE chain (the q252 _kc_oracle convention):
+    round k = pair-count CTE over seg_{k-1}, single-row winner CTE
+    (cnt DESC, left, right), fold CTE producing seg_k. If a round has
+    no pairs left its winner CTE is empty, the CROSS JOIN empties every
+    later seg, and all later rounds emit zero rows — exactly the Spark
+    driver loop's early break."""
+    s = BPE_SEP
+    _, duck_fold = _bpe_fold_pair("", "")
+    ctes = [
+        """wfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE length(w) >= 1 GROUP BY w
+    )""",
+        f"""seg0 AS (
+      SELECT list_aggregate(string_split(w, ''), 'string_agg', '{s}')
+                 AS seg,
+             freq
+      FROM wfreq
+    )""",
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT ls[CAST(i AS INTEGER)] AS left_sym,
+             ls[CAST(i AS INTEGER) + 1] AS right_sym, freq
+      FROM (SELECT string_split(seg, '{s}') AS ls, freq
+            FROM seg{k - 1} WHERE len(string_split(seg, '{s}')) >= 2),
+           unnest(range(1, len(ls))) AS t(i)
+    )""")
+        ctes.append(f"""w{k} AS (
+      SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM p{k} GROUP BY left_sym, right_sym
+      ORDER BY cnt DESC, left_sym, right_sym LIMIT 1
+    )""")
+        ctes.append(f"""seg{k} AS (
+      SELECT {duck_fold} AS seg, s.freq
+      FROM seg{k - 1} s CROSS JOIN w{k} w
+    )""")
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS round, left_sym, right_sym,"
+        f" left_sym || right_sym AS merged, cnt AS pair_cnt FROM w{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rounds
+
+
+@register(
+    "q256_bpe_merge_trainer",
+    oracle=_bpe_oracle(),
+    doc=f"Iterative BPE merge trainer (Sennrich et al. 2016), "
+    f"N={BPE_ROUNDS} sequential greedy merges — the loop q94 is one "
+    "round of. Output: the merge table (round, left, right, merged, "
+    "weighted pair count), i.e. the trained tokenizer. Corpus text is "
+    "aggregated ONCE into the distinct-word frequency table; every "
+    "round after that is vocab-bounded: explode adjacent symbol pairs "
+    "per distinct word (weighted by freq), two-stage hash aggregate "
+    "on a ~symbol-vocab^2 key space, top-1 winner (cnt DESC, left, "
+    "right — deterministic tie-break), then a JVM-side fold applies "
+    "the merge left-to-right non-overlapping to every word's symbol "
+    "string (see _bpe_fold_pair: provably equal to the regex scan, no "
+    "lookbehind, identical list_reduce in DuckDB). Driver state is "
+    "bounded at one (left,right,cnt) row per round (the q252/q38 "
+    "pattern); lineage is truncated per round with localCheckpoint on "
+    "the vocab-bounded segmentation table so the plan does not deepen "
+    "across rounds. Oracle: unrolled per-round CTE chain "
+    "(_bpe_oracle, the _kc_oracle convention); an exhausted corpus "
+    "degrades identically on both sides (empty winner -> zero rows "
+    "for that and all later rounds == the driver loop's break). "
+    "Scale shape: one corpus scan + N vocab-sized rounds, each a "
+    "map-side pair explode -> bounded-key aggregate -> "
+    "TakeOrdered(1); at 100 TB the word-freq table is the only "
+    "shuffle whose width tracks the data.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q256_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = BPE_SEP
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # vocab-bounded from here on: localCheckpoint materializes the word
+    # table and truncates lineage so each round's plan is one fold deep
+    seg = words.selectExpr(
+        f"concat_ws('{s}', split(w, '')) AS seg", "freq"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        ls = f"split(seg, '{s}')"
+        pairs = (
+            seg.filter(F.expr(f"size({ls}) >= 2"))
+            .selectExpr(
+                f"explode(transform(sequence(1, size({ls}) - 1),"
+                f" i -> struct(element_at({ls}, i) AS l,"
+                f" element_at({ls}, i + 1) AS r))) AS p",
+                "freq",
+            )
+            .selectExpr("p.l AS left_sym", "p.r AS right_sym", "freq")
+        )
+        winner = (
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()  # bounded driver state: exactly one row per round
+        )
+        if not winner:
+            break
+        left, right = winner[0].left_sym, winner[0].right_sym
+        merges.append(
+            (rnd, left, right, left + right, int(winner[0].cnt))
+        )
+        fold, _ = _bpe_fold_pair(left, right)
+        seg = seg.selectExpr(f"{fold} AS seg", "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "round INT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_cnt BIGINT",
+    )
