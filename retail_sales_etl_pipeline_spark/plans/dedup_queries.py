@@ -2835,10 +2835,22 @@ PF_JACCARD_NUM, PF_JACCARD_DEN = 3, 10
     "and the exact join's candidate volume grows super-linearly where "
     "LSH's capped buckets do not. Exactness has a price; the recorded "
     "1x/10x walls ARE that price, and the capped LSH ladder is the "
-    "documented 100 TB path.",
-    tags=("dedup", "join"),
+    "documented 100 TB path. ROUND-10 DEMOTION: this exact form is now "
+    "the JUDGE only — tagged 'exact-judge', skipped by the default "
+    "bench path, still oracle-checked by the correctness gate; "
+    "q259_prefix_pairs_capped (identical schema, posting-capped index) "
+    "is the registered default, with the cap's loss observable in "
+    "q260's posting report and reconciled exactly in the wave test.",
+    tags=("dedup", "join", "exact-judge"),
 )
 def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pf_pairs_plan(spark, sf_dir, cap=None)
+
+
+def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
+    """Shared Bayardo/PPJoin all-pairs plan: exact (cap=None, the q205
+    judge) or with hot prefix-posting lists dropped (cap=N, the q259
+    default — dropped tokens are observable in q260's report)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.expr("size(split(text, ' ')) >= 3")
     )
@@ -2874,6 +2886,16 @@ def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    ceil(t*(m_a+m_b)/(1+t)). A true pair satisfies both bounds at
     #    EVERY shared prefix token, so filtering each generated match
     #    row prunes candidates without losing any qualifying pair.
+    if cap is not None:
+        # hot tokens (posting list > cap) are FEW by construction —
+        # broadcast anti-join, never a shuffle on the full index
+        hot_toks = (
+            pfx.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("plen"))
+            .filter(F.col("plen") > cap)
+            .select("tok")
+        )
+        pfx = pfx.join(F.broadcast(hot_toks), "tok", "left_anti")
     pa = pfx.select(
         F.col("doc_id").alias("doc_a"),
         "tok",
@@ -4097,4 +4119,184 @@ def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_nondup = 0 THEN 0"
             " ELSE nondup_sum div n_nondup END AS BIGINT)"
         ).alias("exp_fp_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped prefix-filter all-pairs (q259) + posting report (q260) — the
+# round-10 resolution of q205's documented weak status. q205 stays in
+# the registry as the EXACT-RECALL JUDGE (oracle-checked at sf0.01,
+# tagged 'exact-judge' and skipped by the default bench path); q259 is
+# the drop-in default: identical output schema, identical algorithm,
+# but prefix posting lists longer than PF_MAX_POSTING are dropped from
+# the inverted index before candidate generation — the same hot-bucket
+# cap q22/q32/q84 apply to LSH, making candidate volume O(corpus x cap)
+# instead of super-linear. The cap's effect is never silent: q260
+# reports the posting-length spectrum with dropped token/entry counts
+# and the per-bucket candidate-pair bound (the q59 convention), and
+# tests/test_r10_wave.py reconciles q259 against q205 exactly at test
+# scale. Measured at sf0.1 the longest posting list is 12, so the cap
+# is a no-op there (q259 == q205, zero loss); the 10x corpus's 75M-pair
+# candidate core is replication-driven posting growth, exactly what the
+# cap bounds at scale.
+# ---------------------------------------------------------------------------
+
+PF_MAX_POSTING = 64
+
+_PF_DUCK_CTES = f"""dtok AS (
+      SELECT doc_id, unnest({token_ngrams_expr("text", 3)[1]}) AS tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok GROUP BY tok),
+    m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM dtok GROUP BY doc_id),
+    ranked AS (
+      SELECT d.doc_id, d.tok,
+             row_number() OVER (
+               PARTITION BY d.doc_id ORDER BY f.df, d.tok
+             ) AS r
+      FROM dtok d JOIN dfr f ON f.tok = d.tok
+    ),
+    pfx AS (
+      SELECT r.doc_id, r.tok
+      FROM ranked r JOIN m ON m.doc_id = r.doc_id
+      WHERE r.r <= m.m - ({PF_JACCARD_NUM} * m.m + {PF_JACCARD_DEN - 1})
+                          // {PF_JACCARD_DEN} + 1
+    ),
+    post AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS plen
+             FROM pfx GROUP BY tok)"""
+
+
+@register(
+    "q259_prefix_pairs_capped",
+    oracle=f"""
+    WITH {_PF_DUCK_CTES},
+    pfx2 AS (
+      SELECT p.doc_id, p.tok
+      FROM pfx p JOIN post c ON c.tok = p.tok
+      WHERE c.plen <= {PF_MAX_POSTING}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pfx2 a JOIN pfx2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    tgs AS (
+      SELECT doc_id, {token_ngrams_expr("text", 3)[1]} AS tg
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_inter,
+             CAST(len(a.tg) + len(b.tg)
+                  - len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_union
+      FROM cand c
+      JOIN tgs a ON a.doc_id = c.doc_a
+      JOIN tgs b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CAST(n_inter * 1000000 // n_union AS BIGINT) AS jacc_ppm
+    FROM inter
+    WHERE {PF_JACCARD_DEN} * n_inter >= {PF_JACCARD_NUM} * n_union
+    """,
+    doc=f"Capped prefix-filter all-pairs Jaccard join — q205's default-"
+    f"path twin (round-10 demotion): prefix posting lists longer than "
+    f"{PF_MAX_POSTING} are dropped from the inverted index (broadcast "
+    "anti-join against the hot-token set, which is small by "
+    "construction) before candidate generation; survivors are "
+    "verified by the same exact rational comparison. Same output "
+    "schema as q205, so it is a drop-in; recall loss is only possible "
+    "for pairs ALL of whose shared prefix tokens are hot, is zero at "
+    "sf<=0.1 (longest posting list measured: 12), and is observable: "
+    "q260 reports the posting spectrum + dropped counts, q205 remains "
+    "the oracle-checked exact judge, and the wave test reconciles the "
+    "two pair sets. Scale shape: the cap makes candidate volume "
+    f"O(corpus x {PF_MAX_POSTING}) — linear where the exact join's "
+    "10x-measured 75M-pair core grows super-linearly; everything else "
+    "is the q205 plan (equi-joins, broadcast verify arrays, PPJoin "
+    "length+positional pruning).",
+    tags=("dedup", "join", "capped"),
+)
+def q259_prefix_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pf_pairs_plan(spark, sf_dir, cap=PF_MAX_POSTING)
+
+
+@register(
+    "q260_prefix_posting_report",
+    oracle=f"""
+    WITH {_PF_DUCK_CTES}
+    SELECT CAST(LEAST(plen, {PF_MAX_POSTING + 1}) AS BIGINT) AS plen_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(plen) AS BIGINT) AS n_entries,
+           CAST(SUM(CASE WHEN plen > {PF_MAX_POSTING} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tokens_dropped,
+           CAST(SUM(CASE WHEN plen > {PF_MAX_POSTING} THEN plen ELSE 0 END)
+                AS BIGINT) AS n_entries_dropped,
+           CAST(SUM(plen * (plen - 1) // 2) AS BIGINT) AS cand_pairs_bound
+    FROM post GROUP BY 1
+    """,
+    doc="Prefix-posting spectrum report for the q259 cap — the q59 "
+    "no-silent-caps rule applied to the AllPairs inverted index: per "
+    "posting-length bucket (exact up to the cap, one tail bucket "
+    "above), token and entry counts, how many tokens/entries the "
+    f"{PF_MAX_POSTING}-cap drops, and the candidate-pair bound "
+    "sum(plen*(plen-1)/2) — the quantity that goes quadratic on "
+    "replicated corpora and that the cap bounds. Capping is only "
+    "acceptable because its effect is observable here. int64: "
+    "plen*(plen-1)/2 stays under 2^63 below ~4.3e9 docs sharing one "
+    "posting (see tools/overflow_allowlist.json). Scale shape: one "
+    "corpus scan -> prefix index -> token-keyed count -> bucket-sized "
+    "aggregate (<= cap+1 rows out).",
+    tags=("dedup", "observability"),
+)
+def q260_prefix_posting_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr("size(split(text, ' ')) >= 3")
+    )
+    dtok = docs.select("doc_id", F.explode(F.expr(_TG_SPARK)).alias("tok"))
+    dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    m = dtok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    rw = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = dtok.join(dfr, "tok").withColumn("r", F.row_number().over(rw))
+    pfx = (
+        ranked.join(m, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("m")
+            - F.expr(
+                f"({PF_JACCARD_NUM} * m + {PF_JACCARD_DEN - 1})"
+                f" div {PF_JACCARD_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    post = pfx.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    return (
+        post.groupBy(
+            F.expr(
+                f"CAST(LEAST(plen, {PF_MAX_POSTING + 1}) AS BIGINT)"
+            ).alias("plen_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("plen").cast("long").alias("n_entries"),
+            F.sum(
+                F.when(F.col("plen") > PF_MAX_POSTING, 1).otherwise(0)
+            ).cast("long").alias("n_tokens_dropped"),
+            F.sum(
+                F.when(
+                    F.col("plen") > PF_MAX_POSTING, F.col("plen")
+                ).otherwise(0)
+            ).cast("long").alias("n_entries_dropped"),
+            F.sum(
+                F.expr("plen * (plen - 1) div 2")
+            ).cast("long").alias("cand_pairs_bound"),
+        )
     )

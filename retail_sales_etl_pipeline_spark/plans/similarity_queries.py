@@ -2875,3 +2875,114 @@ def q255_knn_shapley_valuation(
             "n_neg_queries"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR@k retrieval eval (q258) — completes the ranking-eval triad next to
+# recall@k (q111/q210) and nDCG@k (q254): the reciprocal rank of the
+# FIRST relevant neighbor, the metric QA/retrieval stacks report when
+# only one hit matters. Same scored relation as q254 (brute-force exact
+# cosine ranking, relevance = label agreement), one extra conditional
+# MIN per query — integer-exact in ppm.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q258_mrr_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {_NORM_D} AS nrm, label
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT a.vec_id AS query_id, a.label,
+             CAST(b.label = a.label AS BIGINT) AS rel, rnk
+      FROM (
+        SELECT a.vec_id, a.label, b.vec_id AS neighbor_id, b.label AS blabel,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, b.vec_id
+               ) AS rnk
+        FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+      ) AS a(vec_id, label, bvid, blabel, rnk)
+      JOIN v b ON b.vec_id = a.bvid
+      WHERE rnk <= {NDCG_K}
+    ),
+    per_q AS (
+      SELECT query_id, label,
+             CAST(COALESCE(MIN(rnk) FILTER (WHERE rel = 1), 0) AS BIGINT)
+                 AS first_rel_rank,
+             CAST(COALESCE(1000000 // NULLIF(
+                 MIN(rnk) FILTER (WHERE rel = 1), 0), 0) AS BIGINT)
+                 AS rr_ppm
+      FROM ranked GROUP BY query_id, label
+    )
+    SELECT query_id, label, first_rel_rank, rr_ppm,
+           CAST(SUM(rr_ppm) OVER () // COUNT(*) OVER () AS BIGINT)
+               AS mrr_ppm
+    FROM per_q
+    """,
+    doc=f"MRR@{NDCG_K} retrieval eval (mean reciprocal rank of the "
+    "first relevant neighbor): q254's exact cosine top-k scored "
+    "relation with relevance = label agreement, then per query the "
+    "conditional MIN rank of the first hit — rr = 1e6/rank ppm "
+    "(0 when no relevant neighbor lands in the top-k; first_rel_rank "
+    "carries the 0 sentinel) and the corpus MRR as a truncating "
+    "integer mean repeated per row (window SUM/COUNT over the "
+    f"query-count-sized relation, {N_QUERIES} rows). Completes the "
+    "standard ranking-metric triad next to recall@k (q111/q210) and "
+    "nDCG@k (q254) on the same integer-weight conventions — all "
+    "columns exact integers, the only doubles are the cosine scores "
+    "producing the ranking (bit-identical cross-engine, q30 "
+    "convention). Scale shape: identical to q254 — Q broadcast x N "
+    "train scored join, per-query window, then a constant-size "
+    "finish; at corpus scale the ranking side swaps for the q64 ANN "
+    "stack and this exact form stays as its judge.",
+    tags=("similarity", "eval"),
+)
+def q258_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
+        "label",
+    )
+    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = v.alias("b")
+    cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = (
+        a.join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (F.col("b.label") == F.col("a.label")).cast("long").alias("rel"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NDCG_K)
+    )
+    per_q = ranked.groupBy("query_id", "label").agg(
+        F.expr(
+            "CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)"
+            " AS BIGINT)"
+        ).alias("first_rel_rank"),
+        F.expr(
+            "CAST(COALESCE(1000000 div NULLIF("
+            "MIN(CASE WHEN rel = 1 THEN rnk END), 0), 0) AS BIGINT)"
+        ).alias("rr_ppm"),
+    )
+    return per_q.selectExpr(
+        "query_id",
+        "label",
+        "first_rel_rank",
+        "rr_ppm",
+        "CAST(SUM(rr_ppm) OVER () div COUNT(*) OVER () AS BIGINT)"
+        " AS mrr_ppm",
+    )

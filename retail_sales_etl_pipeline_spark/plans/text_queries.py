@@ -1942,3 +1942,124 @@ def q251_misra_gries_heavy_hitters(
             f"CAST(1000000 * exact_count div {n} AS BIGINT) AS share_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fasttext-style linear quality classifier (q257) — the standard web
+# quality filter of CCNet / LLaMA-family data pipelines: hash every
+# character n-gram of every token into D buckets, dot the bucket counts
+# with a weight vector, squash through a sigmoid, threshold. This query
+# ships the PLUMBING exactly (hashed bag-of-char-ngrams -> linear score
+# -> sigmoid -> keep gate, all JVM-side expressions, no UDF); the
+# weights are a DETERMINISTIC LITERAL stand-in for trained parameters
+# (a multiplicative-hash formula over the bucket index — swap in real
+# fastText weights as a broadcast lookup without touching the plan).
+# The squash is the hard sigmoid clamp(x/4 + 1/2, 0, 1) (Courbariaux et
+# al.) in exact ppm integers: the true logistic is strictly monotone in
+# the linear score, so the KEEP decision is identical and the whole
+# query stays hash-exact cross-engine — the q68 rational-core rule.
+# ---------------------------------------------------------------------------
+
+FT_BUCKETS = 1024
+FT_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def _ft_weight(expr: str) -> str:
+    """Deterministic weight in [-1000, 1000] milli-units for bucket
+    ``expr`` — identical integer arithmetic in both dialects (bucket <
+    1024 so bucket*KNUTH < 2.8e12, far inside int64)."""
+    return f"((({expr}) * {FT_KNUTH}) % 4294967296) % 2001 - 1000"
+
+
+@register(
+    "q257_fasttext_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pad AS (
+      SELECT doc_id, '<' || w || '>' AS p FROM tok WHERE length(w) >= 1
+    ),
+    g AS (
+      SELECT doc_id, substring(p, CAST(i AS INTEGER), 3) AS gram
+      FROM pad, unnest(range(1, length(p) - 1)) AS t(i)
+    ),
+    wgt AS (
+      SELECT doc_id,
+             {_ft_weight(f"({poly_hash_pair('gram', 'gram')[1]}) % {FT_BUCKETS}")}
+                 AS w_milli
+      FROM g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w_milli) AS BIGINT) AS score_sum_milli
+      FROM wgt GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, score_sum_milli,
+           CAST(score_sum_milli // n_grams AS BIGINT) AS score_avg_milli,
+           CAST(LEAST(1000000, GREATEST(0,
+                500000 + 250 * (score_sum_milli // n_grams)))
+                AS BIGINT) AS sigmoid_ppm,
+           CAST(LEAST(1000000, GREATEST(0,
+                500000 + 250 * (score_sum_milli // n_grams)))
+                >= 500000 AS INTEGER) AS keep
+    FROM agg
+    """,
+    doc=f"Fasttext-style linear quality classifier (the CCNet/LLaMA web "
+    "quality filter shape): boundary-padded character trigrams of every "
+    f"token, polynomial-hashed into {FT_BUCKETS} buckets, bag-of-ngrams "
+    "dot a literal weight vector (deterministic multiplicative-hash "
+    "stand-in for trained weights — swapping in real parameters is a "
+    "broadcast lookup, same plan), mean-pooled (fastText averages "
+    "feature vectors), then the exact-integer hard sigmoid "
+    "clamp(x/4+1/2) in ppm and the keep gate at 0.5. The true logistic "
+    "is monotone in the linear score so the gate decision is identical; "
+    "hard-sigmoid keeps every column hash-exact (integer counts, one "
+    "truncating div — both engines truncate toward zero). Scale shape: "
+    "one corpus scan, two map-side explodes (token, trigram), weight "
+    "computed per row by codegen'd arithmetic (no lookup join), one "
+    "doc_id-keyed partial-agg — no joins, no windows, no driver state; "
+    "at 100 TB this is embarrassingly parallel and explode volume "
+    "(~chars per doc) is the only cost.",
+    tags=("text", "quality", "classifier"),
+)
+def q257_fasttext_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    grams = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .selectExpr("doc_id", "concat('<', w, '>') AS p")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, length(p) - 2),"
+            " i -> substring(p, i, 3))) AS gram",
+        )
+    )
+    bucket = f"({poly_hash_pair('gram', 'gram')[0]}) % {FT_BUCKETS}"
+    agg = (
+        grams.selectExpr("doc_id", f"{_ft_weight(bucket)} AS w_milli")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("w_milli").cast("long").alias("score_sum_milli"),
+        )
+    )
+    sig = (
+        "LEAST(1000000, GREATEST(0,"
+        " 500000 + 250 * (score_sum_milli div n_grams)))"
+    )
+    return agg.selectExpr(
+        "doc_id",
+        "n_grams",
+        "score_sum_milli",
+        "CAST(score_sum_milli div n_grams AS BIGINT) AS score_avg_milli",
+        f"CAST({sig} AS BIGINT) AS sigmoid_ppm",
+        f"CAST({sig} >= 500000 AS INT) AS keep",
+    )

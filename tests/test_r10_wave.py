@@ -110,3 +110,158 @@ def test_bpe_fold_handles_repeated_symbol_runs(spark):
     assert got["aab"] == ["aa", "b"]
     assert got["baa"] == ["b", "aa"]
     assert got["x"] == ["x"]
+
+
+# --- fasttext-style classifier (q257) ---------------------------------------
+
+
+def _poly_hash(s: str, base: int = 31, mod: int = 1_000_000_007) -> int:
+    h = 0
+    for c in s:
+        h = (h * base + ord(c)) % mod
+    return h
+
+
+def test_q257_matches_python_recount(spark):
+    from retail_sales_etl_pipeline_spark.plans.text_queries import (
+        FT_BUCKETS,
+        FT_KNUTH,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SMOKE_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    }
+    expected = {}
+    for did, text in docs.items():
+        n = s = 0
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            p = f"<{w}>"
+            for i in range(len(p) - 2):
+                b = _poly_hash(p[i : i + 3]) % FT_BUCKETS
+                s += ((b * FT_KNUTH) % 4294967296) % 2001 - 1000
+                n += 1
+        if n:
+            avg = abs(s) // n * (1 if s >= 0 else -1)  # trunc toward 0
+            sig = min(1_000_000, max(0, 500_000 + 250 * avg))
+            expected[did] = (n, s, avg, sig, int(sig >= 500_000))
+    got = {
+        r.doc_id: (
+            r.n_grams,
+            r.score_sum_milli,
+            r.score_avg_milli,
+            r.sigmoid_ppm,
+            r.keep,
+        )
+        for r in REGISTRY["q257_fasttext_quality_score"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert got == expected
+
+
+# --- MRR@k (q258) ------------------------------------------------------------
+
+
+def test_q258_matches_brute_force(spark):
+    from retail_sales_etl_pipeline_spark.plans.similarity_queries import (
+        N_QUERIES,
+        NDCG_K,
+    )
+
+    rows = (
+        load_table(spark, SMOKE_SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+
+    def dot(a, b):  # left-associated fold, the engine's summation order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    nrm = {k: math.sqrt(dot(v[0], v[0])) for k, v in vecs.items()}
+    expected = {}
+    rrs = []
+    for q in sorted(vecs):
+        if q >= N_QUERIES:
+            continue
+        scored = sorted(
+            (
+                (-(dot(vecs[q][0], vecs[b][0]) / (nrm[q] * nrm[b])), b)
+                for b in vecs
+                if b != q
+            ),
+        )[:NDCG_K]
+        first = 0
+        for i, (_, b) in enumerate(scored, start=1):
+            if vecs[b][1] == vecs[q][1]:
+                first = i
+                break
+        rr = 1_000_000 // first if first else 0
+        expected[q] = (first, rr)
+        rrs.append(rr)
+    mrr = sum(rrs) // len(rrs)
+    got = {
+        r.query_id: (r.first_rel_rank, r.rr_ppm, r.mrr_ppm)
+        for r in REGISTRY["q258_mrr_eval"].spark_fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == {q: (f, r, mrr) for q, (f, r) in expected.items()}
+
+
+# --- capped prefix-filter pairs (q259/q260) ----------------------------------
+
+
+def test_q259_equals_exact_judge_at_test_scale(spark):
+    """The cap is a measured no-op at test scale (longest posting list
+    12 < 64), so the capped default must equal the exact judge
+    pair-for-pair."""
+    exact = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jacc_ppm)
+        for r in REGISTRY["q205_prefix_filter_pairs"]
+        .spark_fn(spark, ORACLE_SF_DIR)
+        .collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jacc_ppm)
+        for r in REGISTRY["q259_prefix_pairs_capped"]
+        .spark_fn(spark, ORACLE_SF_DIR)
+        .collect()
+    }
+    assert capped == exact and exact
+
+
+def test_q260_posting_report_accounting(spark):
+    from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
+        PF_MAX_POSTING,
+    )
+
+    rows = (
+        REGISTRY["q260_prefix_posting_report"]
+        .spark_fn(spark, ORACLE_SF_DIR)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        if r.plen_bucket <= PF_MAX_POSTING:
+            # exact buckets: nothing dropped, entries = bucket * tokens,
+            # bound = tokens * C(bucket, 2)
+            assert r.n_tokens_dropped == 0 and r.n_entries_dropped == 0
+            assert r.n_entries == r.plen_bucket * r.n_tokens
+            assert (
+                r.cand_pairs_bound
+                == r.n_tokens * r.plen_bucket * (r.plen_bucket - 1) // 2
+            )
+        else:
+            # tail bucket: everything in it is dropped
+            assert r.n_tokens_dropped == r.n_tokens
+            assert r.n_entries_dropped == r.n_entries
