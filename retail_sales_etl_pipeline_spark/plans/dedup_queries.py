@@ -222,6 +222,22 @@ def q22_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TG_SPARK, _TG_DUCK = token_ngrams_expr("text", 3)
 
+# Projected twin of _TG_SPARK: split(text) materialized ONCE as an array
+# column, then shingled — token_ngrams_expr's inline form re-splits the
+# text per array subscript (3 splits x positions; the q121/q126 lesson),
+# measured 5.5 s -> 0.7 s for the bare explode at gen1x (round 10).
+_TG_SPARK_WS = (
+    "array_distinct(transform(sequence(0, size(ws) - 3), "
+    "i -> concat_ws(' ', ws[i+0], ws[i+1], ws[i+2])))"
+)
+
+
+def _tg_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, tg): distinct trigram array per doc, split projected once."""
+    return docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.expr(_TG_SPARK_WS).alias("tg")
+    )
+
 
 @register(
     "q21_ngram_jaccard_pairs",
@@ -2854,8 +2870,8 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     docs = load_table(spark, sf_dir, "documents").filter(
         F.expr("size(split(text, ' ')) >= 3")
     )
-    dtok = docs.select(
-        "doc_id", F.explode(F.expr(_TG_SPARK)).alias("tok")
+    dtok = _tg_docs(docs).select(
+        "doc_id", F.explode("tg").alias("tok")
     )
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     m = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
@@ -2932,7 +2948,7 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     # above the 10 MB auto-broadcast threshold but trivially in-memory:
     # broadcast EXPLICITLY or the verify shuffles candidate x array rows
     # (the q88 lesson: "small by construction" needs to be declared)
-    tgs = docs.select("doc_id", F.expr(_TG_SPARK).alias("tg"))
+    tgs = _tg_docs(docs)
     inter = (
         cand.join(
             F.broadcast(
@@ -4059,10 +4075,10 @@ def _tuner_oracle() -> str:
 )
 def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.expr(_TG_SPARK).alias("tg"))
+    docs = _tg_docs(
+        load_table(spark, sf_dir, "documents").filter(
+            F.size(F.split("text", " ")) >= 3
+        )
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b"))
@@ -4255,7 +4271,7 @@ def q260_prefix_posting_report(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.expr("size(split(text, ' ')) >= 3")
     )
-    dtok = docs.select("doc_id", F.explode(F.expr(_TG_SPARK)).alias("tok"))
+    dtok = _tg_docs(docs).select("doc_id", F.explode("tg").alias("tok"))
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     m = dtok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("m")

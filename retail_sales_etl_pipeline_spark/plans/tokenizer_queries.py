@@ -1269,13 +1269,14 @@ def _bpe_fold_pair(left: str, right: str) -> tuple[str, str]:
     return spark, duck
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_ctes() -> list[str]:
     """Unrolled per-round CTE chain (the q252 _kc_oracle convention):
     round k = pair-count CTE over seg_{k-1}, single-row winner CTE
     (cnt DESC, left, right), fold CTE producing seg_k. If a round has
     no pairs left its winner CTE is empty, the CROSS JOIN empties every
     later seg, and all later rounds emit zero rows — exactly the Spark
-    driver loop's early break."""
+    driver loop's early break. Shared by q256 (publishes the winners)
+    and q261 (encodes the corpus with the final segmentation)."""
     s = BPE_SEP
     _, duck_fold = _bpe_fold_pair("", "")
     ctes = [
@@ -1309,12 +1310,16 @@ def _bpe_oracle() -> str:
       SELECT {duck_fold} AS seg, s.freq
       FROM seg{k - 1} s CROSS JOIN w{k} w
     )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
     rounds = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS round, left_sym, right_sym,"
         f" left_sym || right_sym AS merged, cnt AS pair_cnt FROM w{k}"
         for k in range(1, BPE_ROUNDS + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + rounds
+    return "WITH " + ",\n    ".join(_bpe_oracle_ctes()) + "\n    " + rounds
 
 
 @register(
@@ -1346,6 +1351,20 @@ def _bpe_oracle() -> str:
     tags=("text", "tokenizer", "iterative"),
 )
 def q256_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round INT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_cnt BIGINT",
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the BPE training loop; returns (merge table rows, the final
+    word segmentation DataFrame (seg string, weight freq)) — q256
+    publishes the merges, q261 encodes the corpus with the final seg."""
     s = BPE_SEP
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -1389,8 +1408,112 @@ def q256_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fold, _ = _bpe_fold_pair(left, right)
         seg = seg.selectExpr(f"{fold} AS seg", "freq").localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "round INT, left_sym STRING, right_sym STRING,"
-        " merged STRING, pair_cnt BIGINT",
+    return merges, seg
+
+
+# ---------------------------------------------------------------------------
+# BPE encode report (q261) — the trained tokenizer APPLIED: after q256's
+# N merges the segmentation table IS the encoded corpus (every word's
+# symbol sequence under the learned vocabulary), so encoding costs
+# nothing beyond training. Reports the head of the learned token
+# distribution plus the corpus compression statistics a tokenizer build
+# signs off on (tokens/char is the number that decides whether the
+# vocab is worth shipping).
+# ---------------------------------------------------------------------------
+
+BPE_TOP_TOKENS = 20
+
+
+def _bpe_encode_oracle() -> str:
+    s = BPE_SEP
+    n = BPE_ROUNDS
+    tail = f""",
+    toks AS (
+      SELECT unnest(string_split(seg, '{s}')) AS token, freq
+      FROM seg{n}
+    ),
+    tcnt AS (
+      SELECT token, CAST(SUM(freq) AS BIGINT) AS w_cnt
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(freq * len(string_split(seg, '{s}'))) AS BIGINT)
+                 AS n_tokens_total,
+             CAST(SUM(freq * (length(seg)
+                              - len(string_split(seg, '{s}')) + 1))
+                  AS BIGINT) AS n_chars_total
+      FROM seg{n}
+    ),
+    types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_token_types FROM tcnt
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, token, w_cnt, n_token_types,
+           n_tokens_total, n_chars_total,
+           CAST(1000000 * n_tokens_total // n_chars_total AS BIGINT)
+               AS tokens_per_char_ppm
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY w_cnt DESC, token) AS rnk
+      FROM tcnt
+    ) CROSS JOIN totals CROSS JOIN types
+    WHERE rnk <= {BPE_TOP_TOKENS}
+    """
+    return "WITH " + ",\n    ".join(_bpe_oracle_ctes()) + tail
+
+
+@register(
+    "q261_bpe_encode_report",
+    oracle=_bpe_encode_oracle(),
+    doc=f"BPE encode report: the q256-trained tokenizer applied to the "
+    f"corpus. After N={BPE_ROUNDS} merges the vocab-bounded "
+    "segmentation table IS the encoded corpus, so this costs one "
+    "vocab-sized explode past training. Output: top-"
+    f"{BPE_TOP_TOKENS} learned tokens by frequency-weighted count "
+    "(ties broken by token text) with the corpus sign-off stats on "
+    "every row — token-type count, total tokens, total characters, "
+    "and tokens-per-char in ppm (the compression number a tokenizer "
+    "build ships or dies on; chars are recovered exactly from the "
+    "separator-joined segmentation as length(seg) - n_sym + 1, no "
+    "re-scan of the raw text). All integer arithmetic; the oracle "
+    "extends q256's unrolled CTE chain past the final segmentation. "
+    "Scale shape: training's one corpus scan + N vocab-bounded "
+    "rounds, then one explode + aggregate over the DISTINCT-WORD "
+    "table (never the corpus) and a top-k window over the learned "
+    "vocabulary — at 100 TB encode-report cost tracks vocabulary "
+    "size, not data size.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q261_bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = BPE_SEP
+    _, seg = _bpe_train(spark, sf_dir)
+    tcnt = (
+        seg.selectExpr(f"explode(split(seg, '{s}')) AS token", "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("w_cnt"))
+    )
+    totals = seg.selectExpr(
+        f"CAST(SUM(freq * size(split(seg, '{s}'))) AS BIGINT)"
+        " AS n_tokens_total",
+        f"CAST(SUM(freq * (length(seg) - size(split(seg, '{s}')) + 1))"
+        " AS BIGINT) AS n_chars_total",
+    )
+    types = tcnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_token_types")
+    )
+    # top-k cut first (TakeOrderedAndProject), rank over only the k
+    # survivors — the q94 convention; never a global-vocab window
+    w = Window.orderBy(F.desc("w_cnt"), F.asc("token"))
+    head = (
+        tcnt.orderBy(F.desc("w_cnt"), F.asc("token"))
+        .limit(BPE_TOP_TOKENS)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+    return (
+        head.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "rnk", "token", "w_cnt", "n_token_types", "n_tokens_total",
+            "n_chars_total",
+            "CAST(1000000 * n_tokens_total div n_chars_total AS BIGINT)"
+            " AS tokens_per_char_ppm",
+        )
     )

@@ -265,3 +265,35 @@ def test_q260_posting_report_accounting(spark):
             # tail bucket: everything in it is dropped
             assert r.n_tokens_dropped == r.n_tokens
             assert r.n_entries_dropped == r.n_entries
+
+
+# --- BPE encode report (q261) -------------------------------------------------
+
+
+def test_q261_totals_reconcile_with_corpus(spark):
+    rows = (
+        REGISTRY["q261_bpe_encode_report"]
+        .spark_fn(spark, SMOKE_SF_DIR)
+        .orderBy("rnk")
+        .collect()
+    )
+    assert rows
+    # totals identical on every row; head ordered by (w_cnt desc, token)
+    assert len({(r.n_tokens_total, r.n_chars_total, r.n_token_types) for r in rows}) == 1
+    keys = [(-r.w_cnt, r.token) for r in rows]
+    assert keys == sorted(keys)
+    # chars never grow, tokens never exceed chars (merges only shrink)
+    r0 = rows[0]
+    assert 0 < r0.n_tokens_total <= r0.n_chars_total
+    # corpus-truth chars: weighted char count of the word stream
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    chars = 0
+    for r in docs.select("text").collect():
+        if r.text is None:
+            continue
+        chars += sum(len(w) for w in r.text.lower().split(" ") if w)
+    assert r0.n_chars_total == chars
+    assert (
+        r0.tokens_per_char_ppm
+        == 1_000_000 * r0.n_tokens_total // r0.n_chars_total
+    )
