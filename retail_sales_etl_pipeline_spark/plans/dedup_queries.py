@@ -2945,27 +2945,25 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
         .distinct()
     )
     # trigram arrays are doc-count x ~50 short strings (~36 MB at 10x) —
-    # above the 10 MB auto-broadcast threshold but trivially in-memory:
-    # broadcast EXPLICITLY or the verify shuffles candidate x array rows
-    # (the q88 lesson: "small by construction" needs to be declared)
+    # above the 10 MB auto-broadcast threshold but in-memory up to
+    # ~100K docs, where the explicit broadcast avoids shuffling
+    # candidate x array rows (the q88 lesson). Beyond that the
+    # broadcast ITSELF is the scale hazard (~360 MB at 521K docs,
+    # ~3.6 GB at 5.2M — measured grinding at gen100x, round 10), so
+    # large corpora fall back to plain equi-joins and AQE: the shuffle
+    # is candidates x two arrays, linear in the cap-bounded candidate
+    # count. One count() scan decides; it is noise next to the verify.
     tgs = _tg_docs(docs)
+    small = docs.count() <= PF_BROADCAST_MAX_DOCS
+    tg_a = tgs.select(
+        F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a")
+    )
+    tg_b = tgs.select(
+        F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b")
+    )
     inter = (
-        cand.join(
-            F.broadcast(
-                tgs.select(
-                    F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a")
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                tgs.select(
-                    F.col("doc_id").alias("doc_b"), F.col("tg").alias("tg_b")
-                )
-            ),
-            "doc_b",
-        )
+        cand.join(F.broadcast(tg_a) if small else tg_a, "doc_a")
+        .join(F.broadcast(tg_b) if small else tg_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -4158,6 +4156,7 @@ def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PF_MAX_POSTING = 64
+PF_BROADCAST_MAX_DOCS = 100_000  # verify-array broadcast cutover (see _pf_pairs_plan)
 
 _PF_DUCK_CTES = f"""dtok AS (
       SELECT doc_id, unnest({token_ngrams_expr("text", 3)[1]}) AS tok
