@@ -97,7 +97,11 @@ def q30_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _vec_view_spark(spark, sf_dir)
-    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # broadcast the Q-sized query side EXPLICITLY: the non-equi join
+    # is a BroadcastNestedLoopJoin and size estimates at corpus scale
+    # picked the N-side once (q258 at gen1000x: 2M vectors broadcast,
+    # JVM death) — the q255 convention, now uniform
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = v.alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -986,7 +990,11 @@ def q101_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         F.expr(_NORM_S).alias("nrm"),
     )
-    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # broadcast the Q-sized query side EXPLICITLY: the non-equi join
+    # is a BroadcastNestedLoopJoin and size estimates at corpus scale
+    # picked the N-side once (q258 at gen1000x: 2M vectors broadcast,
+    # JVM death) — the q255 convention, now uniform
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = v.alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("query_id").orderBy(
@@ -1196,7 +1204,11 @@ def q135_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         F.expr(_NORM_S).alias("nrm"),
     )
-    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # broadcast the Q-sized query side EXPLICITLY: the non-equi join
+    # is a BroadcastNestedLoopJoin and size estimates at corpus scale
+    # picked the N-side once (q258 at gen1000x: 2M vectors broadcast,
+    # JVM death) — the q255 convention, now uniform
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = v.alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -2651,7 +2663,11 @@ def q254_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
         "label",
     )
-    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # broadcast the Q-sized query side EXPLICITLY: the non-equi join
+    # is a BroadcastNestedLoopJoin and size estimates at corpus scale
+    # picked the N-side once (q258 at gen1000x: 2M vectors broadcast,
+    # JVM death) — the q255 convention, now uniform
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = v.alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("query_id").orderBy(
@@ -2950,7 +2966,11 @@ def q258_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM_S.replace("embedding", "embedding")).alias("nrm"),
         "label",
     )
-    a = v.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # broadcast the Q-sized query side EXPLICITLY: the non-equi join
+    # is a BroadcastNestedLoopJoin and size estimates at corpus scale
+    # picked the N-side once (q258 at gen1000x: 2M vectors broadcast,
+    # JVM death) — the q255 convention, now uniform
+    a = F.broadcast(v.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = v.alias("b")
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("query_id").orderBy(
