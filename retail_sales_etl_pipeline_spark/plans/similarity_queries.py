@@ -2335,15 +2335,33 @@ def q246_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=["query_id", f"code_{m}"],
         )
     adc = F.expr(" + ".join(f"d{m}" for m in range(PQ_M)))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    scored = r.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_dist"),
+    )
+    # Two-stage exact top-k: a global top-K row is top-K within its
+    # salt bucket, so rank within (query, salt) first and carry at most
+    # 32*K rows per query into the exact final window. The single
+    # per-query sort task over all N scored rows was the registry's one
+    # super-linear decade point (r1000 = 22.6, BENCH_SCALE_R10B.json);
+    # the salt is a deterministic function of neighbor_id, so the final
+    # (adc_dist, neighbor_id) order — and every output value — is
+    # unchanged.
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(32)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= TOP_K)
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
     return (
-        r.filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .withColumn("rank", F.col("rank").cast("int"))
     )
