@@ -1691,21 +1691,14 @@ INCR_CC_MOD, INCR_CC_REM = 7, 3
     tags=("dedup", "graph", "iterative", "incremental"),
 )
 def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
     from ..operators.text import jaccard_pairs_pandas
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_new = (F.col("doc_id") % INCR_CC_MOD) == INCR_CC_REM
-    old_docs = docs.filter(~is_new)
-    new_docs = docs.filter(is_new)
 
     # full banded candidates once (band index); bucket caps see the full
     # population, as the production materialized index would
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    touches_new = (
-        (F.col("doc_a") % INCR_CC_MOD == INCR_CC_REM)
-        | (F.col("doc_b") % INCR_CC_MOD == INCR_CC_REM)
-    )
+    touches_new = _incr_touches_new()
 
     def verified(pairs: DataFrame) -> DataFrame:
         eligible = docs.filter(F.size(F.split("text", " ")) >= 3)
@@ -1721,15 +1714,38 @@ def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
         )
 
-    # prior state: components of the OLD corpus only (old-old pairs)
-    old_pairs = verified(cand.filter(~touches_new))
+    # prior state: components of the OLD corpus only (old-old pairs);
+    # fresh work: only pairs touching the batch get verified
+    return _incremental_components_from(
+        docs,
+        verified(cand.filter(~touches_new)),
+        verified(cand.filter(touches_new)),
+    )
+
+
+def _incr_touches_new():
+    return (F.col("doc_a") % INCR_CC_MOD == INCR_CC_REM) | (
+        F.col("doc_b") % INCR_CC_MOD == INCR_CC_REM
+    )
+
+
+def _incremental_components_from(
+    docs: DataFrame, old_pairs: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Contract-and-merge incremental CC given the already-verified pair
+    sets — shared by the self-contained q157 (which verifies the two sets
+    itself) and its from-materialized twin (which splits the verified-pair
+    checkpoint by the batch predicate)."""
+    from ..operators.graph import connected_components
+
+    is_new = (F.col("doc_id") % INCR_CC_MOD) == INCR_CC_REM
+    old_docs = docs.filter(~is_new)
+    new_docs = docs.filter(is_new)
+
     base = connected_components(
         old_docs.select("doc_id"), old_pairs,
         id_col="doc_id", src_col="doc_a", dst_col="doc_b",
     ).select(F.col("id").alias("doc_id"), F.col("component_id").alias("label"))
-
-    # fresh work: only pairs touching the batch get verified
-    new_pairs = verified(cand.filter(touches_new))
 
     # contract: old docs are represented by their component id (the min
     # doc_id of the old component), new docs by themselves
@@ -2867,12 +2883,28 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     """Shared Bayardo/PPJoin all-pairs plan: exact (cap=None, the q205
     judge) or with hot prefix-posting lists dropped (cap=N, the q259
     default — dropped tokens are observable in q260's report)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.expr("size(split(text, ' ')) >= 3")
+    pfx, tgs, n_docs = _pf_index_frames(spark, sf_dir)
+    return _pf_pairs_from(pfx, tgs, n_docs <= PF_BROADCAST_MAX_DOCS, cap)
+
+
+def _pf_index_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Build the UNCAPPED Bayardo prefix index (doc_id, tok, r, m) and the
+    per-doc trigram arrays (doc_id, tg) from raw documents, plus the
+    eligible-doc count. The filtered two-column doc frame is persisted so
+    the count + both tokenizations read ONE corpus scan instead of three
+    (round-10's plan re-scanned raw parquet for the count and again for
+    the verify arrays); the bench harness unpersists between queries."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr("size(split(text, ' ')) >= 3"))
+        .select("doc_id", "text")
+        .persist()
     )
-    dtok = _tg_docs(docs).select(
-        "doc_id", F.explode("tg").alias("tok")
-    )
+    n_docs = docs.count()
+    tgs = _tg_docs(docs)
+    dtok = tgs.select("doc_id", F.explode("tg").alias("tok"))
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     m = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
     rw = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -2890,6 +2922,18 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
         )
         .select("doc_id", "tok", "r", "m")
     )
+    return pfx, tgs, n_docs
+
+
+def _pf_pairs_from(
+    pfx: DataFrame, tgs: DataFrame, small: bool, cap: int | None
+) -> DataFrame:
+    """Candidate generation + exact verify over a prefix index — shared by
+    the self-contained plans (q205/q259) and the from-materialized twins,
+    which read the index from parquet instead of rebuilding it.
+
+    ``small`` gates BOTH broadcasts in the plan (the verify arrays and
+    the cap's hot-token set) on the measured corpus-size cutover."""
     # PPJoin candidate pruning (Xiao et al. 'Efficient Similarity Joins
     # for Near Duplicate Detection') on top of the Bayardo prefix
     # filter — both EXACT, both integer-only:
@@ -2903,15 +2947,22 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     #    EVERY shared prefix token, so filtering each generated match
     #    row prunes candidates without losing any qualifying pair.
     if cap is not None:
-        # hot tokens (posting list > cap) are FEW by construction —
-        # broadcast anti-join, never a shuffle on the full index
+        # Hot tokens (posting list > cap) number at most
+        # total-prefix-entries / cap — LINEAR in corpus size, not
+        # constant, so a forced broadcast would itself become the scale
+        # hazard (the round-10 verify-array lesson). Same cutover: under
+        # PF_BROADCAST_MAX_DOCS the set is tiny and the broadcast
+        # anti-join avoids shuffling the full index; above it, a plain
+        # shuffled left_anti + AQE.
         hot_toks = (
             pfx.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("plen"))
             .filter(F.col("plen") > cap)
             .select("tok")
         )
-        pfx = pfx.join(F.broadcast(hot_toks), "tok", "left_anti")
+        pfx = pfx.join(
+            F.broadcast(hot_toks) if small else hot_toks, "tok", "left_anti"
+        )
     pa = pfx.select(
         F.col("doc_id").alias("doc_a"),
         "tok",
@@ -2952,9 +3003,7 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     # ~3.6 GB at 5.2M — measured grinding at gen100x, round 10), so
     # large corpora fall back to plain equi-joins and AQE: the shuffle
     # is candidates x two arrays, linear in the cap-bounded candidate
-    # count. One count() scan decides; it is noise next to the verify.
-    tgs = _tg_docs(docs)
-    small = docs.count() <= PF_BROADCAST_MAX_DOCS
+    # count.
     tg_a = tgs.select(
         F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a")
     )
@@ -4267,29 +4316,13 @@ def q259_prefix_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q260_prefix_posting_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.expr("size(split(text, ' ')) >= 3")
-    )
-    dtok = _tg_docs(docs).select("doc_id", F.explode("tg").alias("tok"))
-    dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    m = dtok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    rw = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = dtok.join(dfr, "tok").withColumn("r", F.row_number().over(rw))
-    pfx = (
-        ranked.join(m, "doc_id")
-        .filter(
-            F.col("r")
-            <= F.col("m")
-            - F.expr(
-                f"({PF_JACCARD_NUM} * m + {PF_JACCARD_DEN - 1})"
-                f" div {PF_JACCARD_DEN}"
-            )
-            + 1
-        )
-        .select("doc_id", "tok")
-    )
+    pfx, _, _ = _pf_index_frames(spark, sf_dir)
+    return _pf_report_from(pfx)
+
+
+def _pf_report_from(pfx: DataFrame) -> DataFrame:
+    """Posting-length spectrum aggregation over a prefix index — shared by
+    the self-contained q260 and its from-materialized twin."""
     post = pfx.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("plen")
     )
@@ -4315,3 +4348,134 @@ def q260_prefix_posting_report(
             ).cast("long").alias("cand_pairs_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# From-materialized prefix-index twins (q263/q264) + incremental-CC twin
+# (q262) — round-11 closures of the last two ladder-recomputing entries.
+#
+# q259 and q260 both rebuild the same Bayardo prefix index (the dominant
+# cost: tokenize -> df -> rank -> prefix cut); q157 re-runs the LSH ->
+# verify ladder TWICE (old-old and touches-new candidate sets). The
+# production shape is the q199-q201 convention: build the index / verify
+# the pairs ONCE per corpus snapshot, write parquet, and derive every
+# consumer from the checkpoint. Oracles are the self-contained entries'
+# oracles spliced VERBATIM, so a hash match proves materialize/read-back
+# loses nothing — twin == self-contained.
+# ---------------------------------------------------------------------------
+
+_PF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the UNCAPPED prefix index once per (session, corpus) and
+    write it as two parquets under one checkpoint dir: ``pfx``
+    (doc_id, tok, r, m — the ranked Bayardo prefix entries) and ``tg``
+    (doc_id, tg — the verify trigram arrays, one row per eligible doc).
+    Later calls in the same session return the existing path (the
+    materialize_verified_pairs convention: keyed by applicationId +
+    corpus dir, and the corpus snapshot under a path is immutable)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources import fs
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    cached = _PF_INDEX_CACHE.get(key)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
+    root = _tempfile.mkdtemp(prefix="prefix_index_")
+    pfx, tgs, _ = _pf_index_frames(spark, sf_dir)
+    pfx.write.mode("overwrite").parquet(fs.join(root, "pfx"))
+    tgs.write.mode("overwrite").parquet(fs.join(root, "tg"))
+    _PF_INDEX_CACHE[key] = root
+    return root
+
+
+def _materialized_pf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(pfx, tg, n_docs) read back from the checkpoint; n_docs is one
+    row-count over the one-row-per-doc tg parquet (columnar count, no
+    corpus re-scan) and drives the same broadcast cutovers as the
+    self-contained plan."""
+    import os as _os
+
+    root = materialize_prefix_index(spark, sf_dir)
+    pfx = spark.read.parquet(_os.path.join(root, "pfx"))
+    tgs = spark.read.parquet(_os.path.join(root, "tg"))
+    return pfx, tgs, tgs.count()
+
+
+@register(
+    "q262_incremental_components_materialized",
+    oracle=_registered_oracle("q157_incremental_components"),
+    doc="q157's incremental connected components computed FROM THE "
+    "MATERIALIZED verified-pair checkpoint (materialize_verified_pairs "
+    "— the same parquet q199-q201 read): because verification is "
+    "per-pair, splitting the checkpoint by the batch predicate "
+    "(either endpoint in the new batch) yields exactly q157's old-old "
+    "and touches-new verified sets without re-running the LSH->verify "
+    "ladder twice — the round-10 verdict measured the ladder at ~99% "
+    "of q157's self-contained cost. Contract-and-merge CC is the "
+    "shared _incremental_components_from. Oracle: q157's (q60's "
+    "full-recompute recursive twin) spliced verbatim — the hash match "
+    "proves checkpoint-split == verify-twice == full recompute. Scale "
+    "shape: one parquet scan + a filter in place of two ladder "
+    "executions; CC over a component-count node set with batch-bounded "
+    "edges, as before.",
+    tags=("dedup", "graph", "iterative", "incremental", "composition"),
+)
+def q262_incremental_components_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _materialized_pairs(spark, sf_dir)
+    touches_new = _incr_touches_new()
+    return _incremental_components_from(
+        docs, pairs.filter(~touches_new), pairs.filter(touches_new)
+    )
+
+
+@register(
+    "q263_prefix_pairs_materialized",
+    oracle=_registered_oracle("q259_prefix_pairs_capped"),
+    doc="q259's capped prefix-filter all-pairs join computed FROM THE "
+    "MATERIALIZED prefix index (materialize_prefix_index): the "
+    "tokenize -> df -> rank -> prefix-cut build — the dominant cost "
+    "q259 and q260 each repeat — is paid once per corpus snapshot and "
+    "written as parquet (pfx entries + verify trigram arrays); this "
+    "twin reads the checkpoint, applies the PF_MAX_POSTING hot-token "
+    "cap, and runs the same PPJoin candidate + exact-verify plan "
+    "(_pf_pairs_from, shared code). n_docs for the broadcast cutovers "
+    "is a columnar count of the one-row-per-doc tg parquet, not a "
+    "corpus re-scan. Oracle: q259's spliced verbatim — hash match == "
+    "twin identity. Scale shape: index build amortized across the "
+    "prefix family; consume cost is the cap-bounded candidate join "
+    "only.",
+    tags=("dedup", "join", "capped", "composition"),
+)
+def q263_prefix_pairs_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pfx, tgs, n_docs = _materialized_pf_index(spark, sf_dir)
+    return _pf_pairs_from(
+        pfx, tgs, n_docs <= PF_BROADCAST_MAX_DOCS, PF_MAX_POSTING
+    )
+
+
+@register(
+    "q264_prefix_report_materialized",
+    oracle=_registered_oracle("q260_prefix_posting_report"),
+    doc="q260's posting-length spectrum report computed from the "
+    "materialized prefix index — one token-keyed count over the pfx "
+    "parquet instead of a full index rebuild (q260's 12.8 s in the "
+    "round-10 driver bench was ~entirely the rebuild). Oracle: q260's "
+    "spliced verbatim — hash match == twin identity.",
+    tags=("dedup", "observability", "composition"),
+)
+def q264_prefix_report_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pfx, _, _ = _materialized_pf_index(spark, sf_dir)
+    return _pf_report_from(pfx)

@@ -1238,7 +1238,9 @@ def q248_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BPE_ROUNDS = 10
-BPE_SEP = "\x1f"  # unit separator: never appears in corpus text
+BPE_SEP = "\x1f"  # unit separator: words containing it are filtered out
+# of the frequency table in BOTH dialects (see _bpe_train / wfreq CTE),
+# so training never rests on an unchecked never-in-corpus assumption.
 
 
 def _bpe_fold_pair(left: str, right: str) -> tuple[str, str]:
@@ -1280,11 +1282,11 @@ def _bpe_oracle_ctes() -> list[str]:
     s = BPE_SEP
     _, duck_fold = _bpe_fold_pair("", "")
     ctes = [
-        """wfreq AS (
+        f"""wfreq AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w
         FROM documents WHERE text IS NOT NULL
-      ) WHERE length(w) >= 1 GROUP BY w
+      ) WHERE length(w) >= 1 AND NOT contains(w, '{s}') GROUP BY w
     )""",
         f"""seg0 AS (
       SELECT list_aggregate(string_split(w, ''), 'string_agg', '{s}')
@@ -1372,6 +1374,12 @@ def _bpe_train(
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.length("w") >= 1)
+        # A word containing the \x1f symbol separator would be silently
+        # split into phantom symbols in BOTH engines (hash-parity could
+        # not catch it) — exclude such words explicitly, mirrored in the
+        # oracle's wfreq CTE, so BPE semantics never depend on an
+        # unchecked corpus assumption.
+        .filter(~F.col("w").contains(BPE_SEP))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
