@@ -51,9 +51,35 @@ DETAIL_FILE = "BENCH_LOCAL.json" if ROLE == "builder" else "BENCH_DRIVER_LATEST.
 # are only meaningful divided by their calibration seconds.
 CALIBRATION_QUERY = "q01_clean_filters"
 
+# Outlier re-run rule (round-10 verdict #3): a single inflated reading
+# becomes the round's number unless it is immediately challenged —
+# round 10's driver record showed six queries at 2-6x their builder-run
+# times with UNCHANGED code (q157 22.8s vs 8.9s same round). Any query
+# reading more than OUTLIER_FACTOR x its previous committed record gets
+# one extra in-run measurement; both readings are recorded (reruns map
+# in the detail file) and the lower is used.
+OUTLIER_FACTOR = 2.0
+
+
+def load_prev_timings() -> dict[str, float]:
+    """Previous committed canonical per-query record (builder role's
+    BENCH_LOCAL.json) — the reference the outlier rule compares against.
+    Missing/unreadable → empty (no re-runs)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(path) as f:
+            q = json.load(f).get("queries", {})
+        return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    except Exception:  # noqa: BLE001 — absent/corrupt record just disables the rule
+        return {}
+
 
 def run_queries(
-    spark, registry: dict, sf_dir: str = SF_DIR, repeats: int = 2
+    spark, registry: dict, sf_dir: str = SF_DIR, repeats: int = 2,
+    prev: dict[str, float] | None = None,
+    reruns: dict[str, list[float]] | None = None,
 ) -> tuple[dict[str, float], dict[str, str]]:
     """Time every query (best-of-`repeats` noop-sink runs) with per-query
     fault isolation: one throwing query must not abort the loop — round 6
@@ -92,6 +118,24 @@ def run_queries(
             cleanup()
             print(f"{name} ERROR: {first}", file=sys.stderr)
             continue
+        ref = (prev or {}).get(name)
+        if ref and best > OUTLIER_FACTOR * ref:
+            # outlier vs the previous committed record: challenge it once,
+            # keep both readings, use the lower
+            t0 = time.time()
+            q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            again = time.time() - t0
+            cleanup()
+            if reruns is not None:
+                reruns[name] = [round(best, 3), round(again, 3)]
+            print(
+                f"{name} OUTLIER {best:.3f}s > {OUTLIER_FACTOR}x prev "
+                f"{ref}s — re-run {again:.3f}s",
+                file=sys.stderr,
+            )
+            best = min(best, again)
         timings[name] = round(best, 3)
         print(f"{name} {timings[name]}s", file=sys.stderr)
     return timings, errors
@@ -134,7 +178,10 @@ def main() -> None:
             print(f"skip ({tag}, not a default-path plan): {n}", file=sys.stderr)
             del registry[n]
 
-    timings, errors = run_queries(spark, registry)
+    reruns: dict[str, list[float]] = {}
+    timings, errors = run_queries(
+        spark, registry, prev=load_prev_timings(), reruns=reruns
+    )
     cal_end = calibrate()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -146,6 +193,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        "reruns": reruns,
         "sf": sf,
         "role": ROLE,
         "calibration": {

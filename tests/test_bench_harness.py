@@ -103,3 +103,44 @@ def test_detail_file_role_separation(monkeypatch):
     assert bench.DETAIL_FILE == "BENCH_LOCAL.json"
     monkeypatch.delenv("SPARK_GRAFT_BENCH_ROLE", raising=False)
     importlib.reload(bench)
+
+
+def test_outlier_rerun_rule(spark):
+    """Round-10 verdict #3: a reading >2x the previous committed record
+    gets one in-run re-measure; both readings recorded, lower used."""
+
+    def ok(spark, sf_dir):
+        return spark.range(5).selectExpr("id")
+
+    reruns: dict[str, list[float]] = {}
+    timings, errors = bench.run_queries(
+        spark,
+        {"q_fast": _Q(ok)},
+        sf_dir=SMOKE_SF_DIR,
+        repeats=1,
+        # previous record claims this query takes ~0s, so ANY real
+        # reading is an outlier -> the re-run path must trigger
+        prev={"q_fast": 1e-9},
+        reruns=reruns,
+    )
+    assert not errors
+    assert "q_fast" in timings
+    assert list(reruns) == ["q_fast"]
+    first, second = reruns["q_fast"]
+    assert timings["q_fast"] == round(min(first, second), 3)
+
+    # no previous record -> no re-run
+    reruns2: dict[str, list[float]] = {}
+    bench.run_queries(
+        spark, {"q_fast": _Q(ok)}, sf_dir=SMOKE_SF_DIR, repeats=1,
+        prev={}, reruns=reruns2,
+    )
+    assert reruns2 == {}
+
+
+def test_load_prev_timings_shape():
+    prev = bench.load_prev_timings()
+    # committed canonical record exists in this repo; values numeric
+    assert prev and all(
+        isinstance(v, (int, float)) for v in prev.values()
+    )

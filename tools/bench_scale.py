@@ -180,6 +180,10 @@ def main() -> None:
     def flush() -> None:
         doc = {
             "metric": "scale_run",
+            # in-record timestamp: scale_index.py orders re-measured
+            # decades by this, never by file mtime (which git checkout
+            # does not preserve — round-10 advice)
+            "recorded_at": int(time.time()),
             "scales": {s: SCALE_DIRS[s] for s in scales},
             "n_docs": N_DOCS,
             "queries": results,

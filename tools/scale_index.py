@@ -17,9 +17,34 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "BENCH_SCALE_INDEX.md")
+
+
+def record_age_ts(path: str, doc: dict) -> int:
+    """Measurement time of a record file, newest-wins ordering key.
+    Prefer the in-record ``recorded_at`` stamp; fall back to the file's
+    last git commit time (preserved across clones, unlike mtime); only
+    then mtime (fresh uncommitted records)."""
+    ts = doc.get("recorded_at")
+    if isinstance(ts, (int, float)) and ts > 0:
+        return int(ts)
+    proc = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        cwd=ROOT, capture_output=True, text=True, check=False,
+    )
+    out = proc.stdout.strip()
+    if proc.returncode == 0 and out:
+        # dirty files are newer than their last commit
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", path],
+            cwd=ROOT, capture_output=True, text=True, check=False,
+        ).stdout.strip()
+        if not dirty:
+            return int(out)
+    return int(os.path.getmtime(path))
 
 HEADER = """# BENCH_SCALE index
 
@@ -39,12 +64,14 @@ lives in the per-file JSONs. Regenerate with tools/scale_index.py.
 def main() -> None:
     rows: dict[str, dict[str, dict]] = {}
     skips: dict[str, str] = {}
+    ages: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(ROOT, "BENCH_SCALE*.json")))
     for f in files:
         try:
             d = json.load(open(f))
         except Exception:
             continue
+        ages[f] = record_age_ts(f, d)
         for q, r in (d.get("queries") or {}).items():
             if isinstance(r, dict):
                 rows.setdefault(q, {})[f] = r
@@ -64,9 +91,7 @@ def main() -> None:
     for q in sorted(rows):
         merged: dict[str, float] = {}
         srcs = []
-        for f in sorted(
-            rows[q], key=lambda f: os.path.getmtime(f), reverse=True
-        ):
+        for f in sorted(rows[q], key=lambda f: ages[f], reverse=True):
             srcs.append(os.path.basename(f))
             for k, v in rows[q][f].items():
                 if k in ("1x", "10x", "100x", "1000x") and isinstance(

@@ -39,6 +39,69 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _git_ts(path: str) -> int | None:
+    """Unix timestamp of the last commit touching ``path`` (None if the
+    path has never been committed)."""
+    proc = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        cwd=ROOT, capture_output=True, text=True, check=False,
+    )
+    out = proc.stdout.strip()
+    return int(out) if proc.returncode == 0 and out else None
+
+
+def _is_dirty(path: str) -> bool:
+    """True when ``path`` has uncommitted modifications or is untracked —
+    i.e. its on-disk content is NEWER than any commit."""
+    proc = subprocess.run(
+        ["git", "status", "--porcelain", "--", path],
+        cwd=ROOT, capture_output=True, text=True, check=False,
+    )
+    return bool(proc.stdout.strip())
+
+
+def newest_source_commit_ts() -> int | None:
+    """Timestamp of the newest commit touching the engine source — the
+    reference point every round record must postdate."""
+    return _git_ts("retail_sales_etl_pipeline_spark")
+
+
+def record_effective_ts(path: str) -> int | None:
+    """When the record's content was produced: file mtime if it carries
+    uncommitted changes (fresh local re-cut), else its last commit time.
+    None if the file doesn't exist."""
+    full = os.path.join(ROOT, path)
+    if not os.path.exists(full):
+        return None
+    if _is_dirty(path):
+        return int(os.path.getmtime(full))
+    ts = _git_ts(path)
+    return ts if ts is not None else int(os.path.getmtime(full))
+
+
+def freshness_problems(
+    record_ts: dict[str, int | None], source_ts: int | None
+) -> list[str]:
+    """Pure comparison core (unit-testable without git): a record is
+    STALE when it is missing or strictly predates the newest source
+    commit. Rounds 9 and 10 each shipped a post-record code change
+    (q255, q246) that the stress/verify records never saw — this gate
+    makes the 're-cut after the last change' ritual mechanical."""
+    if source_ts is None:
+        return []  # no committed source yet — nothing to compare against
+    problems = []
+    for name, ts in record_ts.items():
+        if ts is None:
+            problems.append(f"{name}: missing — cut it after the last "
+                            "source commit")
+        elif ts < source_ts:
+            problems.append(
+                f"{name}: STALE — record time {ts} predates the newest "
+                f"source commit {source_ts}; re-cut it"
+            )
+    return problems
+
+
 def run_step(title: str, cmd: list[str], log: io.StringIO) -> int:
     print(f"\n=== {title} ===\n$ {' '.join(cmd)}", flush=True)
     log.write(f"\n=== {title} ===\n$ {' '.join(cmd)}\n")
@@ -91,6 +154,29 @@ def main() -> int:
     print(header)
     log.write(header)
     rc = 0
+
+    # gate 0: record freshness — every round record must postdate the
+    # newest commit touching the engine source (VERIFY itself is fresh
+    # by construction: this run writes it last)
+    src_ts = newest_source_commit_ts()
+    gate0_records = {
+        f"CORRECTNESS_SELF_r{args.round}.json": record_effective_ts(
+            f"CORRECTNESS_SELF_r{args.round}.json"
+        ),
+        f"STRESS_r{args.round}.json": record_effective_ts(
+            f"STRESS_r{args.round}.json"
+        ),
+    }
+    stale = freshness_problems(gate0_records, src_ts)
+    msg0 = ("\n=== gate 0: record freshness vs newest source commit ===\n"
+            + (f"source ts {src_ts}; " if src_ts else "no source commits; ")
+            + (("\n".join(stale)) if stale else
+               "all round records postdate the newest source commit")
+            + "\n")
+    print(msg0)
+    log.write(msg0)
+    if stale:
+        rc |= 1
 
     # gate 1: completeness + union over the round's reports
     rc |= run_step(
