@@ -4,14 +4,16 @@ Treats image/audio/video as what they are to the relational layer: a
 ``binary`` column plus metadata columns, processed by Arrow-batched
 Pandas functions (`mapInPandas`). The Spark-side machinery — schema,
 Arrow batch shape, partition-parallel feature extraction, deterministic
-outputs — is real and tested. Media decode is REAL for uncompressed
-formats, pure stdlib: ``audio/wav`` (RIFF/PCM16 via the ``wave``
-parser) and ``image/bmp`` (24-bit BI_RGB with row padding and
-bottom-up row order undone) — see q156, whose features are computed
-from genuinely decoded samples and oracle-checked end to end.
-Compressed codecs (jpeg/png/mp3/mp4) need libraries absent from this
-environment and raise NotImplementedError honestly; ``_fake_decode``
-remains for plumbing tests of those mimes.
+outputs — is real and tested. Media decode is REAL, pure stdlib:
+``audio/wav`` (RIFF/PCM16 via the ``wave`` parser), ``image/bmp``
+(24-bit BI_RGB with row padding and bottom-up row order undone) and
+``image/png`` (zlib-inflated scanlines with full five-filter
+unfiltering incl. Paeth, CRC-verified chunk walk) — see q156/q265,
+whose features are computed from genuinely decoded samples and
+oracle-checked end to end. The remaining compressed codecs
+(jpeg/mp3/mp4) need libraries absent from this environment and raise
+NotImplementedError honestly; ``_fake_decode`` remains for plumbing
+tests of those mimes.
 
 Scale notes: payloads never pass through the driver; each Arrow batch
 holds only ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
@@ -94,20 +96,160 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left/up/
+    upper-left is closest to a + b - c, ties broken left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL compressed-image decode, pure stdlib: parse the PNG container
+    (signature, IHDR, concatenated IDAT chunks with CRC verification),
+    ``zlib``-inflate the filtered scanlines, and UNDO the per-row filter
+    (all five types — None/Sub/Up/Average/Paeth) to recover raw pixels.
+    Returns (width, height, color_type, pixel bytes top-down row-major).
+
+    Supports the mainstream still-image profile: 8-bit depth, grayscale
+    (color type 0) or truecolor RGB (type 2), non-interlaced. Anything
+    else raises ValueError — a wrong answer is worse than no answer."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit gray/RGB non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        filt = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            elif ftype == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            recon[i] = (filt[i] + pred) & 0xFF
+        out += recon
+        prior = recon
+    return width, height, color, bytes(out)
+
+
+def encode_png(
+    width: int, height: int, color: int, logical: bytes,
+    filter_for_row=lambda y: 0,
+) -> bytes:
+    """Genuine PNG encoder (stdlib ``zlib`` + ``struct``): per-row filter
+    type chosen by ``filter_for_row`` — the synthetic corpus cycles all
+    five types, so decode round-trip proofs exercise Sub/Up/Average/Paeth
+    unfiltering, not just the trivial None path."""
+    import struct
+    import zlib
+
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    assert len(logical) == stride * height
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = logical[y * stride : (y + 1) * stride]
+        ftype = filter_for_row(y)
+        scan.append(ftype)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            scan.append((row[i] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(payload: bytes, mime: str):
     """Decode a media payload into samples/pixels.
 
-    Pure-stdlib decoders exist for uncompressed formats: ``audio/wav``
-    (RIFF/PCM16 via the ``wave`` module) and ``image/bmp`` (24-bit
-    BI_RGB). Compressed codecs (jpeg/png/mp3/mp4) require libraries not
-    present in this environment and stay honestly unimplemented."""
+    Pure-stdlib decoders exist for ``audio/wav`` (RIFF/PCM16 via the
+    ``wave`` module), ``image/bmp`` (24-bit BI_RGB), and ``image/png``
+    (zlib-inflate + full five-filter unfiltering, 8-bit gray/RGB
+    non-interlaced). Remaining compressed codecs (jpeg/mp3/mp4) require
+    libraries not present in this environment and stay honestly
+    unimplemented."""
     if mime == "audio/wav":
         return decode_wav(payload)
     if mime == "image/bmp":
         return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present "
-        "in this environment (uncompressed audio/wav and image/bmp decode "
+        "in this environment (audio/wav, image/bmp and image/png decode "
         "natively; use _fake_decode for plumbing tests of other mimes)"
     )
 
@@ -511,4 +653,211 @@ def perceptual_hashes(with_payload: DataFrame) -> DataFrame:
         per_batch,
         "doc_id long, width long, height long, dhash long, dhash_twin long, "
         "dhash_twin_match boolean, byte_twin_match boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG end-to-end path (round-11 closure of the compressed-codec gate):
+# deterministic synthetic pixels (the same LCG value formula as WAV/BMP),
+# genuinely ENCODED into PNG containers — zlib-compressed scanlines whose
+# per-row filter type cycles through ALL FIVE filters (None/Sub/Up/
+# Average/Paeth), so the round trip proves real unfiltering — then
+# round-tripped through a Spark binary column and DECODED (chunk walk +
+# CRC check + inflate + unfilter) inside the Arrow UDF. The SQL oracle
+# recomputes the features from the value formula with no decoder.
+# ---------------------------------------------------------------------------
+
+PNG_FILTER_MOD = 5  # filter type for row y of doc d = (d + y) % 5
+
+
+def synth_png_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG ingestion source: even doc_ids get an 8-bit
+    GRAYSCALE PNG (color type 0), odd doc_ids an 8-bit RGB PNG (color
+    type 2), both (8 + doc_id%9) x (6 + doc_id%7), pixel stream
+    val(doc_id, i, 256), per-row filter (doc_id + y) % 5. Self-contained
+    batch fn (inline encoder copy — workers must not need this package
+    importable; tests pin the copy equal to encode_png)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        A, B, M = 1_103_515_245, 12_345, 1_000_003
+        P1, P2 = 100_003, 104_729
+
+        def val(doc_id: int, i: int) -> int:
+            return (A * ((doc_id * P1 + i * P2) % M) + B) % 256
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def enc(width, height, color, logical, doc_id):
+            bpp = 3 if color == 2 else 1
+            stride = width * bpp
+
+            def chunk(ctype, data):
+                return (
+                    struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(
+                        ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+                    )
+                )
+
+            scan = bytearray()
+            prior = bytes(stride)
+            for y in range(height):
+                row = logical[y * stride : (y + 1) * stride]
+                ftype = (doc_id + y) % 5
+                scan.append(ftype)
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    up = prior[i]
+                    ul = prior[i - bpp] if i >= bpp else 0
+                    if ftype == 0:
+                        pred = 0
+                    elif ftype == 1:
+                        pred = left
+                    elif ftype == 2:
+                        pred = up
+                    elif ftype == 3:
+                        pred = (left + up) // 2
+                    else:
+                        pred = paeth(left, up, ul)
+                    scan.append((row[i] - pred) & 0xFF)
+                prior = row
+            ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(scan)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 6 + did % 7
+                color = 0 if did % 2 == 0 else 2
+                n = w * h * (3 if color == 2 else 1)
+                logical = bytes(val(did, i) for i in range(n))
+                rows.append({
+                    "doc_id": did, "mime": "image/png",
+                    "color_type": color,
+                    "payload": enc(w, h, color, logical, did),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        per_batch,
+        "doc_id long, mime string, color_type int, payload binary",
+    )
+
+
+def png_decode_features(with_payload: DataFrame) -> DataFrame:
+    """REAL PNG decode inside the Arrow UDF — chunk walk with CRC
+    verification, zlib inflate, five-filter unfiltering — then
+    integer-exact features over the decoded pixel stream: pixel count,
+    channel-byte sum, channel-byte max, width. Self-contained batch fn
+    (inline decoder copy; tests pin it equal to decode_png)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def dec(payload: bytes):
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG payload")
+            pos, width = 8, None
+            idat = bytearray()
+            while pos + 8 <= len(payload):
+                (length,) = struct.unpack_from(">I", payload, pos)
+                ctype = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+                if ctype == b"IHDR":
+                    width, height, depth, color, comp, filt, inter = (
+                        struct.unpack(">IIBBBBB", data)
+                    )
+                    if depth != 8 or color not in (0, 2) or inter != 0:
+                        raise ValueError("unsupported PNG profile")
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if width is None:
+                raise ValueError("PNG missing IHDR")
+            bpp = 3 if color == 2 else 1
+            stride = width * bpp
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != (stride + 1) * height:
+                raise ValueError("PNG scanline data has wrong length")
+            out = bytearray()
+            prior = bytes(stride)
+            for y in range(height):
+                ftype = raw[y * (stride + 1)]
+                filt = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                recon = bytearray(stride)
+                for i in range(stride):
+                    left = recon[i - bpp] if i >= bpp else 0
+                    up = prior[i]
+                    ul = prior[i - bpp] if i >= bpp else 0
+                    if ftype == 0:
+                        pred = 0
+                    elif ftype == 1:
+                        pred = left
+                    elif ftype == 2:
+                        pred = up
+                    elif ftype == 3:
+                        pred = (left + up) // 2
+                    elif ftype == 4:
+                        pred = paeth(left, up, ul)
+                    else:
+                        raise ValueError(f"unknown PNG filter {ftype}")
+                    recon[i] = (filt[i] + pred) & 0xFF
+                out += recon
+                prior = recon
+            return width, height, color, bytes(out)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, color, px = dec(bytes(payload))
+                rows.append({
+                    "doc_id": int(did),
+                    "color_type": color,
+                    "width": w,
+                    "height": h,
+                    "n_units": w * h,
+                    "sum_val": sum(px),
+                    "max_val": max(px),
+                })
+            yield pd.DataFrame(rows)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        per_batch,
+        "doc_id long, color_type int, width long, height long, "
+        "n_units long, sum_val long, max_val long",
     )

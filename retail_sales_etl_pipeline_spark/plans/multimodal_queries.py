@@ -350,3 +350,66 @@ def q159_perceptual_hash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     imgs = synth_media_payloads(docs).filter(F.col("mime") == "image/bmp")
     return perceptual_hashes(imgs)
+
+
+# ---------------------------------------------------------------------------
+# PNG decode features (q265) — round-11 closure of the compressed-codec
+# gate: the pixels travel zlib-COMPRESSED inside a genuine PNG container
+# whose per-row filter type cycles through all five PNG filters, so the
+# hash match proves chunk-walk + CRC + inflate + Sub/Up/Average/Paeth
+# unfiltering are all correct (a decoder that skipped unfiltering would
+# produce wrong sums for every doc with a non-zero filter row, which is
+# every doc with height > 1).
+# ---------------------------------------------------------------------------
+
+from ..operators.multimodal import (  # noqa: E402
+    png_decode_features,
+    synth_png_payloads,
+)
+
+
+@register(
+    "q265_png_decode_features",
+    oracle=f"""
+    WITH png AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS color_type,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS bpp
+      FROM documents
+    ),
+    vals AS (
+      SELECT p.doc_id, p.w, p.h, p.color_type,
+             {_VAL.format(mod=256)} AS v
+      FROM png p, unnest(range(0, p.w * p.h * p.bpp)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MIN(color_type) AS INTEGER) AS color_type,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_units,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MAX(v) AS BIGINT) AS max_val
+    FROM vals GROUP BY doc_id
+    """,
+    doc="REAL compressed-image decode end to end: every doc gets a "
+    "genuine PNG payload (stdlib zlib + struct encoder — even docs "
+    "8-bit grayscale, odd docs 8-bit RGB, per-row filter type "
+    "(doc_id + y) % 5 so all five PNG filters appear), round-tripped "
+    "through a Spark binary column and DECODED inside the Arrow UDF "
+    "with a pure-stdlib parser: signature, CRC-verified chunk walk, "
+    "IDAT concatenation, zlib inflate, and per-row UNfiltering "
+    "(None/Sub/Up/Average/Paeth — RFC 2083 §6). Features are "
+    "integer-exact over the decoded pixel stream (pixel count, "
+    "channel-byte sum and max); the oracle recomputes them from the "
+    "deterministic value formula with NO decoder, so the hash match "
+    "proves the compress->container->decode round trip is lossless. "
+    "This closes the round-10 capability gate (multimodal.py's "
+    "NotImplementedError now covers only jpeg/mp3/mp4). Scale shape: "
+    "two narrow map stages (synthesize, decode), zero shuffle, "
+    "payloads never touch the driver, batch memory bounded by Arrow "
+    "batch size.",
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def q265_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return png_decode_features(synth_png_payloads(docs))

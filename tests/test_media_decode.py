@@ -133,3 +133,88 @@ def test_q156_features_match_local_decode(spark):
             gw, gh, px = decode_bmp(payload)
             want = ("image/bmp", gw * gh, sum(px), max(px), gw)
         assert rows[did] == want, f"doc {did}"
+
+
+# ---------------------------------------------------------------------------
+# PNG path (round 11): encode -> decode round trip across ALL FIVE filter
+# types, dispatch, honest refusal narrowed to jpeg/mp3/mp4, and the
+# registered query's UDF copies pinned to the module-level codec.
+# ---------------------------------------------------------------------------
+
+from retail_sales_etl_pipeline_spark.operators.multimodal import (  # noqa: E402
+    decode_png,
+    encode_png,
+)
+
+
+def _png_logical(did: int, w: int, h: int, color: int) -> bytes:
+    n = w * h * (3 if color == 2 else 1)
+    return bytes(
+        (1103515245 * ((did * 100003 + i * 104729) % 1000003) + 12345) % 256
+        for i in range(n)
+    )
+
+
+def test_png_roundtrip_every_filter_type():
+    for ftype in range(5):
+        logical = _png_logical(7, 9, 5, 2)
+        payload = encode_png(9, 5, 2, logical, lambda y, f=ftype: f)
+        assert decode_png(payload) == (9, 5, 2, logical), f"filter {ftype}"
+    # grayscale + mixed filters (the corpus shape)
+    logical = _png_logical(4, 8, 6, 0)
+    payload = encode_png(8, 6, 0, logical, lambda y: (4 + y) % 5)
+    assert decode_png(payload) == (8, 6, 0, logical)
+
+
+def test_png_decode_media_dispatch_and_remaining_gate():
+    logical = _png_logical(3, 5, 4, 0)
+    payload = encode_png(5, 4, 0, logical)
+    assert decode_media(payload, "image/png")[3] == logical
+    # the honest gate now covers only jpeg/mp3/mp4
+    for mime in ("image/jpeg", "audio/mp3", "video/mp4"):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00" * 16, mime)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    logical = _png_logical(3, 5, 4, 2)
+    payload = encode_png(5, 4, 2, logical)
+    bad = bytearray(payload)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(b"notapng" + b"\x00" * 32)
+
+
+def test_q265_features_match_local_decode(spark):
+    """The registered query's features equal a driver-side recompute with
+    the module-level codec — pinning the nested UDF copies (encoder in
+    synth, decoder in features) to the public encode_png/decode_png."""
+    from retail_sales_etl_pipeline_spark.plans.multimodal_queries import (
+        q265_png_decode_features,
+    )
+
+    rows = {
+        r.doc_id: (r.color_type, r.width, r.height, r.n_units, r.sum_val,
+                   r.max_val)
+        for r in q265_png_decode_features(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id").collect()
+    ]
+    assert set(rows) == set(doc_ids)
+    for did in doc_ids:
+        w, h = 8 + did % 9, 6 + did % 7
+        color = 0 if did % 2 == 0 else 2
+        logical = _png_logical(did, w, h, color)
+        payload = encode_png(w, h, color, logical,
+                             lambda y, d=did: (d + y) % 5)
+        gw, gh, gc, px = decode_png(payload)
+        assert rows[did] == (gc, gw, gh, gw * gh, sum(px), max(px)), did
