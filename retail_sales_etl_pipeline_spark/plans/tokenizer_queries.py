@@ -1525,3 +1525,263 @@ def q261_bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS tokens_per_char_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) trainer EM step (q266) — the other
+# mainstream tokenizer trainer next to BPE (q94/q256/q261). Kudo 2018
+# trains a unigram piece LM by EM over the segmentation lattice: the
+# E-step computes each piece's EXPECTED count over ALL segmentations of
+# every word (weighted by the product of piece probabilities), the
+# M-step renormalizes. This entry is ONE exact EM round in the q38a
+# one-step-oracle convention, made hash-checkable by integer arithmetic:
+#
+#  * seed pieces = every length-1/length-2 substring of the (distinct,
+#    frequency-weighted) word table — the standard substring seed vocab;
+#    pieces of length <= 2 keep the lattice recurrence second-order (the
+#    EM math is length-generic);
+#  * seed scores = 2-bit log-frequency quantization (1 + [f>=10] +
+#    [f>=1000] + [f>=100000]) — integer stand-ins for the initial probs;
+#  * forward/backward path sums Zf/Zb by the linear lattice recurrence
+#    Zf(k) = s1(k)Zf(k-1) + s2(k)Zf(k-2) — an integer FOLD per distinct
+#    word in Spark (F.aggregate, no UDF), a recursive CTE in DuckDB;
+#  * occupancy of occurrence [a,b) = 1e6 * s * Zf(a) * Zb(b) div Z in
+#    exact ppm (s*Zf(a)*Zb(b) <= Z, a sub-sum of Z's paths);
+#  * E-step output: expected_ppm(piece) = SUM(freq * occ_ppm); M-step:
+#    renormalized new_prob_ppm.
+#
+# int64 envelope: scores <= 4 make Z <= 8^L; words longer than
+# UNI_MAX_WLEN = 14 chars are excluded in BOTH dialects (the standard
+# max-piece-sentence knob), so 1e6 * Z <= 4.4e18 < 2^63 everywhere.
+# Scale shape: ONE corpus scan -> distinct-word table; everything after
+# is vocab-bounded (occurrence explode <= 2L rows per distinct word,
+# piece vocab <= |alphabet| + |alphabet|^2), exactly the BPE scale fact.
+# ---------------------------------------------------------------------------
+
+UNI_MAX_WLEN = 14
+UNI_T1, UNI_T2, UNI_T3 = 10, 1000, 100000
+
+_UNI_SCORE_SPARK = (
+    f"CAST(1 + IF(pf >= {UNI_T1}, 1, 0) + IF(pf >= {UNI_T2}, 1, 0)"
+    f" + IF(pf >= {UNI_T3}, 1, 0) AS BIGINT)"
+)
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(length(w) AS INTEGER) AS L
+      FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE length(w) BETWEEN 1 AND {UNI_MAX_WLEN} GROUP BY w
+    ),
+    occ AS (
+      SELECT w, freq, L, CAST(k AS INTEGER) AS k,
+             substr(w, CAST(k AS INTEGER), 1) AS piece,
+             1 AS plen, CAST(k - 1 AS INTEGER) AS a, CAST(k AS INTEGER) AS b
+      FROM words, unnest(range(1, L + 1)) AS t(k)
+      UNION ALL
+      SELECT w, freq, L, CAST(k AS INTEGER) AS k,
+             substr(w, CAST(k - 1 AS INTEGER), 2) AS piece,
+             2 AS plen, CAST(k - 2 AS INTEGER) AS a, CAST(k AS INTEGER) AS b
+      FROM words, unnest(range(2, L + 1)) AS t(k)
+      WHERE L >= 2
+    ),
+    pscore AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS pf,
+             CAST(1 + (CASE WHEN SUM(freq) >= {UNI_T1} THEN 1 ELSE 0 END)
+                    + (CASE WHEN SUM(freq) >= {UNI_T2} THEN 1 ELSE 0 END)
+                    + (CASE WHEN SUM(freq) >= {UNI_T3} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score
+      FROM occ GROUP BY piece
+    ),
+    s1 AS (
+      SELECT o.w, o.k, p.score FROM occ o
+      JOIN pscore p ON p.piece = o.piece WHERE o.plen = 1
+    ),
+    s2 AS (
+      SELECT o.w, o.k, p.score FROM occ o
+      JOIN pscore p ON p.piece = o.piece WHERE o.plen = 2
+    ),
+    zf(w, k, z, zp) AS (
+      SELECT s.w, 1, s.score, CAST(1 AS BIGINT) FROM s1 s WHERE s.k = 1
+      UNION ALL
+      SELECT f.w, f.k + 1,
+             n1.score * f.z + COALESCE(n2.score, 0) * f.zp, f.z
+      FROM zf f
+      JOIN words wd ON wd.w = f.w AND f.k + 1 <= wd.L
+      JOIN s1 n1 ON n1.w = f.w AND n1.k = f.k + 1
+      LEFT JOIN s2 n2 ON n2.w = f.w AND n2.k = f.k + 1
+    ),
+    zb(w, j, z, zn) AS (
+      SELECT w, L, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM words
+      UNION ALL
+      SELECT b.w, b.j - 1,
+             n1.score * b.z + COALESCE(n2.score, 0) * b.zn, b.z
+      FROM zb b
+      JOIN s1 n1 ON n1.w = b.w AND n1.k = b.j
+      LEFT JOIN s2 n2 ON n2.w = b.w AND n2.k = b.j + 1
+      WHERE b.j - 1 >= 0
+    ),
+    ztot AS (
+      SELECT f.w, f.z AS zz FROM zf f JOIN words wd
+        ON wd.w = f.w AND f.k = wd.L
+    ),
+    occx AS (
+      SELECT o.piece, CAST(length(o.piece) AS INTEGER) AS piece_len,
+             p.score, o.freq,
+             (1000000 * p.score
+              * (CASE WHEN o.a = 0 THEN 1 ELSE fa.z END)
+              * bb.z) // t.zz AS occ_ppm
+      FROM occ o
+      JOIN pscore p ON p.piece = o.piece
+      LEFT JOIN zf fa ON fa.w = o.w AND fa.k = o.a
+      JOIN zb bb ON bb.w = o.w AND bb.j = o.b
+      JOIN ztot t ON t.w = o.w
+    ),
+    expected AS (
+      SELECT piece, piece_len, score,
+             CAST(SUM(freq * occ_ppm) AS BIGINT) AS expected_ppm
+      FROM occx GROUP BY piece, piece_len, score
+    ),
+    tot AS (SELECT CAST(SUM(expected_ppm) AS BIGINT) AS total FROM expected)
+    SELECT piece, piece_len, score, expected_ppm,
+           CAST(floor(1000000.0 * expected_ppm / total) AS BIGINT)
+               AS new_prob_ppm
+    FROM expected CROSS JOIN tot
+"""
+
+
+@register(
+    "q266_unigram_lm_em_step",
+    oracle=_UNI_ORACLE,
+    doc=f"Unigram-LM (SentencePiece, Kudo 2018) trainer EM step — one "
+    "exact E+M round over the segmentation lattice, completing the "
+    "tokenizer-trainer family next to BPE (q256/q261). Seed vocab = "
+    "all length-1/2 substrings of the distinct-word table; seed "
+    "scores = 2-bit log-frequency quantization (integer stand-ins "
+    "for initial probs). E-step: every piece occurrence's expected "
+    "occupancy over ALL segmentations, 1e6*s*Zf(a)*Zb(b) div Z in "
+    "exact ppm, with the forward/backward path sums computed by the "
+    "second-order lattice recurrence as ONE INTEGER FOLD per distinct "
+    "word (F.aggregate — no UDF, no recursion in the hot path); "
+    "M-step: frequency-weighted expected counts renormalized to "
+    "new_prob_ppm (deterministic double floor, the q192/q198 "
+    "convention — 1e6*expected overflows int64 where the division "
+    "itself cannot). Oracle: the same integers via recursive CTEs "
+    "(zf/zb), the q60-recursion convention. int64 envelope: scores "
+    f"<= 4 bound Z <= 8^L; words > {UNI_MAX_WLEN} chars excluded in "
+    "both dialects (the max-piece-sentence knob) so 1e6*Z < 2^63. "
+    "Scale shape: one corpus scan -> distinct-word aggregate; "
+    "occurrence explode, lattice folds and the piece aggregate are "
+    "all vocab-bounded (<= 2L rows per distinct word, piece space "
+    "<= alphabet + alphabet^2) — at 100 TB only the word-frequency "
+    "shuffle tracks the data, the BPE scale fact.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q266_unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WLEN)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("L", F.length("w").cast("int"))
+    )
+    occ1 = words.selectExpr(
+        "w", "freq", "L", "explode(sequence(1, L)) AS k"
+    ).selectExpr(
+        "w", "freq", "L", "k", "substring(w, k, 1) AS piece",
+        "1 AS plen", "k - 1 AS a", "k AS b",
+    )
+    occ2 = (
+        words.filter("L >= 2")
+        .selectExpr("w", "freq", "L", "explode(sequence(2, L)) AS k")
+        .selectExpr(
+            "w", "freq", "L", "k", "substring(w, k - 1, 2) AS piece",
+            "2 AS plen", "k - 2 AS a", "k AS b",
+        )
+    )
+    occ = occ1.unionByName(occ2)
+    # piece scores: alphabet-bounded (<= |sigma| + |sigma|^2 rows) ->
+    # broadcast to every occurrence row
+    pscore = (
+        occ.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("pf"))
+        .selectExpr("piece", f"{_UNI_SCORE_SPARK} AS score")
+    )
+    occs = occ.join(F.broadcast(pscore), "piece")
+    # per-word score arrays (s1 indexed 1..L; s2f padded so element_at
+    # (s2f, k) = s2(k) for k >= 2), then the two lattice folds
+    s1arr = (
+        occs.filter("plen = 1")
+        .groupBy("w")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(k, score))),"
+            " x -> CAST(x.score AS BIGINT))"
+        ).alias("s1"))
+    )
+    s2arr = (
+        occs.filter("plen = 2")
+        .groupBy("w")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(k, score))),"
+            " x -> CAST(x.score AS BIGINT))"
+        ).alias("s2tail"))
+    )
+    lat = (
+        words.join(s1arr, "w")
+        .join(s2arr, "w", "left")
+        .withColumn(
+            "s2f",
+            F.expr(
+                "concat(array(CAST(0 AS BIGINT)),"
+                " coalesce(s2tail, CAST(array() AS ARRAY<BIGINT>)))"
+            ),
+        )
+        .withColumn(
+            "zf",
+            F.expr(
+                "aggregate(sequence(1, L), array(CAST(1 AS BIGINT)),"
+                " (acc, k) -> array_append(acc,"
+                "   element_at(s1, k) * element_at(acc, k)"
+                "   + IF(k >= 2, element_at(s2f, k)"
+                "       * element_at(acc, k - 1), CAST(0 AS BIGINT))))"
+            ),
+        )
+        .withColumn(
+            "zbl",
+            F.expr(
+                "aggregate(sequence(1, L), array(CAST(1 AS BIGINT)),"
+                " (acc, t) -> array_append(acc,"
+                "   element_at(s1, L - t + 1) * element_at(acc, t)"
+                "   + IF(t >= 2, element_at(s2f, L - t + 2)"
+                "       * element_at(acc, t - 1), CAST(0 AS BIGINT))))"
+            ),
+        )
+        .withColumn("zz", F.expr("element_at(zf, L + 1)"))
+        .select("w", "zf", "zbl", "zz")
+    )
+    occx = occs.join(lat, "w").selectExpr(
+        "piece",
+        "CAST(plen AS INTEGER) AS piece_len",
+        "score",
+        "freq",
+        "(1000000 * score * element_at(zf, a + 1)"
+        " * element_at(zbl, L - b + 1)) div zz AS occ_ppm",
+    )
+    expected = occx.groupBy("piece", "piece_len", "score").agg(
+        F.sum(F.expr("freq * occ_ppm")).cast("long").alias("expected_ppm")
+    )
+    tot = expected.agg(
+        F.sum("expected_ppm").cast("long").alias("total")
+    )
+    return expected.crossJoin(F.broadcast(tot)).selectExpr(
+        "piece", "piece_len", "score", "expected_ppm",
+        "CAST(floor(1000000.0 * expected_ppm / total) AS BIGINT)"
+        " AS new_prob_ppm",
+    )
