@@ -42,3 +42,46 @@ def test_chain_depth_twin_identity(spark):
     assert _rows(dq.q201_chain_depth_materialized(spark, SF)) == _rows(
         dq.q188_neardup_chain_depth(spark, SF)
     )
+
+
+# Round-11 twins: the prefix-index family and the incremental-CC path.
+
+
+def test_prefix_index_materialize_once_per_session(spark):
+    dq._PF_INDEX_CACHE.clear()
+    p1 = dq.materialize_prefix_index(spark, SF)
+    p2 = dq.materialize_prefix_index(spark, SF)
+    assert p1 == p2
+    # the checkpoint holds exactly the self-contained index frames
+    pfx_df, tg_df, n_docs = dq._pf_index_frames(spark, SF)
+    import os
+
+    assert _rows(spark.read.parquet(os.path.join(p1, "pfx"))) == _rows(
+        pfx_df
+    )
+    got_tg = sorted(
+        (r.doc_id, tuple(r.tg))
+        for r in spark.read.parquet(os.path.join(p1, "tg")).collect()
+    )
+    want_tg = sorted((r.doc_id, tuple(r.tg)) for r in tg_df.collect())
+    assert got_tg == want_tg
+    # n_docs from the tg parquet equals the self-contained count
+    assert spark.read.parquet(os.path.join(p1, "tg")).count() == n_docs
+
+
+def test_prefix_pairs_twin_identity(spark):
+    assert _rows(dq.q263_prefix_pairs_materialized(spark, SF)) == _rows(
+        dq.q259_prefix_pairs_capped(spark, SF)
+    )
+
+
+def test_prefix_report_twin_identity(spark):
+    assert _rows(dq.q264_prefix_report_materialized(spark, SF)) == _rows(
+        dq.q260_prefix_posting_report(spark, SF)
+    )
+
+
+def test_incremental_cc_twin_identity(spark):
+    assert _rows(
+        dq.q262_incremental_components_materialized(spark, SF)
+    ) == _rows(dq.q157_incremental_components(spark, SF))

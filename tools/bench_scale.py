@@ -138,6 +138,14 @@ MARQUEE_100X = {
     "q243_char_entropy",
     # round 9: exact substring spans, DSIR resample
     "q244_exact_substring_spans", "q245_dsir_importance_resample",
+    # round 10/11: capped prefix pairs + report, BPE trainer/encode,
+    # quality classifier, MRR, materialized twins, PNG decode, unigram EM
+    "q256_bpe_merge_trainer", "q257_fasttext_quality_score", "q258_mrr_eval",
+    "q259_prefix_pairs_capped",
+    "q260_prefix_posting_report",
+    "q262_incremental_components_materialized",
+    "q263_prefix_pairs_materialized", "q264_prefix_report_materialized",
+    "q265_png_decode_features", "q266_unigram_lm_em_step",
 }
 
 
