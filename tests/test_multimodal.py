@@ -16,8 +16,10 @@ from retail_sales_etl_pipeline_spark.operators.multimodal import (
 
 
 def test_decode_media_is_a_declared_stub():
+    # round 11: png moved from the honest gate to a real stdlib decoder
+    # (see test_media_decode.py) — jpeg/mp3/mp4 remain declared stubs
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\x00\x01", "image/png")
+        decode_media(b"\x00\x01", "image/jpeg")
 
 
 def test_frame_sample_bounds_and_offsets(spark):
