@@ -140,7 +140,9 @@ MARQUEE_100X = {
     "q244_exact_substring_spans", "q245_dsir_importance_resample",
     # round 10/11: capped prefix pairs + report, BPE trainer/encode,
     # quality classifier, MRR, materialized twins, PNG decode, unigram EM
+    "q157_incremental_components",
     "q256_bpe_merge_trainer", "q257_fasttext_quality_score", "q258_mrr_eval",
+    "q261_bpe_encode_report",
     "q259_prefix_pairs_capped",
     "q260_prefix_posting_report",
     "q262_incremental_components_materialized",
