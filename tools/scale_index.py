@@ -76,7 +76,7 @@ def main() -> None:
             if isinstance(r, dict):
                 rows.setdefault(q, {})[f] = r
         for q, why in (d.get("skipped") or {}).items():
-            skips.setdefault(q, f"{os.path.basename(f)}: {why}")
+            skips.setdefault(q, {})[f] = why
 
     out = [
         HEADER,
@@ -122,10 +122,12 @@ def main() -> None:
     if skips:
         out += [
             "",
-            "## Recorded skips (first record per query)",
+            "## Recorded skips (newest record per query)",
             "",
         ]
-        out += [f"- `{q}` — {why}" for q, why in sorted(skips.items())]
+        for q in sorted(skips):
+            f = max(skips[q], key=lambda f: ages[f])
+            out.append(f"- `{q}` — {os.path.basename(f)}: {skips[q][f]}")
     with open(OUT, "w") as f:
         f.write("\n".join(out) + "\n")
     print(
