@@ -2882,8 +2882,20 @@ def q205_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
     """Shared Bayardo/PPJoin all-pairs plan: exact (cap=None, the q205
     judge) or with hot prefix-posting lists dropped (cap=N, the q259
-    default — dropped tokens are observable in q260's report)."""
+    default — dropped tokens are observable in q260's report).
+
+    Above PF_SINGLE_DAG_MAX_DOCS the index is CHECKPOINTED to parquet
+    before candidate generation instead of staying in one DAG: the
+    round-11 1000x run measured the single-DAG form dying on DISK (the
+    index-build shuffles and the candidate x trigram-array verify
+    shuffle spill concurrently — 'No space left on device' at 5.21M
+    docs/62 min), while the checkpointed form finished the same decade
+    in 1603 s because lineage truncation keeps only one large shuffle
+    live (BENCH_SCALE_R11D.json). Output is identical either way —
+    q263's spliced-oracle hash match proves the round trip lossless."""
     pfx, tgs, n_docs = _pf_index_frames(spark, sf_dir)
+    if n_docs > PF_SINGLE_DAG_MAX_DOCS:
+        pfx, tgs, n_docs = _materialized_pf_index(spark, sf_dir)
     return _pf_pairs_from(pfx, tgs, n_docs <= PF_BROADCAST_MAX_DOCS, cap)
 
 
@@ -4206,6 +4218,10 @@ def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PF_MAX_POSTING = 64
 PF_BROADCAST_MAX_DOCS = 100_000  # verify-array broadcast cutover (see _pf_pairs_plan)
+# Above this, the self-contained q205/q259 plan checkpoints the prefix
+# index to parquet before candidate generation (the measured round-11
+# 1000x disk failure of the single-DAG form; see _pf_pairs_plan).
+PF_SINGLE_DAG_MAX_DOCS = 1_000_000
 
 _PF_DUCK_CTES = f"""dtok AS (
       SELECT doc_id, unnest({token_ngrams_expr("text", 3)[1]}) AS tok

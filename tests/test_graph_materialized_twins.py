@@ -85,3 +85,23 @@ def test_incremental_cc_twin_identity(spark):
     assert _rows(
         dq.q262_incremental_components_materialized(spark, SF)
     ) == _rows(dq.q157_incremental_components(spark, SF))
+
+
+def test_single_dag_cutover_is_lossless(spark, monkeypatch):
+    """Force the checkpoint cutover (PF_SINGLE_DAG_MAX_DOCS below the test
+    corpus) and pin that the self-contained plan's output is row-identical
+    to the in-DAG form — the at-scale path is exercised at test scale."""
+    dq._PF_INDEX_CACHE.clear()
+    want = _rows(dq.q259_prefix_pairs_capped(spark, SF))
+    monkeypatch.setattr(dq, "PF_SINGLE_DAG_MAX_DOCS", 1)
+    dq._PF_INDEX_CACHE.clear()
+    got = _rows(dq.q259_prefix_pairs_capped(spark, SF))
+    assert got == want
+    # and the exact judge takes the same cutover losslessly
+    want_exact = None
+    monkeypatch.setattr(dq, "PF_SINGLE_DAG_MAX_DOCS", 10**9)
+    dq._PF_INDEX_CACHE.clear()
+    want_exact = _rows(dq.q205_prefix_filter_pairs(spark, SF))
+    monkeypatch.setattr(dq, "PF_SINGLE_DAG_MAX_DOCS", 1)
+    dq._PF_INDEX_CACHE.clear()
+    assert _rows(dq.q205_prefix_filter_pairs(spark, SF)) == want_exact
