@@ -65,6 +65,8 @@ def verify_report(paths: list[str]) -> int:
         with open(path) as f:
             part = json.load(f)
         for name, row in part.items():
+            if name.startswith("_"):  # report metadata, not a query row
+                continue
             report.setdefault(name, row)
     rc = 0
     missing = sorted(set(registry) - set(report))
@@ -185,10 +187,16 @@ def main() -> int:
         print(f"FAIL  registry/report mismatch: {sorted(set(registry) - seen)}")
         n_fail += 1
     if emit_path:
+        # self-stamp: a re-cut whose RESULTS are byte-identical to the
+        # committed record would otherwise read as git-clean and gate 0
+        # of verify_round could not tell it was re-run (hit in round 11)
+        import time as _time
+
+        emitted["_meta"] = {"recorded_at": int(_time.time())}
         with open(emit_path, "w") as f:
             json.dump(emitted, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"wrote {emit_path} ({len(emitted)} rows)")
+        print(f"wrote {emit_path} ({len(emitted) - 1} rows)")
     print(f"\n{n_pass} pass / {n_fail} fail / {n_noorcl} rows-only "
           f"({len(seen)}/{len(registry)} registered queries checked)")
     return 1 if n_fail else 0

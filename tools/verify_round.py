@@ -67,12 +67,24 @@ def newest_source_commit_ts() -> int | None:
 
 
 def record_effective_ts(path: str) -> int | None:
-    """When the record's content was produced: file mtime if it carries
-    uncommitted changes (fresh local re-cut), else its last commit time.
-    None if the file doesn't exist."""
+    """When the record's content was produced. Preference order: an
+    in-record self-stamp (_meta.recorded_at / recorded_at — survives the
+    byte-identical-re-cut case where git sees the file as unchanged, hit
+    in round 11), then file mtime for dirty/untracked files, then the
+    last commit time. None if the file doesn't exist."""
     full = os.path.join(ROOT, path)
     if not os.path.exists(full):
         return None
+    if path.endswith(".json"):
+        try:
+            doc = json.load(open(full))
+            ts = (doc.get("_meta") or {}).get("recorded_at") or doc.get(
+                "recorded_at"
+            )
+            if isinstance(ts, (int, float)) and ts > 0:
+                return int(ts)
+        except Exception:  # noqa: BLE001 — unreadable JSON falls through to git/mtime
+            pass
     if _is_dirty(path):
         return int(os.path.getmtime(full))
     ts = _git_ts(path)
