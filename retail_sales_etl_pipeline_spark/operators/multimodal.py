@@ -127,6 +127,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # truncated chunk: slicing past the end would feed crc32 a
+            # short buffer and unpack_from would raise struct.error —
+            # the error contract here is ValueError
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -136,7 +141,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or color not in (0, 2) or interlace != 0:
+            # comp/filt must both be 0 per the PNG spec; nonzero values
+            # would be silently decoded under wrong assumptions otherwise
+            if depth != 8 or color not in (0, 2) or interlace != 0 \
+                    or comp != 0 or filt != 0:
                 raise ValueError(
                     "only 8-bit gray/RGB non-interlaced PNG supported"
                 )
@@ -789,6 +797,8 @@ def png_decode_features(with_payload: DataFrame) -> DataFrame:
             idat = bytearray()
             while pos + 8 <= len(payload):
                 (length,) = struct.unpack_from(">I", payload, pos)
+                if pos + 12 + length > len(payload):
+                    raise ValueError("truncated PNG chunk")
                 ctype = payload[pos + 4 : pos + 8]
                 data = payload[pos + 8 : pos + 8 + length]
                 (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -798,7 +808,8 @@ def png_decode_features(with_payload: DataFrame) -> DataFrame:
                     width, height, depth, color, comp, filt, inter = (
                         struct.unpack(">IIBBBBB", data)
                     )
-                    if depth != 8 or color not in (0, 2) or inter != 0:
+                    if depth != 8 or color not in (0, 2) or inter != 0 \
+                            or comp != 0 or filt != 0:
                         raise ValueError("unsupported PNG profile")
                 elif ctype == b"IDAT":
                     idat += data

@@ -2893,28 +2893,34 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
     in 1603 s because lineage truncation keeps only one large shuffle
     live (BENCH_SCALE_R11D.json). Output is identical either way —
     q263's spliced-oracle hash match proves the round trip lossless."""
-    pfx, tgs, n_docs = _pf_index_frames(spark, sf_dir)
+    pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
+    n_docs = docs.count()
     if n_docs > PF_SINGLE_DAG_MAX_DOCS:
+        # drop the superseded in-DAG frames' corpus persist before the
+        # checkpointed rebuild — at exactly this scale the plan is
+        # disk/memory constrained (round-11 ADVICE: the discarded frame
+        # used to stay persisted through the whole materialized run)
+        docs.unpersist()
         pfx, tgs, n_docs = _materialized_pf_index(spark, sf_dir)
     return _pf_pairs_from(pfx, tgs, n_docs <= PF_BROADCAST_MAX_DOCS, cap)
 
 
 def _pf_index_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the UNCAPPED Bayardo prefix index (doc_id, tok, r, m) and the
-    per-doc trigram arrays (doc_id, tg) from raw documents, plus the
-    eligible-doc count. The filtered two-column doc frame is persisted so
-    the count + both tokenizations read ONE corpus scan instead of three
-    (round-10's plan re-scanned raw parquet for the count and again for
-    the verify arrays); the bench harness unpersists between queries."""
+    per-doc trigram arrays (doc_id, tg) from raw documents. The filtered
+    two-column doc frame is persisted so both tokenizations read ONE
+    corpus scan instead of two, and returned as the third element: a
+    caller that needs the eligible-doc count runs it itself, ones that
+    don't (q260's report — round-11 ADVICE) pay NO eager action, and a
+    caller done with the corpus scan can unpersist the frame."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.expr("size(split(text, ' ')) >= 3"))
         .select("doc_id", "text")
         .persist()
     )
-    n_docs = docs.count()
     tgs = _tg_docs(docs)
     dtok = tgs.select("doc_id", F.explode("tg").alias("tok"))
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -2934,7 +2940,7 @@ def _pf_index_frames(
         )
         .select("doc_id", "tok", "r", "m")
     )
-    return pfx, tgs, n_docs
+    return pfx, tgs, docs
 
 
 def _pf_pairs_from(
@@ -4401,9 +4407,12 @@ def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None and _os.path.isdir(cached):
         return cached
     root = _tempfile.mkdtemp(prefix="prefix_index_")
-    pfx, tgs, _ = _pf_index_frames(spark, sf_dir)
+    pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
     pfx.write.mode("overwrite").parquet(fs.join(root, "pfx"))
     tgs.write.mode("overwrite").parquet(fs.join(root, "tg"))
+    # both writes are done with the corpus scan — everything downstream
+    # reads the parquet checkpoint, so the persist would only hold memory
+    docs.unpersist()
     _PF_INDEX_CACHE[key] = root
     return root
 

@@ -53,7 +53,8 @@ def test_prefix_index_materialize_once_per_session(spark):
     p2 = dq.materialize_prefix_index(spark, SF)
     assert p1 == p2
     # the checkpoint holds exactly the self-contained index frames
-    pfx_df, tg_df, n_docs = dq._pf_index_frames(spark, SF)
+    pfx_df, tg_df, docs_df = dq._pf_index_frames(spark, SF)
+    n_docs = docs_df.count()
     import os
 
     assert _rows(spark.read.parquet(os.path.join(p1, "pfx"))) == _rows(

@@ -185,6 +185,23 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError):
         decode_png(b"notapng" + b"\x00" * 32)
+    # truncated mid-chunk (IEND gone + one byte of IDAT CRC): error
+    # contract is ValueError, not struct.error
+    with pytest.raises(ValueError):
+        decode_png(payload[: len(payload) - 13])
+    # nonzero IHDR compression-method / filter-method bytes must be
+    # rejected, not decoded under wrong assumptions (spec requires 0/0)
+    import struct
+    import zlib
+
+    for field_off in (10, 11):  # comp, filt within the 13-byte IHDR data
+        bad2 = bytearray(payload)
+        ihdr_data_at = 8 + 8  # sig + len/type of first chunk (IHDR)
+        bad2[ihdr_data_at + field_off] = 1
+        fixed = zlib.crc32(bytes(bad2[ihdr_data_at - 4 : ihdr_data_at + 13]))
+        struct.pack_into(">I", bad2, ihdr_data_at + 13, fixed & 0xFFFFFFFF)
+        with pytest.raises(ValueError):
+            decode_png(bytes(bad2))
 
 
 def test_q265_features_match_local_decode(spark):

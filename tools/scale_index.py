@@ -63,7 +63,7 @@ lives in the per-file JSONs. Regenerate with tools/scale_index.py.
 
 def main() -> None:
     rows: dict[str, dict[str, dict]] = {}
-    skips: dict[str, str] = {}
+    skips: dict[str, dict[str, str]] = {}
     ages: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(ROOT, "BENCH_SCALE*.json")))
     for f in files:
