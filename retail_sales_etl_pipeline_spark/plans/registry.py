@@ -56,6 +56,7 @@ def register(
 QUERY_MODULES = (
     "parity_queries",
     "dedup_queries",
+    "exactsubstr_queries",
     "curation_queries",
     "similarity_queries",
     "text_queries",
