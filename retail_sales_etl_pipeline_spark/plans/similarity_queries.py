@@ -3024,3 +3024,75 @@ def q258_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(rr_ppm) OVER () div COUNT(*) OVER () AS BIGINT)"
         " AS mrr_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# From-materialized embedding-pair twin (q271) — round-12 closure of the
+# last heavy graph query still rebuilding its candidate ladder from
+# scratch (the round-11 verdict's watch item on q66's bench drift): the
+# q199-q201/q262-q264 convention applied to the EMBEDDING near-dup graph.
+# ---------------------------------------------------------------------------
+
+_EMB_PAIRS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def materialize_embedding_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Run the capped RP-LSH -> cosine-verify ladder (q32's plan) ONCE
+    per (session, corpus) and write the verified embedding near-dup pair
+    list as parquet; later calls in the same session return the existing
+    checkpoint path (the materialize_verified_pairs convention: keyed by
+    applicationId + corpus dir, corpus snapshots immutable per path)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources import fs
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    cached = _EMB_PAIRS_CACHE.get(key)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
+    path = fs.join(_tempfile.mkdtemp(prefix="emb_pairs_"), "verified_pairs")
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        rp_neardup_pairs(emb)
+        .select("vec_a", "vec_b")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _EMB_PAIRS_CACHE[key] = path
+    return path
+
+
+@register(
+    "q271_embedding_components_materialized",
+    oracle=_registered_oracle("q66_embedding_neardup_components"),
+    doc="q66's embedding near-dup connected components computed FROM THE "
+    "MATERIALIZED verified cosine-pair checkpoint "
+    "(materialize_embedding_pairs): the capped RP-LSH bucket self-join "
+    "+ cosine verification — the dominant cost q66 re-runs on every "
+    "execution — is paid once per corpus snapshot and written as a "
+    "two-column parquet; this twin reads the checkpoint and runs the "
+    "same large-star/small-star min-label propagation. Oracle: q66's "
+    "WITH RECURSIVE form spliced verbatim — the hash match proves "
+    "checkpoint/read-back loses nothing (twin == self-contained). "
+    "Scale shape: one parquet scan + O(log n) CC rounds in place of "
+    "the ladder; the round-11 verdict measured q66 as the last heavy "
+    "graph query rebuilding candidates from scratch (its q262 "
+    "text-graph sibling read 196 s vs 260-311 s self-contained at "
+    "100x).",
+    tags=("similarity", "dedup", "graph", "iterative", "composition"),
+)
+def q271_embedding_components_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = spark.read.parquet(materialize_embedding_pairs(spark, sf_dir))
+    return connected_components(
+        emb.select("vec_id"),
+        pairs,
+        id_col="vec_id",
+        src_col="vec_a",
+        dst_col="vec_b",
+    ).select(F.col("id").alias("vec_id"), "component_id")

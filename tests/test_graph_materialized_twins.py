@@ -88,6 +88,21 @@ def test_incremental_cc_twin_identity(spark):
     ) == _rows(dq.q157_incremental_components(spark, SF))
 
 
+# Round-12 twin: the embedding near-dup graph (q66's watch item).
+
+
+def test_embedding_cc_twin_identity(spark):
+    from retail_sales_etl_pipeline_spark.plans import similarity_queries as sq
+
+    sq._EMB_PAIRS_CACHE.clear()
+    p1 = sq.materialize_embedding_pairs(spark, SF)
+    p2 = sq.materialize_embedding_pairs(spark, SF)
+    assert p1 == p2  # once per (session, corpus)
+    assert _rows(
+        sq.q271_embedding_components_materialized(spark, SF)
+    ) == _rows(sq.q66_embedding_neardup_components(spark, SF))
+
+
 def test_single_dag_cutover_is_lossless(spark, monkeypatch):
     """Force the checkpoint cutover (PF_SINGLE_DAG_MAX_DOCS below the test
     corpus) and pin that the self-contained plan's output is row-identical
