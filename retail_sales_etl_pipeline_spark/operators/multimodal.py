@@ -8,12 +8,13 @@ outputs — is real and tested. Media decode is REAL, pure stdlib:
 ``audio/wav`` (RIFF/PCM16 via the ``wave`` parser), ``image/bmp``
 (24-bit BI_RGB with row padding and bottom-up row order undone) and
 ``image/png`` (zlib-inflated scanlines with full five-filter
-unfiltering incl. Paeth, CRC-verified chunk walk) — see q156/q265,
-whose features are computed from genuinely decoded samples and
-oracle-checked end to end. The remaining compressed codecs
-(jpeg/mp3/mp4) need libraries absent from this environment and raise
-NotImplementedError honestly; ``_fake_decode`` remains for plumbing
-tests of those mimes.
+unfiltering incl. Paeth, CRC-verified chunk walk) and ``image/jpeg``
+(baseline sequential T.81: Huffman entropy decode, dequantize, IDCT,
+YCbCr->RGB) — see q156/q265/q272, whose features are computed from
+genuinely decoded samples and oracle-checked end to end. The remaining
+compressed codecs (mp3/mp4) need libraries absent from this
+environment and raise NotImplementedError honestly; ``_fake_decode``
+remains for plumbing tests of those mimes.
 
 Scale notes: payloads never pass through the driver; each Arrow batch
 holds only ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
@@ -240,25 +241,447 @@ def encode_png(
     )
 
 
+# --- baseline JPEG (ITU T.81) codec, pure stdlib -------------------------
+# Round-12 closure of the last image-codec gate: a genuine baseline
+# sequential JPEG decoder (marker walk, DQT/DHT table parsing, Huffman
+# entropy decode with byte-unstuffing, DC prediction, dequantize,
+# inverse zigzag, float IDCT, level shift, JFIF YCbCr->RGB) plus the
+# matching encoder (forward DCT, quantize, zigzag, run-length + Huffman
+# with the T.81 Annex K standard tables) used by tests and the q272
+# synthetic corpus. Supported profile: 8-bit baseline sequential
+# (SOF0), 1 component (grayscale) or 3 components 4:4:4 (no chroma
+# subsampling), no restart markers; anything else raises ValueError —
+# a wrong answer is worse than no answer.
+
+# zigzag index -> raster index (T.81 figure A.6)
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K standard luminance Huffman tables (code counts by bit
+# length 1..16, then symbol values in canonical order).
+JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_STD_DC_VALS = list(range(12))
+JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Flat quantization table for the synthetic corpus: Q[0] (DC) = 8 makes
+# constant 8x8 blocks decode EXACTLY (DCT DC of a constant block is
+# 8*(v-128), so the quantized coefficient is the integer v-128 and the
+# DC-only IDCT reproduces v to < 1e-12 before rounding) — the property
+# the q272 formula oracle relies on. AC = 16 is an ordinary lossy step.
+JPEG_Q_DC = 8
+JPEG_Q_AC = 16
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_cos_tables() -> tuple[list[list[float]], list[float]]:
+    import math
+
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ]
+    cu = [1 / math.sqrt(2)] + [1.0] * 7
+    return cos, cu
+
+
+def encode_jpeg_baseline(
+    width: int, height: int, planes: list[bytes]
+) -> bytes:
+    """Genuine baseline sequential JPEG encoder, pure stdlib: per-block
+    level shift -> float forward DCT -> quantize (flat table, DC step
+    {JPEG_Q_DC} / AC step {JPEG_Q_AC}) -> zigzag -> differential-DC +
+    run-length AC -> Huffman (T.81 Annex K standard tables) with byte
+    stuffing. ``planes``: [gray] or [Y, Cb, Cr] (4:4:4), each
+    width*height bytes; edge blocks replicate the last row/column. The
+    tables are written into DQT/DHT, so any conforming decoder reads
+    them from the stream."""
+    import math
+    import struct
+
+    n_comp = len(planes)
+    if n_comp not in (1, 3):
+        raise ValueError("encoder supports 1 (gray) or 3 (YCbCr) planes")
+    cos, cu = _jpeg_cos_tables()
+    qtab = [JPEG_Q_AC] * 64
+    qtab[0] = JPEG_Q_DC
+    dc_codes = _jpeg_canonical_codes(JPEG_STD_DC_BITS, JPEG_STD_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(JPEG_STD_AC_BITS, JPEG_STD_AC_VALS)
+
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def put_bits(code: int, ln: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << ln) | (code & ((1 << ln) - 1))
+        bitcnt += ln
+        while bitcnt >= 8:
+            byte = (bitbuf >> (bitcnt - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    def magnitude(v: int) -> tuple[int, int]:
+        """(category, value-bits) per T.81 F.1.2.1 (negative -> v-1 mask)."""
+        if v == 0:
+            return 0, 0
+        a, s = abs(v), 0
+        while a:
+            a >>= 1
+            s += 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def block_at(plane: bytes, bx: int, by: int) -> list[int]:
+        b = []
+        for y in range(8):
+            sy = min(by * 8 + y, height - 1)
+            for x in range(8):
+                sx = min(bx * 8 + x, width - 1)
+                b.append(plane[sy * width + sx])
+        return b
+
+    # headers
+    hdr = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: version 1.1, no density units, 1x1 density, no thumbnail
+    hdr += b"\xff\xe0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_q = bytes(qtab[JPEG_ZIGZAG[i]] for i in range(64))
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    hdr += b"\xff\xc0" + struct.pack(">HB", 8 + 3 * n_comp, 8)
+    hdr += struct.pack(">HH", height, width) + bytes([n_comp])
+    for c in range(n_comp):
+        hdr += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    for cls, bits, vals in (
+        (0, JPEG_STD_DC_BITS, JPEG_STD_DC_VALS),
+        (1, JPEG_STD_AC_BITS, JPEG_STD_AC_VALS),
+    ):
+        hdr += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        hdr += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    hdr += b"\xff\xda" + struct.pack(">H", 6 + 2 * n_comp) + bytes([n_comp])
+    for c in range(n_comp):
+        hdr += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    hdr += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    pred = [0] * n_comp
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(n_comp):
+                blk = block_at(planes[c], bx, by)
+                # forward DCT + quantize, zigzag order
+                coefs = [0] * 64
+                for v in range(8):
+                    for u in range(8):
+                        s = 0.0
+                        for y in range(8):
+                            for x in range(8):
+                                s += (blk[y * 8 + x] - 128) \
+                                    * cos[u][x] * cos[v][y]
+                        s *= 0.25 * cu[u] * cu[v]
+                        coefs[v * 8 + u] = int(
+                            math.floor(s / qtab[v * 8 + u] + 0.5)
+                        )
+                zz = [coefs[JPEG_ZIGZAG[i]] for i in range(64)]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                s, vb = magnitude(diff)
+                code, ln = dc_codes[s]
+                put_bits(code, ln)
+                if s:
+                    put_bits(vb, s)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, 64):
+                    if i > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        put_bits(code, ln)
+                        break
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        put_bits(code, ln)
+                        run -= 16
+                    s, vb = magnitude(zz[i])
+                    code, ln = ac_codes[(run << 4) | s]
+                    put_bits(code, ln)
+                    put_bits(vb, s)
+                    run = 0
+    if bitcnt:
+        put_bits((1 << (8 - bitcnt)) - 1, 8 - bitcnt)  # pad with 1s
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decode, pure stdlib: marker walk (SOI/APP/
+    DQT/SOF0/DHT/SOS), Huffman tables and quant tables read FROM THE
+    STREAM, entropy decode with byte-unstuffing, DC prediction + EXTEND,
+    dequantize, inverse zigzag, float IDCT, level shift + clamp, and for
+    3-component scans the JFIF YCbCr->RGB transform. Returns (width,
+    height, n_components, pixels) — gray bytes or interleaved RGB,
+    top-down row-major, edge-padded MCUs cropped to the declared size.
+
+    Supported profile: SOF0 baseline sequential, 8-bit, 1 or 3
+    components with 1x1 sampling (4:4:4), 8-bit quant tables, no
+    restart intervals. Anything else raises ValueError."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab id)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = seg[p + 1 : p + 65]
+                tab = [0] * 64
+                for i in range(64):
+                    tab[JPEG_ZIGZAG[i]] = zz[i]
+                qtabs[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                dec, code, k = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        dec[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(cls, tid)] = dec
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    i for i, (cid, _, _) in enumerate(comps) if cid == cs
+                )
+                scan_comps.append((idx, tt >> 4, tt & 0x0F))
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or data_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    cos, cu = _jpeg_cos_tables()
+    # bit reader over entropy-coded data with 0xFF00 unstuffing
+    bpos, bitcnt, bitbuf = data_start, 0, 0
+
+    def read_bit() -> int:
+        nonlocal bpos, bitcnt, bitbuf
+        if bitcnt == 0:
+            if bpos >= len(payload):
+                raise ValueError("truncated entropy data")
+            byte = payload[bpos]
+            bpos += 1
+            if byte == 0xFF:
+                if bpos >= len(payload):
+                    raise ValueError("truncated entropy data")
+                nxt = payload[bpos]
+                if nxt == 0x00:
+                    bpos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            bitbuf, bitcnt = byte, 8
+        bitcnt -= 1
+        return (bitbuf >> bitcnt) & 1
+
+    def huff_decode(tab: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bit()
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def receive_extend(s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    nc = len(comps)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, dc_id, ac_id in scan_comps:
+                dct = htabs.get((0, dc_id))
+                act = htabs.get((1, ac_id))
+                qt = qtabs.get(comps[ci][2])
+                if dct is None or act is None or qt is None:
+                    raise ValueError("JPEG missing Huffman/quant table")
+                zz = [0] * 64
+                s = huff_decode(dct)
+                pred[ci] += receive_extend(s)
+                zz[0] = pred[ci]
+                i = 1
+                while i < 64:
+                    rs = huff_decode(act)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            i += 16
+                            continue
+                        break  # EOB
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[i] = receive_extend(size)
+                    i += 1
+                coefs = [0] * 64
+                for i in range(64):
+                    coefs[JPEG_ZIGZAG[i]] = zz[i] * qt[JPEG_ZIGZAG[i]]
+                # IDCT
+                plane = planes[ci]
+                stride = bw * 8
+                for y in range(8):
+                    for x in range(8):
+                        s2 = 0.0
+                        for v in range(8):
+                            for u in range(8):
+                                cuv = coefs[v * 8 + u]
+                                if cuv:
+                                    s2 += cu[u] * cu[v] * cuv \
+                                        * cos[u][x] * cos[v][y]
+                        # floor(x+0.5): deterministic half-up, pinned
+                        # identical in the inline Arrow copy
+                        val = int((0.25 * s2) + 0.5 + 1024) - 1024 + 128
+                        plane[(by * 8 + y) * stride + bx * 8 + x] = (
+                            0 if val < 0 else 255 if val > 255 else val
+                        )
+    stride = bw * 8
+    if nc == 1:
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = (
+                planes[0][y * stride : y * stride + width]
+            )
+        return width, height, 1, bytes(out)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            yy = planes[0][y * stride + x]
+            cb = planes[1][y * stride + x] - 128
+            cr = planes[2][y * stride + x] - 128
+            # same floor(x+0.5) convention as the IDCT output
+            r = int(yy + 1.402 * cr + 0.5 + 1024) - 1024
+            g = int(yy - 0.344136 * cb - 0.714136 * cr + 0.5 + 1024) - 1024
+            b = int(yy + 1.772 * cb + 0.5 + 1024) - 1024
+            o = (y * width + x) * 3
+            out[o] = 0 if r < 0 else 255 if r > 255 else r
+            out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return width, height, 3, bytes(out)
+
+
 def decode_media(payload: bytes, mime: str):
     """Decode a media payload into samples/pixels.
 
     Pure-stdlib decoders exist for ``audio/wav`` (RIFF/PCM16 via the
-    ``wave`` module), ``image/bmp`` (24-bit BI_RGB), and ``image/png``
+    ``wave`` module), ``image/bmp`` (24-bit BI_RGB), ``image/png``
     (zlib-inflate + full five-filter unfiltering, 8-bit gray/RGB
-    non-interlaced). Remaining compressed codecs (jpeg/mp3/mp4) require
-    libraries not present in this environment and stay honestly
-    unimplemented."""
+    non-interlaced), and ``image/jpeg`` (baseline sequential SOF0,
+    Huffman + dequant + IDCT, 4:4:4). Remaining compressed codecs
+    (mp3/mp4) require libraries not present in this environment and
+    stay honestly unimplemented."""
     if mime == "audio/wav":
         return decode_wav(payload)
     if mime == "image/bmp":
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present "
-        "in this environment (audio/wav, image/bmp and image/png decode "
-        "natively; use _fake_decode for plumbing tests of other mimes)"
+        "in this environment (audio/wav, image/bmp, image/png and "
+        "image/jpeg decode natively; use _fake_decode for plumbing tests "
+        "of other mimes)"
     )
 
 
@@ -870,5 +1293,466 @@ def png_decode_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         per_batch,
         "doc_id long, color_type int, width long, height long, "
+        "n_units long, sum_val long, max_val long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG end-to-end path (round-12 closure of the image-codec gate):
+# BLOCK-CONSTANT synthetic images — value per (doc, 8x8 block) from the
+# same LCG formula — genuinely ENCODED as baseline JPEGs (real forward
+# DCT, quantization, differential DC, Huffman with the T.81 standard
+# tables, byte stuffing), then DECODED by a real baseline decoder inside
+# the Arrow UDF. Block-constant sources are the one image family whose
+# JPEG round trip is EXACT (DC quant step 8 makes the quantized DC the
+# integer v-128, and a DC-only IDCT is flat to <1e-12 before rounding),
+# so the formula oracle proves the whole lossy-codec machinery —
+# bitstream, tables, prediction, dequant, IDCT — is implemented right;
+# the AC path is pinned by unit tests against an independent numpy
+# reference (test_media_decode).
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG ingestion source: even doc_ids get a grayscale
+    baseline JPEG, odd doc_ids a YCbCr 4:4:4 color one (chroma constant
+    128, so decoded RGB == Y exactly); dimensions 8*(1 + doc_id%3) x
+    8*(1 + doc_id%2); 8x8 block b is constant val(doc_id, b, 256).
+    Self-contained batch fn (inline encoder copy, numpy-vectorized DCT;
+    tests pin payloads byte-identical to encode_jpeg_baseline)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+
+        A, B, M = 1_103_515_245, 12_345, 1_000_003
+        P1, P2 = 100_003, 104_729
+
+        def val(doc_id: int, i: int) -> int:
+            return (A * ((doc_id * P1 + i * P2) % M) + B) % 256
+
+        ZZ = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        DC_VALS = list(range(12))
+        AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+        AC_VALS = [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+            0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+            0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+            0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+            0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+            0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+            0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+            0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+            0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+            0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]
+        Q_DC, Q_AC = 8, 16
+
+        def canonical(bits, vals):
+            out, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        dc_codes = canonical(DC_BITS, DC_VALS)
+        ac_codes = canonical(AC_BITS, AC_VALS)
+        # DCT basis M[u][x] = C(u) cos((2x+1)u pi/16); S = 0.25 M B M^T
+        Mx = np.array(
+            [
+                [
+                    (1 / math.sqrt(2) if u == 0 else 1.0)
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        qtab = np.full(64, Q_AC, dtype=np.float64)
+        qtab[0] = Q_DC
+
+        def enc(width, height, planes):
+            n_comp = len(planes)
+            out = bytearray()
+            state = {"buf": 0, "cnt": 0}
+
+            def put_bits(code, ln):
+                state["buf"] = (state["buf"] << ln) | (code & ((1 << ln) - 1))
+                state["cnt"] += ln
+                while state["cnt"] >= 8:
+                    byte = (state["buf"] >> (state["cnt"] - 8)) & 0xFF
+                    out.append(byte)
+                    if byte == 0xFF:
+                        out.append(0x00)
+                    state["cnt"] -= 8
+                state["buf"] &= (1 << state["cnt"]) - 1
+
+            def magnitude(v):
+                if v == 0:
+                    return 0, 0
+                a, s = abs(v), 0
+                while a:
+                    a >>= 1
+                    s += 1
+                return s, (v if v >= 0 else v + (1 << s) - 1)
+
+            hdr = bytearray(b"\xff\xd8")
+            hdr += b"\xff\xe0" + struct.pack(">H", 16) \
+                + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            zz_q = bytes(int(qtab[ZZ[i]]) for i in range(64))
+            hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+            hdr += b"\xff\xc0" + struct.pack(">HB", 8 + 3 * n_comp, 8)
+            hdr += struct.pack(">HH", height, width) + bytes([n_comp])
+            for c in range(n_comp):
+                hdr += bytes([c + 1, 0x11, 0])
+            for cls, bits, vals in (
+                (0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)
+            ):
+                hdr += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                hdr += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+            hdr += b"\xff\xda" + struct.pack(">H", 6 + 2 * n_comp) \
+                + bytes([n_comp])
+            for c in range(n_comp):
+                hdr += bytes([c + 1, 0x00])
+            hdr += b"\x00\x3f\x00"
+
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            pred = [0] * n_comp
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in range(n_comp):
+                        arr = np.frombuffer(
+                            planes[c], dtype=np.uint8
+                        ).reshape(height, width)
+                        ys = np.minimum(
+                            np.arange(by * 8, by * 8 + 8), height - 1
+                        )
+                        xs = np.minimum(
+                            np.arange(bx * 8, bx * 8 + 8), width - 1
+                        )
+                        blk = arr[np.ix_(ys, xs)].astype(np.float64) - 128.0
+                        S = 0.25 * (Mx @ blk @ Mx.T)
+                        coefs = np.floor(
+                            S.reshape(64) / qtab + 0.5
+                        ).astype(np.int64)
+                        zz = [int(coefs[ZZ[i]]) for i in range(64)]
+                        diff = zz[0] - pred[c]
+                        pred[c] = zz[0]
+                        s, vb = magnitude(diff)
+                        code, ln = dc_codes[s]
+                        put_bits(code, ln)
+                        if s:
+                            put_bits(vb, s)
+                        run = 0
+                        last_nz = max(
+                            (i for i in range(1, 64) if zz[i]), default=0
+                        )
+                        for i in range(1, 64):
+                            if i > last_nz:
+                                code, ln = ac_codes[0x00]
+                                put_bits(code, ln)
+                                break
+                            if zz[i] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[0xF0]
+                                put_bits(code, ln)
+                                run -= 16
+                            s, vb = magnitude(zz[i])
+                            code, ln = ac_codes[(run << 4) | s]
+                            put_bits(code, ln)
+                            put_bits(vb, s)
+                            run = 0
+            if state["cnt"]:
+                put_bits((1 << (8 - state["cnt"])) - 1, 8 - state["cnt"])
+            return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                bw, bh = w // 8, h // 8
+                plane = bytearray(w * h)
+                for b in range(bw * bh):
+                    v = val(did, b)
+                    by, bx = divmod(b, bw)
+                    for y in range(8):
+                        o = (by * 8 + y) * w + bx * 8
+                        plane[o : o + 8] = bytes([v] * 8)
+                n_comp = 1 if did % 2 == 0 else 3
+                planes = [bytes(plane)]
+                if n_comp == 3:
+                    planes += [bytes([128] * (w * h))] * 2
+                rows.append({
+                    "doc_id": did, "mime": "image/jpeg",
+                    "n_comp": n_comp, "payload": enc(w, h, planes),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        per_batch,
+        "doc_id long, mime string, n_comp int, payload binary",
+    )
+
+
+def jpeg_decode_features(with_payload: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode inside the Arrow UDF — marker walk,
+    DQT/DHT parsing, Huffman entropy decode with unstuffing, DC
+    prediction, dequantize, inverse zigzag, IDCT, YCbCr->RGB for color —
+    then integer-exact features over the decoded pixel stream. The IDCT
+    skips zero coefficients, so the DC-dominant corpus decodes in
+    O(pixels); self-contained batch fn (inline decoder copy; tests pin
+    it equal to decode_jpeg)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        ZZ = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        cos = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+            for u in range(8)
+        ]
+        cu = [1 / math.sqrt(2)] + [1.0] * 7
+
+        def dec(payload):
+            if payload[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG payload (missing SOI)")
+            pos = 2
+            qtabs, htabs = {}, {}
+            width = height = None
+            comps, scan_comps = [], []
+            data_start = None
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    raise ValueError("bad marker alignment")
+                marker = payload[pos + 1]
+                (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+                if pos + 2 + seglen > len(payload):
+                    raise ValueError("truncated JPEG segment")
+                seg = payload[pos + 4 : pos + 2 + seglen]
+                if marker == 0xDB:
+                    p = 0
+                    while p < len(seg):
+                        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                        if pq != 0:
+                            raise ValueError("16-bit quant unsupported")
+                        zzq = seg[p + 1 : p + 65]
+                        tab = [0] * 64
+                        for i in range(64):
+                            tab[ZZ[i]] = zzq[i]
+                        qtabs[tq] = tab
+                        p += 65
+                elif marker == 0xC4:
+                    p = 0
+                    while p < len(seg):
+                        cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                        bits = list(seg[p + 1 : p + 17])
+                        n = sum(bits)
+                        vals = list(seg[p + 17 : p + 17 + n])
+                        dmap, code, k = {}, 0, 0
+                        for ln in range(1, 17):
+                            for _ in range(bits[ln - 1]):
+                                dmap[(ln, code)] = vals[k]
+                                code += 1
+                                k += 1
+                            code <<= 1
+                        htabs[(cls, tid)] = dmap
+                        p += 17 + n
+                elif marker == 0xC0:
+                    if seg[0] != 8:
+                        raise ValueError("only 8-bit precision supported")
+                    height, width = struct.unpack_from(">HH", seg, 1)
+                    nc = seg[5]
+                    if nc not in (1, 3):
+                        raise ValueError("only 1/3-component supported")
+                    for c in range(nc):
+                        cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                        if samp != 0x11:
+                            raise ValueError("subsampling unsupported")
+                        comps.append((cid, samp, tq))
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                                0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError("only baseline (SOF0) supported")
+                elif marker == 0xDD:
+                    (ri,) = struct.unpack_from(">H", seg, 0)
+                    if ri != 0:
+                        raise ValueError("restart intervals unsupported")
+                elif marker == 0xDA:
+                    ns = seg[0]
+                    for c in range(ns):
+                        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                        idx = next(
+                            i for i, (cid, _, _) in enumerate(comps)
+                            if cid == cs
+                        )
+                        scan_comps.append((idx, tt >> 4, tt & 0x0F))
+                    data_start = pos + 2 + seglen
+                    break
+                pos += 2 + seglen
+            if width is None or data_start is None:
+                raise ValueError("JPEG missing SOF0/SOS")
+
+            st = {"pos": data_start, "cnt": 0, "buf": 0}
+
+            def read_bit():
+                if st["cnt"] == 0:
+                    if st["pos"] >= len(payload):
+                        raise ValueError("truncated entropy data")
+                    byte = payload[st["pos"]]
+                    st["pos"] += 1
+                    if byte == 0xFF:
+                        if st["pos"] >= len(payload):
+                            raise ValueError("truncated entropy data")
+                        if payload[st["pos"]] == 0x00:
+                            st["pos"] += 1
+                        else:
+                            raise ValueError("marker in entropy data")
+                    st["buf"], st["cnt"] = byte, 8
+                st["cnt"] -= 1
+                return (st["buf"] >> st["cnt"]) & 1
+
+            def huff_decode(tab):
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | read_bit()
+                    sym = tab.get((ln, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code")
+
+            def receive_extend(s):
+                if s == 0:
+                    return 0
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | read_bit()
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            nc = len(comps)
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+            pred = [0] * nc
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci, dc_id, ac_id in scan_comps:
+                        dct = htabs.get((0, dc_id))
+                        act = htabs.get((1, ac_id))
+                        qt = qtabs.get(comps[ci][2])
+                        if dct is None or act is None or qt is None:
+                            raise ValueError("missing Huffman/quant table")
+                        zz = [0] * 64
+                        s = huff_decode(dct)
+                        pred[ci] += receive_extend(s)
+                        zz[0] = pred[ci]
+                        i = 1
+                        while i < 64:
+                            rs = huff_decode(act)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    i += 16
+                                    continue
+                                break
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            zz[i] = receive_extend(size)
+                            i += 1
+                        coefs = [0] * 64
+                        for i in range(64):
+                            coefs[ZZ[i]] = zz[i] * qt[ZZ[i]]
+                        plane = planes[ci]
+                        stride = bw * 8
+                        for y in range(8):
+                            for x in range(8):
+                                s2 = 0.0
+                                for v in range(8):
+                                    for u in range(8):
+                                        cuv = coefs[v * 8 + u]
+                                        if cuv:
+                                            s2 += cu[u] * cu[v] * cuv \
+                                                * cos[u][x] * cos[v][y]
+                                valp = int(
+                                    (0.25 * s2) + 0.5 + 1024
+                                ) - 1024 + 128
+                                plane[
+                                    (by * 8 + y) * stride + bx * 8 + x
+                                ] = (
+                                    0 if valp < 0
+                                    else 255 if valp > 255 else valp
+                                )
+            stride = bw * 8
+            if nc == 1:
+                outb = bytearray(width * height)
+                for y in range(height):
+                    outb[y * width : (y + 1) * width] = (
+                        planes[0][y * stride : y * stride + width]
+                    )
+                return width, height, 1, bytes(outb)
+            outb = bytearray(width * height * 3)
+            for y in range(height):
+                for x in range(width):
+                    yy = planes[0][y * stride + x]
+                    cb = planes[1][y * stride + x] - 128
+                    cr = planes[2][y * stride + x] - 128
+                    r = int(yy + 1.402 * cr + 0.5 + 1024) - 1024
+                    g = int(
+                        yy - 0.344136 * cb - 0.714136 * cr + 0.5 + 1024
+                    ) - 1024
+                    b = int(yy + 1.772 * cb + 0.5 + 1024) - 1024
+                    o = (y * width + x) * 3
+                    outb[o] = 0 if r < 0 else 255 if r > 255 else r
+                    outb[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+                    outb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+            return width, height, 3, bytes(outb)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, px = dec(bytes(payload))
+                rows.append({
+                    "doc_id": int(did),
+                    "n_comp": nc,
+                    "width": w,
+                    "height": h,
+                    "n_units": w * h,
+                    "sum_val": sum(px),
+                    "max_val": max(px),
+                })
+            yield pd.DataFrame(rows)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        per_batch,
+        "doc_id long, n_comp int, width long, height long, "
         "n_units long, sum_val long, max_val long",
     )

@@ -403,8 +403,8 @@ from ..operators.multimodal import (  # noqa: E402
     "channel-byte sum and max); the oracle recomputes them from the "
     "deterministic value formula with NO decoder, so the hash match "
     "proves the compress->container->decode round trip is lossless. "
-    "This closes the round-10 capability gate (multimodal.py's "
-    "NotImplementedError now covers only jpeg/mp3/mp4). Scale shape: "
+    "This closed the round-10 capability gate (q272's JPEG decoder "
+    "then narrowed the NotImplementedError to mp3/mp4). Scale shape: "
     "two narrow map stages (synthesize, decode), zero shuffle, "
     "payloads never touch the driver, batch memory bounded by Arrow "
     "batch size.",
@@ -413,3 +413,68 @@ from ..operators.multimodal import (  # noqa: E402
 def q265_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return png_decode_features(synth_png_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode features (q272) — round-12 closure of the image-codec gate
+# (the last honest NotImplementedError now covers mp3/mp4 only). The
+# corpus is BLOCK-CONSTANT by construction because that is the one image
+# family whose baseline-JPEG round trip is EXACT (DC quant step 8 =>
+# quantized DC is the integer v-128; a DC-only IDCT is flat to <1e-12
+# before rounding), so the formula oracle can prove the whole entropy-
+# coded path — standard Huffman tables, differential DC, byte stuffing,
+# dequant, zigzag, IDCT, and for odd docs the YCbCr->RGB transform with
+# constant-128 chroma — with NO decoder on the SQL side. The general AC
+# path (runs, ZRL, EOB, nonzero frequencies) is pinned by unit tests
+# against an independent numpy DCT reference (test_media_decode).
+# ---------------------------------------------------------------------------
+
+from ..operators.multimodal import (  # noqa: E402
+    jpeg_decode_features,
+    synth_jpeg_payloads,
+)
+
+
+@register(
+    "q272_jpeg_decode_features",
+    oracle=f"""
+    WITH jpg AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS n_comp
+      FROM documents
+    ),
+    vals AS (
+      SELECT j.doc_id, j.w, j.h, j.n_comp,
+             {_VAL.format(mod=256)} AS v
+      FROM jpg j, unnest(range(0, (j.w // 8) * (j.h // 8))) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MIN(n_comp) AS INTEGER) AS n_comp,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_units,
+           CAST(SUM(64 * v) * MIN(n_comp) AS BIGINT) AS sum_val,
+           CAST(MAX(v) AS BIGINT) AS max_val
+    FROM vals GROUP BY doc_id
+    """,
+    doc="REAL lossy-codec decode end to end: every doc gets a genuine "
+    "baseline sequential JPEG (T.81) — real forward DCT, quantization, "
+    "differential-DC + run-length Huffman with the Annex K standard "
+    "tables, byte stuffing; even docs grayscale, odd docs YCbCr 4:4:4 "
+    "with constant-128 chroma — round-tripped through a Spark binary "
+    "column and DECODED inside the Arrow UDF by a real baseline "
+    "decoder (marker walk, DQT/DHT read from the stream, Huffman "
+    "entropy decode with unstuffing, DC prediction, dequantize, "
+    "inverse zigzag, IDCT, YCbCr->RGB). Sources are block-constant — "
+    "the one image family whose JPEG round trip is exact — so the "
+    "oracle recomputes the features from the block-value formula with "
+    "no decoder and the hash match proves the codec machinery is "
+    "right; the AC path is unit-tested against an independent numpy "
+    "reference. Scale shape: two narrow map stages, zero shuffle, "
+    "payloads never touch the driver; the decoder's IDCT skips zero "
+    "coefficients so the DC-dominant corpus decodes in O(pixels).",
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def q272_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_decode_features(synth_jpeg_payloads(docs))

@@ -84,8 +84,12 @@ def test_decode_media_dispatch_and_honest_refusal():
     assert decode_media(payload, "audio/wav")[1] == samples
     bpayload, w, h, logical = _bmp_bytes(5)
     assert decode_media(bpayload, "image/bmp")[2] == logical
-    with pytest.raises(NotImplementedError):
+    # jpeg is decoded for real since q272 — the honest refusal moved to
+    # mp3/mp4; a truncated jpeg is a ValueError from the real decoder
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "audio/mp3")
 
 
 def test_decoders_reject_malformed():
@@ -170,10 +174,13 @@ def test_png_decode_media_dispatch_and_remaining_gate():
     logical = _png_logical(3, 5, 4, 0)
     payload = encode_png(5, 4, 0, logical)
     assert decode_media(payload, "image/png")[3] == logical
-    # the honest gate now covers only jpeg/mp3/mp4
-    for mime in ("image/jpeg", "audio/mp3", "video/mp4"):
+    # the honest gate now covers only mp3/mp4 (q272 closed jpeg)
+    for mime in ("audio/mp3", "video/mp4"):
         with pytest.raises(NotImplementedError):
             decode_media(b"\x00" * 16, mime)
+    # jpeg dispatches to the real decoder, which rejects garbage
+    with pytest.raises(ValueError):
+        decode_media(b"\x00" * 16, "image/jpeg")
 
 
 def test_png_rejects_corruption_and_unsupported():
@@ -235,3 +242,168 @@ def test_q265_features_match_local_decode(spark):
                              lambda y, d=did: (d + y) % 5)
         gw, gh, gc, px = decode_png(payload)
         assert rows[did] == (gc, gw, gh, gw * gh, sum(px), max(px)), did
+
+
+# --- baseline JPEG codec (q272, round-12 closure of the image gate) ----
+
+from retail_sales_etl_pipeline_spark.operators.multimodal import (  # noqa: E402
+    JPEG_Q_AC,
+    JPEG_Q_DC,
+    JPEG_ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+
+def _block_constant_plane(w: int, h: int, vals):
+    bw = w // 8
+    plane = bytearray(w * h)
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, bw)
+        for y in range(8):
+            o = (by * 8 + y) * w + bx * 8
+            plane[o : o + 8] = bytes([v] * 8)
+    return bytes(plane)
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    w, h = 24, 16
+    vals = [(17 * b + 40) % 256 for b in range(6)]
+    plane = _block_constant_plane(w, h, vals)
+    assert decode_jpeg(encode_jpeg_baseline(w, h, [plane])) == (
+        w, h, 1, plane
+    )
+    # color container, constant-128 chroma: decoded RGB == Y exactly
+    gray128 = bytes([128] * (w * h))
+    ww, hh, nc, px = decode_jpeg(
+        encode_jpeg_baseline(w, h, [plane, gray128, gray128])
+    )
+    assert (ww, hh, nc) == (w, h, 3)
+    assert all(
+        px[3 * i] == plane[i] == px[3 * i + 1] == px[3 * i + 2]
+        for i in range(w * h)
+    )
+
+
+def test_jpeg_arbitrary_image_matches_numpy_reference():
+    """Full AC path (runs, EOB, nonzero frequencies) against an
+    INDEPENDENT numpy pipeline: matrix DCT -> same half-up quantize ->
+    dequantize -> matrix IDCT -> same half-up round + clip. Pixel-exact
+    agreement proves Huffman encode/decode, zigzag, DC prediction and
+    the IDCT are all right — not merely 'close'."""
+    import math
+
+    import numpy as np
+
+    w, h = 16, 8
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    payload = encode_jpeg_baseline(w, h, [img.tobytes()])
+    W, H, nc, out = decode_jpeg(payload)
+    assert (W, H, nc) == (w, h, 1)
+
+    M = np.array(
+        [
+            [
+                (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    q = np.full((8, 8), JPEG_Q_AC, dtype=np.float64)
+    q[0, 0] = JPEG_Q_DC
+    want = np.zeros((h, w), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            S = 0.25 * (M @ blk @ M.T)
+            C = np.floor(S / q + 0.5)  # encoder's quantizer
+            R = 0.25 * (M.T @ (C * q) @ M)  # dequant + IDCT
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(R + 0.5) + 128, 0, 255
+            ).astype(np.int64)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    assert np.array_equal(got, want)
+    # the stream genuinely contains AC codes: a DC-only payload of the
+    # same dims is much smaller
+    dc_only = encode_jpeg_baseline(
+        w, h, [_block_constant_plane(w, h, [77, 77])]
+    )
+    assert len(payload) > len(dc_only) + 40
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    w, h = 8, 8
+    payload = encode_jpeg_baseline(w, h, [bytes(range(64))])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope" + payload[4:])
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])  # truncated
+    # flip SOF0 -> SOF2 (progressive): marker byte 0xC0 -> 0xC2
+    sof = payload.index(b"\xff\xc0")
+    prog = payload[:sof + 1] + b"\xc2" + payload[sof + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+    # 2x1 subsampling in SOF comp spec
+    sub = bytearray(payload)
+    sub[sof + 11] = 0x21  # component 1 sampling byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(sub))
+
+
+def test_jpeg_zigzag_is_the_standard_order():
+    # spot-pin the T.81 figure A.6 order and its permutation property
+    assert JPEG_ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert JPEG_ZIGZAG[-3:] == [55, 62, 63]
+    assert sorted(JPEG_ZIGZAG) == list(range(64))
+
+
+def test_q272_features_match_local_decode(spark):
+    """The registered query's features equal a driver-side recompute with
+    the module-level codec — pinning the nested UDF copies (numpy-DCT
+    encoder in synth, decoder in features) to the public
+    encode_jpeg_baseline/decode_jpeg."""
+    from retail_sales_etl_pipeline_spark.operators.multimodal import (
+        synth_jpeg_payloads,
+    )
+    from retail_sales_etl_pipeline_spark.plans.multimodal_queries import (
+        q272_jpeg_decode_features,
+    )
+
+    got = {
+        r.doc_id: (r.n_comp, r.width, r.height, r.n_units, r.sum_val,
+                   r.max_val)
+        for r in q272_jpeg_decode_features(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in synth_jpeg_payloads(docs).filter("doc_id < 12").collect()
+    }
+    assert len(payloads) == 12
+    for did, payload in payloads.items():
+        w, h, nc, px = decode_jpeg(payload)
+        assert got[did] == (nc, w, h, w * h, sum(px), max(px))
+        # and the worker-side encoder copy is byte-identical to the
+        # module encoder on the same planes
+        bw, bh = w // 8, h // 8
+        A, B, Mm = 1_103_515_245, 12_345, 1_000_003
+        P1, P2 = 100_003, 104_729
+        vals = [
+            (A * ((did * P1 + b * P2) % Mm) + B) % 256
+            for b in range(bw * bh)
+        ]
+        plane = _block_constant_plane(w, h, vals)
+        planes = [plane]
+        if nc == 3:
+            planes += [bytes([128] * (w * h))] * 2
+        assert payload == encode_jpeg_baseline(w, h, planes)

@@ -16,10 +16,13 @@ from retail_sales_etl_pipeline_spark.operators.multimodal import (
 
 
 def test_decode_media_is_a_declared_stub():
-    # round 11: png moved from the honest gate to a real stdlib decoder
-    # (see test_media_decode.py) — jpeg/mp3/mp4 remain declared stubs
+    # rounds 11/12: png then jpeg moved from the honest gate to real
+    # stdlib decoders (see test_media_decode.py) — mp3/mp4 remain
+    # declared stubs
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\x00\x01", "image/jpeg")
+        decode_media(b"\x00\x01", "audio/mp3")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"\x00\x01", "video/mp4")
 
 
 def test_frame_sample_bounds_and_offsets(spark):
