@@ -384,9 +384,14 @@ def q78_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx (Greenwald-Khanna in Spark). At 100 TB this is "
     "the production profile — sketches merge map-side with no per-source "
     "sort and no rank window shuffle — while q78 stays the exact, "
-    "hash-checkable reference. Accuracy contract pinned in "
-    "tests/test_approx_profile.py: every approximate quantile must fall "
-    "within the rank tolerance of the exact order statistics.",
+    "hash-checkable reference. Error envelope, measured not assumed "
+    "(round 12): at accuracy 10000 the GK rank error is floor(n/10000), "
+    "so for any source under 10K docs the sketch returns an EXACT order "
+    "statistic — measured zero delta vs q78 on every (source, quantile) "
+    "cell at sf0.001/0.01/0.1 (20 sources x 2 quantiles each); beyond "
+    "10K docs/source the bound degrades gracefully to rank ±n/10000. "
+    "Contract pinned in tests/test_approx_profile.py: zero delta below "
+    "the exact-rank threshold, neighbor-rank tolerance above.",
     tags=("text", "profiling", "approx"),
 )
 def q82_source_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

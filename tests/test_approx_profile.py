@@ -45,3 +45,9 @@ def test_approx_profile_matches_exact_within_rank_tolerance(spark):
             lo = vals[max(0, int(q * n) - 1)]
             hi = vals[min(n - 1, int(q * n) + 1)]
             assert lo <= ap[col] <= hi, (src, col, ap[col], lo, hi)
+        # measured envelope (q82 doc, round 12): below 10K docs/source
+        # the GK rank error floors to 0, so the sketch must return
+        # EXACTLY q78's order statistic — zero delta, not merely close
+        if n < 10000:
+            assert ap["median_tokens"] == ex["median_tokens"], src
+            assert ap["p95_tokens"] == ex["p95_tokens"], src
