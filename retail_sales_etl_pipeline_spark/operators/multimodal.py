@@ -1436,19 +1436,22 @@ def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
 
             bw, bh = (width + 7) // 8, (height + 7) // 8
             pred = [0] * n_comp
+            arrs = [
+                np.frombuffer(p, dtype=np.uint8).reshape(height, width)
+                for p in planes
+            ]
             for by in range(bh):
                 for bx in range(bw):
                     for c in range(n_comp):
-                        arr = np.frombuffer(
-                            planes[c], dtype=np.uint8
-                        ).reshape(height, width)
                         ys = np.minimum(
                             np.arange(by * 8, by * 8 + 8), height - 1
                         )
                         xs = np.minimum(
                             np.arange(bx * 8, bx * 8 + 8), width - 1
                         )
-                        blk = arr[np.ix_(ys, xs)].astype(np.float64) - 128.0
+                        blk = arrs[c][np.ix_(ys, xs)].astype(
+                            np.float64
+                        ) - 128.0
                         S = 0.25 * (Mx @ blk @ Mx.T)
                         coefs = np.floor(
                             S.reshape(64) / qtab + 0.5
@@ -1511,7 +1514,14 @@ def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(
+    # CPU-heavy narrow map over a tiny (doc_id-only) input: parallelism
+    # would otherwise equal the INPUT's split count (one file => one
+    # core, measured 20 s at gen1x) — repartition the 8-byte rows to
+    # the session's core count so codec work, not file layout, sets the
+    # wall clock. Same posture at 100 TB: CPU-bound maps repartition to
+    # cluster cores, the shuffle being only the key column.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(
         per_batch,
         "doc_id long, mime string, n_comp int, payload binary",
     )

@@ -615,3 +615,83 @@ def misra_gries_shard_summaries(
     return toks.groupBy(shard_col).applyInPandas(
         summarize, "shard long, token string, cnt long"
     )
+
+
+def esub_hashed_grams_pandas(
+    df, L: int, h1: tuple[int, int], h2: tuple[int, int], pack: int,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, pos, gk) positioned L-gram rows keyed by the
+    packed 62-bit double polynomial hash — the Arrow/numpy twin of the
+    SQL higher-order-function form in exactsubstr_queries (which Spark
+    runs interpreted: per-character lambda chains measured 1.5x SLOWER
+    than shuffling the raw gram strings at gen100x). Computes THE SAME
+    integers: token hash = poly(31, 1e9+7) over character codes (vocab
+    is corpus-bounded, so hashes are computed once per distinct token
+    per batch), then per window two vectorized 8-step rolling folds
+    (acc*base + th) mod m over the batch-flattened token-hash stream
+    with document-boundary masking. acc*base < 2^31 * ~1e6 < 2^52 —
+    int64-safe. The DuckDB oracle keeps the SQL form; the hash match is
+    itself the proof the two paths agree (the q22 convention)."""
+    schema = f"{id_col} long, n_tokens long, pos long, gk long"
+    (b1, m1), (b2, m2) = h1, h2
+
+    def per_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        POLY_B, POLY_M = 31, 1_000_000_007
+
+        def tok_hash(t: str) -> int:
+            acc = 0
+            for ch in t:
+                acc = (acc * POLY_B + ord(ch)) % POLY_M
+            return acc
+
+        cache: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids, th_chunks, n_toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                if len(toks) < L:
+                    continue
+                hs = np.empty(len(toks), dtype=np.int64)
+                for i, t in enumerate(toks):
+                    v = cache.get(t)
+                    if v is None:
+                        v = tok_hash(t)
+                        cache[t] = v
+                    hs[i] = v
+                doc_ids.append(int(did))
+                th_chunks.append(hs)
+                n_toks.append(len(toks))
+            if not doc_ids:
+                continue
+            th = np.concatenate(th_chunks)
+            lens = np.asarray(n_toks, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # which doc owns each flattened token (for boundary masking)
+            owner = np.repeat(np.arange(len(lens)), lens)
+            n_win = len(th) - L + 1
+            acc1 = np.zeros(n_win, dtype=np.int64)
+            acc2 = np.zeros(n_win, dtype=np.int64)
+            for k in range(L):
+                w = th[k : k + n_win]
+                acc1 = (acc1 * b1 + w) % m1
+                acc2 = (acc2 * b2 + w) % m2
+            valid = owner[: n_win] == owner[L - 1 :]
+            idx = np.nonzero(valid)[0]
+            own = owner[idx]
+            out = pd.DataFrame(
+                {
+                    id_col: np.asarray(doc_ids, dtype=np.int64)[own],
+                    "n_tokens": lens[own],
+                    "pos": idx - starts[own] + 1,
+                    "gk": acc1[idx] * pack + acc2[idx],
+                }
+            )
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema)

@@ -4386,49 +4386,81 @@ def _pf_report_from(pfx: DataFrame) -> DataFrame:
 # loses nothing — twin == self-contained.
 # ---------------------------------------------------------------------------
 
-_PF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_PF_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
-def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+# Bucket count for the materialized index layout. 64 keeps buckets
+# ~80K docs at 1000x (sort-merge-readable) while staying >= the local
+# core count; the bucketed write repartitions on the bucket column
+# first so each table lands as one file per bucket, not
+# n_partitions x n_buckets splinters.
+PF_INDEX_BUCKETS = 64
+
+
+def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the UNCAPPED prefix index once per (session, corpus) and
-    write it as two parquets under one checkpoint dir: ``pfx``
-    (doc_id, tok, r, m — the ranked Bayardo prefix entries) and ``tg``
-    (doc_id, tg — the verify trigram arrays, one row per eligible doc).
-    Later calls in the same session return the existing path (the
+    write it as two BUCKETED catalog tables: ``pfx`` (doc_id, tok, r, m
+    — the ranked Bayardo prefix entries) bucketed+sorted by ``tok``,
+    and ``tg`` (doc_id, tg — the verify trigram arrays) bucketed+sorted
+    by ``doc_id``. Returns the two table names.
+
+    Layout rationale (round-11 verdict item 6 — the prefix family's
+    super-linear tail): the downstream plan joins pfx WITH ITSELF on
+    tok (candidate generation) and joins candidates with tg twice on
+    doc id (verify). With plain parquet every consumer re-shuffles the
+    full index — at 1000x the pfx self-join and the trigram-array
+    shuffle were exactly the measured disk-spill killers. Bucketing
+    moves that shuffle INTO the one-time write (a single repartition
+    per table): the self-join reads co-bucketed sorted runs
+    (shuffle-free sort-merge), the per-tok hot-token aggregate needs no
+    exchange, and the verify join's tg side arrives pre-partitioned —
+    only the cap-bounded candidate list still moves. Later calls in
+    the same session return the existing tables (the
     materialize_verified_pairs convention: keyed by applicationId +
     corpus dir, and the corpus snapshot under a path is immutable)."""
+    import hashlib as _hashlib
     import os as _os
-    import tempfile as _tempfile
-
-    from ..sources import fs
 
     key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
     cached = _PF_INDEX_CACHE.get(key)
-    if cached is not None and _os.path.isdir(cached):
+    if cached is not None:
         return cached
-    root = _tempfile.mkdtemp(prefix="prefix_index_")
+    tag = _hashlib.md5(key[1].encode()).hexdigest()[:10]
+    t_pfx, t_tg = f"pf_idx_pfx_{tag}", f"pf_idx_tg_{tag}"
     pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
-    pfx.write.mode("overwrite").parquet(fs.join(root, "pfx"))
-    tgs.write.mode("overwrite").parquet(fs.join(root, "tg"))
+    (
+        pfx.repartition(PF_INDEX_BUCKETS, "tok")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(PF_INDEX_BUCKETS, "tok")
+        .sortBy("tok")
+        .saveAsTable(t_pfx)
+    )
+    (
+        tgs.repartition(PF_INDEX_BUCKETS, "doc_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(PF_INDEX_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(t_tg)
+    )
     # both writes are done with the corpus scan — everything downstream
-    # reads the parquet checkpoint, so the persist would only hold memory
+    # reads the bucketed checkpoint, so the persist would only hold memory
     docs.unpersist()
-    _PF_INDEX_CACHE[key] = root
-    return root
+    _PF_INDEX_CACHE[key] = (t_pfx, t_tg)
+    return t_pfx, t_tg
 
 
 def _materialized_pf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    """(pfx, tg, n_docs) read back from the checkpoint; n_docs is one
-    row-count over the one-row-per-doc tg parquet (columnar count, no
-    corpus re-scan) and drives the same broadcast cutovers as the
-    self-contained plan."""
-    import os as _os
-
-    root = materialize_prefix_index(spark, sf_dir)
-    pfx = spark.read.parquet(_os.path.join(root, "pfx"))
-    tgs = spark.read.parquet(_os.path.join(root, "tg"))
+    """(pfx, tg, n_docs) read back from the bucketed checkpoint tables;
+    n_docs is one row-count over the one-row-per-doc tg table (columnar
+    count, no corpus re-scan) and drives the same broadcast cutovers as
+    the self-contained plan."""
+    t_pfx, t_tg = materialize_prefix_index(spark, sf_dir)
+    pfx = spark.table(t_pfx)
+    tgs = spark.table(t_tg)
     return pfx, tgs, tgs.count()
 
 

@@ -100,36 +100,25 @@ def _esub_grams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q269's integer twin of _esub_grams: (doc_id, n_tokens, pos, gk)
     where gk packs two independent 31-bit polynomial folds over the
     window's token hashes into one int64 — the shuffle carries 8-byte
-    keys instead of ~8-token strings. Same eligibility, same positions."""
-    from ..operators.text import token_hashes_pair
+    keys instead of ~8-token strings. Same eligibility, same positions.
 
-    th_spark, _ = token_hashes_pair("text")
+    The Spark side is the Arrow/numpy operator (the q22 convention): the
+    SQL higher-order-function form runs INTERPRETED — per-character
+    lambda chains — and was measured 1.5x slower than shuffling the raw
+    gram strings at gen100x (204 s vs 139 s, BENCH_SCALE_R12B.json),
+    defeating the twin's purpose; the numpy form computes the same
+    integers vectorized and the DuckDB oracle keeps the SQL form, so
+    the hash match proves the two paths agree."""
+    from ..operators.text import esub_hashed_grams_pandas
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.expr("CAST(size(split(text, ' ')) AS LONG)").alias("n_tokens"),
-            F.expr(th_spark).alias("th"),
-        )
-        .filter(F.expr(f"n_tokens >= {ESUB_L}"))
+    return esub_hashed_grams_pandas(
+        docs,
+        ESUB_L,
+        (ESUB_H1_BASE, ESUB_H1_MOD),
+        (ESUB_H2_BASE, ESUB_H2_MOD),
+        ESUB_PACK,
     )
-    fold1 = (
-        f"aggregate(slice(th, i, {ESUB_L}), 0L, "
-        f"(acc, x) -> (acc * {ESUB_H1_BASE}L + x) % {ESUB_H1_MOD}L)"
-    )
-    fold2 = (
-        f"aggregate(slice(th, i, {ESUB_L}), 0L, "
-        f"(acc, x) -> (acc * {ESUB_H2_BASE}L + x) % {ESUB_H2_MOD}L)"
-    )
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.expr(
-            f"explode(transform(sequence(1, CAST(n_tokens AS INT) - {ESUB_L} + 1), "
-            f"i -> struct(CAST(i AS LONG) AS pos, "
-            f"({fold1}) * {ESUB_PACK}L + ({fold2}) AS gk)))"
-        ).alias("x"),
-    ).select("doc_id", "n_tokens", "x.pos", "x.gk")
 
 
 def _esub_coverage_from(grams: DataFrame, key: str) -> DataFrame:

@@ -49,25 +49,29 @@ def test_chain_depth_twin_identity(spark):
 
 def test_prefix_index_materialize_once_per_session(spark):
     dq._PF_INDEX_CACHE.clear()
-    p1 = dq.materialize_prefix_index(spark, SF)
-    p2 = dq.materialize_prefix_index(spark, SF)
-    assert p1 == p2
+    t1 = dq.materialize_prefix_index(spark, SF)
+    t2 = dq.materialize_prefix_index(spark, SF)
+    assert t1 == t2
+    t_pfx, t_tg = t1
     # the checkpoint holds exactly the self-contained index frames
     pfx_df, tg_df, docs_df = dq._pf_index_frames(spark, SF)
     n_docs = docs_df.count()
-    import os
 
-    assert _rows(spark.read.parquet(os.path.join(p1, "pfx"))) == _rows(
-        pfx_df
-    )
+    assert _rows(spark.table(t_pfx)) == _rows(pfx_df)
     got_tg = sorted(
-        (r.doc_id, tuple(r.tg))
-        for r in spark.read.parquet(os.path.join(p1, "tg")).collect()
+        (r.doc_id, tuple(r.tg)) for r in spark.table(t_tg).collect()
     )
     want_tg = sorted((r.doc_id, tuple(r.tg)) for r in tg_df.collect())
     assert got_tg == want_tg
-    # n_docs from the tg parquet equals the self-contained count
-    assert spark.read.parquet(os.path.join(p1, "tg")).count() == n_docs
+    # n_docs from the tg table equals the self-contained count
+    assert spark.table(t_tg).count() == n_docs
+    # the layout IS bucketed (the round-12 shuffle-free claim rests on
+    # it): both tables report the declared bucket spec
+    for tbl, col in ((t_pfx, "tok"), (t_tg, "doc_id")):
+        ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        info = {r.col_name: r.data_type for r in ddl}
+        assert info.get("Num Buckets") == str(dq.PF_INDEX_BUCKETS), tbl
+        assert col in info.get("Bucket Columns", ""), tbl
 
 
 def test_prefix_pairs_twin_identity(spark):

@@ -35,13 +35,21 @@ SCALE_DIRS = {
     "1x": os.path.join(ROOT, "bigdata", "gen1x"),
     "10x": os.path.join(ROOT, "bigdata", "gen10x"),
     "100x": os.path.join(ROOT, "bigdata", "gen100x"),
+    # round 12: the auto-checkpoint cutover boundary — just above
+    # PF_SINGLE_DAG_MAX_DOCS = 1M docs (tools/gen_scale_corpus.py
+    # --mults=200), proving the self-contained q259 survives where the
+    # round-11 single-DAG form died on disk
+    "200x": os.path.join(ROOT, "bigdata", "gen200x"),
     # round 6: a further decade for the cheapest-per-row dedup family
     # (documents + embeddings only — tools/gen_scale_corpus.py --mults=1000)
     "1000x": os.path.join(ROOT, "bigdata", "gen1000x"),
 }
 # Rows (documents+planted, embeddings, events) per scale — for
 # rows-per-second context in the report.
-N_DOCS = {"1x": 5_210, "10x": 52_100, "100x": 521_000, "1000x": 5_210_000}
+N_DOCS = {
+    "1x": 5_210, "10x": 52_100, "100x": 521_000,
+    "200x": 1_042_000, "1000x": 5_210_000,
+}
 
 # Queries executed at 100x: the families whose scale behavior the design
 # claims hinge on (dedup ladder, CC, ANN, surprisal/LM, batched
@@ -148,6 +156,12 @@ MARQUEE_100X = {
     "q262_incremental_components_materialized",
     "q263_prefix_pairs_materialized", "q264_prefix_report_materialized",
     "q265_png_decode_features", "q266_unigram_lm_em_step",
+    # round 12: ExactSubstr family (q267 string-keyed judge, q269
+    # int64-keyed production twin), embedding-CC materialized twin,
+    # JPEG decode
+    "q267_exactsubstr_coverage", "q268_exactsubstr_runs",
+    "q269_exactsubstr_hashed_coverage", "q270_exactsubstr_freq_report",
+    "q271_embedding_components_materialized", "q272_jpeg_decode_features",
 }
 
 
