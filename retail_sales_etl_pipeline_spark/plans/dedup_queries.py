@@ -4397,6 +4397,31 @@ _PF_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 PF_INDEX_BUCKETS = 64
 
 
+def _drop_stale_table_locations(spark: SparkSession, tables: tuple[str, ...]) -> None:
+    """Make the bucketed-table write idempotent ACROSS PROCESSES: the
+    table names are deterministic per corpus dir, so a FRESH session
+    (in-memory catalog, no table entry) whose warehouse dir still holds
+    a previous process's table location dies in ``saveAsTable`` with
+    LOCATION_ALREADY_EXISTS — ``mode("overwrite")`` only overwrites
+    tables the catalog knows about. Measured: the first post-build
+    fresh-session run of q263 crashed exactly this way. DROP TABLE
+    covers the same-session/metastore case; the rmtree covers the
+    local-warehouse orphan-directory case (file: scheme only — on a
+    real metastore + durable warehouse the DROP is the whole story)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    m = _re.match(r"^file:/{0,2}(/.*)$", wh)
+    local = m.group(1) if m else (wh if wh.startswith("/") else None)
+    if local:
+        for t in tables:
+            _shutil.rmtree(_os.path.join(local, t), ignore_errors=True)
+
+
 def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the UNCAPPED prefix index once per (session, corpus) and
     write it as two BUCKETED catalog tables: ``pfx`` (doc_id, tok, r, m
@@ -4427,6 +4452,7 @@ def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str
         return cached
     tag = _hashlib.md5(key[1].encode()).hexdigest()[:10]
     t_pfx, t_tg = f"pf_idx_pfx_{tag}", f"pf_idx_tg_{tag}"
+    _drop_stale_table_locations(spark, (t_pfx, t_tg))
     pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
     (
         pfx.repartition(PF_INDEX_BUCKETS, "tok")

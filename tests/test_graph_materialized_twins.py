@@ -125,3 +125,32 @@ def test_single_dag_cutover_is_lossless(spark, monkeypatch):
     monkeypatch.setattr(dq, "PF_SINGLE_DAG_MAX_DOCS", 1)
     dq._PF_INDEX_CACHE.clear()
     assert _rows(dq.q205_prefix_filter_pairs(spark, SF)) == want_exact
+
+
+def test_prefix_index_survives_stale_warehouse_location(spark):
+    """Fresh-process simulation: deterministic table names + a warehouse
+    directory left behind by a PREVIOUS process (catalog empty, location
+    present) must not kill the materialized plans — saveAsTable alone
+    dies with LOCATION_ALREADY_EXISTS in exactly that state (measured:
+    first post-build fresh-session q263 run)."""
+    import os
+    import re
+
+    dq._PF_INDEX_CACHE.clear()
+    t_pfx, t_tg = dq.materialize_prefix_index(spark, SF)
+    want = _rows(spark.table(t_pfx))
+
+    # Recreate the fresh-process state: catalog entry gone, orphan
+    # directory at the managed location.
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    local = re.match(r"^file:/{0,2}(/.*)$", wh).group(1)
+    for t in (t_pfx, t_tg):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        os.makedirs(os.path.join(local, t), exist_ok=True)
+        with open(os.path.join(local, t, "stale-part"), "w") as f:
+            f.write("leftover from a previous process")
+    dq._PF_INDEX_CACHE.clear()
+
+    got_t = dq.materialize_prefix_index(spark, SF)
+    assert got_t == (t_pfx, t_tg)
+    assert _rows(spark.table(t_pfx)) == want
