@@ -10,6 +10,7 @@ ASOF LEFT JOIN.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -916,16 +917,23 @@ MIN_PAIR_SUPP = 2
 def q165_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items0 = li.select("l_orderkey", "l_partkey").distinct()
-    ok_orders = (
-        items0.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("bsize"))
+    # basket-size cap as a WINDOW over the distinct item stream — the
+    # former groupBy+join-back re-ran the distinct subtree per branch
+    # and paid an extra join; the window is co-partitioned with the
+    # distinct's own exchange (guide §2.4). items/supp are persisted:
+    # items feeds three consumers (supp, the frequent-item prune, the
+    # order-count aggregate), supp two (the frequency filter and the
+    # per-item support attach).
+    w = Window.partitionBy("l_orderkey")
+    items = (
+        items0.withColumn("bsize", F.count(F.lit(1)).over(w))
         .filter(F.col("bsize") <= BASKET_CAP)
-        .select("l_orderkey")
+        .drop("bsize")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    items = items0.join(ok_orders, "l_orderkey")
     supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_i")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = supp.filter(F.col("n_i") >= MIN_PAIR_SUPP).select("l_partkey")
     # The frequent-item table is vocab-sized (bounded by the part
     # catalog, not the fact table) — broadcast it so the prune is a
@@ -933,16 +941,32 @@ def q165_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitems = items.join(F.broadcast(freq), "l_partkey").select(
         "l_orderkey", "l_partkey"
     )
-    a = fitems.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = fitems.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # in-basket pair expansion (the q22 shape): baskets are <= BASKET_CAP
+    # items by the filter above, so the collected arrays are bounded and
+    # the orderkey self-join (which re-ran the whole item pipeline per
+    # side) disappears. Item sets are distinct per order, so the sorted
+    # array yields each part_a < part_b pair exactly once.
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        fitems.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                    "y -> struct(element_at(ids, i) AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= MIN_PAIR_SUPP)
     )
-    total = ok_orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    total = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b"))
     return (

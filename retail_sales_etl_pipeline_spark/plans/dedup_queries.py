@@ -24,6 +24,7 @@ hash match is itself the proof the two paths agree.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -182,21 +183,42 @@ def minhash_candidates(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    a, b = ok.alias("a"), ok.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # In-bucket pair expansion instead of a bucket-keyed SELF-JOIN: the
+    # join form re-executes the whole signature subtree (mapInPandas +
+    # stack + window) for EACH side and pays a third exchange for the
+    # pair aggregation; here the capped bucket members are collected
+    # per (band_idx, sig) — co-partitioned with the window, so NO new
+    # exchange — and all a<b pairs are emitted by an array transform.
+    # Memory stays bounded by construction: only rows that survived the
+    # cap filter are collected, so no array exceeds ``max_bucket``
+    # members however degenerate the corpus (the window, which streams
+    # and spills, still does the unbounded counting). Pair semantics
+    # are unchanged: each shared ok-bucket contributes each ordered
+    # pair once, so the per-pair count is n_shared_bands exactly.
+    pairs = (
+        ok.groupBy("band_idx", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                    "y -> struct(element_at(ids, i) AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
 def _spark_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+    # fan_out: the Arrow signature computation + banding is real per-doc
+    # compute — measured 2x on the whole candidate ladder (q21 2.1→1.5)
+    return minhash_candidates(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 @register(
@@ -266,8 +288,11 @@ def _tg_docs(docs: DataFrame) -> DataFrame:
 )
 def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    # fan_out on the verify side: without it the joined pair stream
+    # inherits AQE's coalesced (often single) partition and the Arrow
+    # Jaccard runs one-core
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", "text")
     )
@@ -928,7 +953,7 @@ _P8_DUCK = token_ngrams_expr("text", PASSAGE_N)[1]
 def q85_passage_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import token_shingles_pandas
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = token_shingles_pandas(docs, PASSAGE_N)  # distinct (doc_id, g) rows
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
@@ -995,8 +1020,14 @@ _MH_DUCK_COMPONENTS = minhash_sig_expr("text", 5)[1]
 def q86_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import jaccard_pairs_pandas, minhash_components_pandas
 
-    docs = load_table(spark, sf_dir, "documents")
-    cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # two consumers below (the estimate join and the exact-audit join)
+    # would otherwise each re-run the LSH candidate subtree
+    cand = (
+        _spark_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comps = minhash_components_pandas(docs)
     n_perms = len(MINHASH_PERMS)
     ca = comps.select(
@@ -1267,7 +1298,7 @@ def q122_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", "text")
     )
@@ -1323,7 +1354,7 @@ CONTAINMENT_MIN = 0.5
 def q126_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.size(F.split("text", " ")) >= 3)
         # split once into an array column, THEN build shingles over it:
         # token_ngrams_expr's inline form re-splits the text per array
@@ -1492,7 +1523,7 @@ def q139_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", "text")
     )
@@ -1693,7 +1724,7 @@ INCR_CC_MOD, INCR_CC_REM = 7, 3
 def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import jaccard_pairs_pandas
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
 
     # full banded candidates once (band index); bucket caps see the full
     # population, as the production materialized index would
@@ -1715,11 +1746,17 @@ def q157_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # prior state: components of the OLD corpus only (old-old pairs);
-    # fresh work: only pairs touching the batch get verified
+    # fresh work: only pairs touching the batch. Verification is
+    # per-pair, so verify the WHOLE candidate set once and split the
+    # verified output by the batch predicate — identical pair sets to
+    # verifying each filtered subset separately (filter and verify
+    # commute), at half the ladder cost; the persist stops the two
+    # filter branches re-running the verify subtree (guide §2.4).
+    ver = verified(cand).persist(StorageLevel.MEMORY_AND_DISK)
     return _incremental_components_from(
         docs,
-        verified(cand.filter(~touches_new)),
-        verified(cand.filter(touches_new)),
+        ver.filter(~touches_new),
+        ver.filter(touches_new),
     )
 
 
@@ -2059,7 +2096,7 @@ def q162_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import common_span_pandas
 
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")
@@ -2130,7 +2167,9 @@ def edit_distance_verify(
     (cells ∝ prefix²); tools/sweep_edit_prefix.py measures the wall-time /
     recall trade at gen scale (the round-6 directive #4 evidence)."""
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    d = load_table(spark, sf_dir, "documents").select(
+    # fan_out: the banded-DP levenshtein over the joined pairs is the
+    # dominant per-row compute; an un-fanned side leaves it one-core
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", F.substring("text", 1, prefix).alias("pfx")
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
@@ -2254,7 +2293,12 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
     # subtree — measured at the gen10x scale run as a ~4x constant on an
     # otherwise sub-linear query. localCheckpoint also truncates the
     # lineage the iterations would otherwise stack.
-    edges = edges.localCheckpoint(eager=True)
+    # REBALANCE first: the fanned-out ladder leaves the pair frame in
+    # per-core partitions, and the checkpoint would pin that layout for
+    # every iteration's stage (measured q164 2.69 -> 2.14 s); AQE sizes
+    # the rebalance, so a genuinely large edge list keeps many
+    # partitions at scale.
+    edges = edges.hint("rebalance").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pr = deg.select(F.col("src").alias("doc_id"), F.lit(1000000).cast("long").alias("pr"))
     src_edges = edges.join(deg, "src")
@@ -2358,9 +2402,10 @@ def triangles_from_pairs(pairs: DataFrame) -> DataFrame:
     """Triangle participation + clustering over a canonical verified pair
     frame — shared by the self-contained q172 and its from-materialized
     twin q200."""
-    verified = pairs.localCheckpoint(eager=True)  # three self-references
-    # below — one materialization instead of three upstream executions
-    # (the q164 lesson)
+    verified = pairs.hint("rebalance").localCheckpoint(eager=True)
+    # three self-references below — one materialization instead of three
+    # upstream executions, AQE-rebalanced so the checkpointed layout is
+    # sized to the data, not to the ladder's fan-out (the q164 lesson)
     e1 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = verified.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -2490,8 +2535,8 @@ def chain_depth_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     combinatorially on dense DAGs; they are int64 sums with the
     {CHAIN_MAX_HOPS}-hop cap and upstream LSH degree caps as the bound,
     and the ANSI-mode gate turns any exceedance into a loud error."""
-    verified = pairs.localCheckpoint(eager=True)  # every hop re-reads
-    # the pair list — materialize once
+    verified = pairs.hint("rebalance").localCheckpoint(eager=True)
+    # every hop re-reads the pair list — materialize once, AQE-sized
     edges = verified.select(F.col("doc_a").alias("doc_id"), "doc_b")
     heads = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     roots = (
@@ -2560,6 +2605,14 @@ def materialize_verified_pairs(spark: SparkSession, sf_dir: str) -> str:
     (
         q21_ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
+        # REBALANCE before the write: the ladder's fan-out leaves the
+        # pair frame in per-core partitions, and without this the tiny
+        # checkpoint lands as 32 near-empty files whose per-file open
+        # cost every iterative consumer then pays PER ROUND (measured:
+        # q199/q201/q208 2-3x slower reading the splintered checkpoint).
+        # AQE sizes the rebalance from runtime stats, so at scale the
+        # same hint yields properly sized multi-file output (guide §6).
+        .hint("rebalance")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -2703,26 +2756,24 @@ WINNOW_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
     tags=("dedup", "fingerprint", "join"),
 )
 def q204_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tk = docs.filter(
         F.size(F.split("text", " ")) >= WINNOW_K + WINNOW_W - 1
     ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    kgs = tk.select(
+    # Single-select explode of the inline transform: materializing the
+    # k-gram array in its own projection and THEN posexplode-ing the
+    # column re-evaluates the whole lambda per OUTPUT row — measured
+    # 6.1 s vs 0.2 s for this exact subtree at sf0.1 (the q121/q126
+    # re-split lesson, now measured for Generate). Same strings, same
+    # 1-based positions, sha2 computed once per gram inside the struct.
+    h = tk.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, size(toks) - {WINNOW_K}), "
-            "i -> concat_ws(' ', "
-            + ", ".join(f"toks[i+{d}]" for d in range(WINNOW_K))
-            + "))"
-        ).alias("kgs"),
-    )
-    h = kgs.select(
-        "doc_id", F.posexplode("kgs").alias("pos0", "kg")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.sha2("kg", 256).alias("h"),
-    )
+            f"explode(transform(sequence(1, size(toks) - {WINNOW_K - 1}), "
+            f"i -> struct(CAST(i AS INT) AS pos, "
+            f"sha2(concat_ws(' ', slice(toks, i, {WINNOW_K})), 256) AS h)))"
+        ).alias("x"),
+    ).select("doc_id", "x.pos", "x.h")
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2733,19 +2784,37 @@ def q204_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") >= WINNOW_W)
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
+        # three consumers below (per-doc counts + the cap window); the
+        # sha256 + window-min subtree above is the dominant cost, so
+        # share one materialization instead of re-running it per branch
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nfp = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
-    hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") <= WINNOW_MAX_DOCS
-    ).select("fp")
-    fpk = fp.join(hot, "fp")
+    # The hot-fingerprint cap + pairing as ONE fp-keyed pass (the q22
+    # in-bucket expansion shape): the window counts every bucket
+    # (streams/spills, so unbounded buckets are safe), the filter keeps
+    # only <= cap members, and collect_list is therefore bounded by the
+    # cap by construction — no fp-keyed SELF-JOIN re-executing the
+    # fingerprint subtree, no third exchange. Pair semantics unchanged:
+    # each surviving shared fingerprint contributes each a<b pair once.
+    wc = Window.partitionBy("fp")
     pairs = (
-        fpk.alias("a")
-        .join(fp.alias("b"), "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        fp.withColumn("c", F.count(F.lit(1)).over(wc))
+        .filter(F.col("c") <= WINNOW_MAX_DOCS)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                    "y -> struct(element_at(ids, i) AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
@@ -2902,6 +2971,19 @@ def _pf_pairs_plan(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFra
         # used to stay persisted through the whole materialized run)
         docs.unpersist()
         pfx, tgs, n_docs = _materialized_pf_index(spark, sf_dir)
+    else:
+        # The in-DAG index fans out to THREE consumers (hot-token
+        # aggregate + both sides of the candidate self-join) and the
+        # trigram arrays to two (both verify sides); without
+        # materialization each consumer re-runs the whole
+        # tokenize -> df -> rank-window subtree — the round-12 before
+        # plan shows the Window+Exchange replicated per branch (guide
+        # §2.4: share one computation instead of re-running it).
+        # MEMORY_AND_DISK: both frames are O(corpus tokens), same order
+        # as the docs persist above; above the in-DAG cutover the
+        # bucketed checkpoint plays this role instead.
+        pfx = pfx.persist(StorageLevel.MEMORY_AND_DISK)
+        tgs = tgs.persist(StorageLevel.MEMORY_AND_DISK)
     return _pf_pairs_from(pfx, tgs, n_docs <= PF_BROADCAST_MAX_DOCS, cap)
 
 
@@ -2916,19 +2998,30 @@ def _pf_index_frames(
     don't (q260's report — round-11 ADVICE) pay NO eager action, and a
     caller done with the corpus scan can unpersist the frame."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.expr("size(split(text, ' ')) >= 3"))
         .select("doc_id", "text")
         .persist()
     )
     tgs = _tg_docs(docs)
-    dtok = tgs.select("doc_id", F.explode("tg").alias("tok"))
+    # m (the doc's distinct-trigram count) IS size(tg) — carrying it
+    # through the explode replaces a full-stream groupBy(doc_id) + join
+    # with a constant-per-doc column (guide §2.3/§2.4: one fewer
+    # aggregate pass and one fewer join over the token stream).
+    # The explode runs over the INLINE trigram expression, not the tg
+    # column of a prior projection: exploding a lambda-built array
+    # column re-evaluates the lambda per output row (measured 3.3 s vs
+    # 0.7 s for this subtree at sf0.1 — the q204 Generate lesson).
+    dtok = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id",
+        F.expr(f"CAST(size({_TG_SPARK_WS}) AS LONG)").alias("m"),
+        F.expr(f"explode({_TG_SPARK_WS})").alias("tok"),
+    )
     dfr = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    m = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
     rw = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = dtok.join(dfr, "tok").withColumn("r", F.row_number().over(rw))
     pfx = (
-        ranked.join(m, "doc_id")
+        ranked
         .filter(
             F.col("r")
             <= F.col("m")
@@ -3139,7 +3232,7 @@ def q208_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).hint("rebalance").localCheckpoint(eager=True)
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select(
@@ -3318,6 +3411,7 @@ def q211_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         q21_ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .hint("rebalance")  # AQE-size the checkpointed layout
         .localCheckpoint(eager=True)  # 3 self-references below, pay once
     )
     adj = verified.select(
@@ -4141,7 +4235,7 @@ def _tuner_oracle() -> str:
 def q247_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _spark_candidates(spark, sf_dir).select("doc_a", "doc_b")
     docs = _tg_docs(
-        load_table(spark, sf_dir, "documents").filter(
+        load_table(spark, sf_dir, "documents", fan_out=True).filter(
             F.size(F.split("text", " ")) >= 3
         )
     )

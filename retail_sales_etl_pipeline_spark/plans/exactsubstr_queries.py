@@ -80,7 +80,7 @@ def _esub_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible (>= L tokens) document — ONE corpus scan, no UDF. pos is
     1-based; g is the space-joined L-token window (split keeps empty
     fields in both dialects, so gram strings are byte-identical)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = (
         docs.select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.expr(f"size(t) >= {ESUB_L}"))
@@ -111,7 +111,7 @@ def _esub_grams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves the two paths agree."""
     from ..operators.text import esub_hashed_grams_pandas
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return esub_hashed_grams_pandas(
         docs,
         ESUB_L,

@@ -765,17 +765,27 @@ def rp_neardup_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    a, b = ok.alias("ba"), ok.alias("bb")
+    # In-bucket pair expansion (the q22 shape): the bucket-keyed
+    # SELF-JOIN form executes the Arrow bucket subtree once per side
+    # and pays an extra exchange; collecting the capped bucket members
+    # per (tbl, bucket) is co-partitioned with the window — no new
+    # exchange, arrays bounded by the cap because only cap-surviving
+    # rows are collected. Identical pair set (every shared ok-bucket
+    # yields each a<b pair once; distinct() dedups across tables).
     cand = (
-        a.join(
-            b,
-            (F.col("ba.tbl") == F.col("bb.tbl"))
-            & (F.col("ba.bucket") == F.col("bb.bucket"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
+        ok.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
         .select(
-            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                    "y -> struct(element_at(ids, i) AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     av, bv = v.alias("a"), v.alias("b")

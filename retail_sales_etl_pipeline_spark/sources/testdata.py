@@ -33,11 +33,70 @@ TABLE_NAMES = (
 SMALL_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Corpus tables whose consumers do heavy PER-ROW compute (tokenize,
+# n-gram explode, binary decode, vector math) mapped to their primary
+# key. A parquet file is split at ROW-GROUP granularity, and every
+# testdata table is written as one row group — so however many byte-range
+# splits the scan planner makes, exactly one task gets all the rows and
+# the whole narrow pipeline runs single-threaded (measured: the trigram
+# explode over sf0.1 documents took 3.7 s on one core while 31 idled).
+# When the scan is too small to fill the cores, fan it out once, hashed
+# by the primary key so every downstream groupBy/window on that key
+# reuses the partitioning instead of adding its own exchange.
+# embeddings is deliberately NOT here: its per-row work is vectorized
+# numpy over Arrow batches, and the A/B measurement (q66/q32 +0.3-0.5 s
+# with the fan-out, q74 -0.2 s) showed splitting a tiny vector table
+# into per-core Arrow crumbs costs more than the parallelism returns.
+# The relational tables (orders/lineitem/events and the dims) are not
+# here either, by measurement: a full-bench A/B with
+# orders/lineitem/events fanned out showed the extra exchange taxing
+# ~200 cheap scan+agg queries by ~0.1-0.5 s each (q33 0.15→0.66,
+# q183 0.25→0.71, q05 0.25→0.72) — more than the few CPU-heavy
+# aggregates (q124 2.45→1.20 in isolation) win back. Their per-row
+# work is columnar expression evaluation, not the per-doc text/decode
+# compute that makes the documents fan-out pay.
+#
+# The fan-out is OPT-IN per call site (``fan_out=True``), also by
+# measurement: blanket fan-out of documents taxed every cheap doc
+# query with a 32-task stage chain it didn't need (q20 0.28→0.80,
+# q118 0.71→2.11 — an explicit repartition is exempt from AQE
+# coalescing, so the whole downstream plan inherits the task count),
+# while the heavy sites (LSH signature ladder, prefix index, k-gram
+# winnowing, ExactSubstr grams) win 2-5x (q259 12.7→3.8, q163
+# 6.2→1.3, q268 1.65→0.82 isolated A/B). Callers that do real
+# per-row compute over the corpus ask for the fan-out; everyone else
+# keeps the raw scan.
+_FANOUT_TABLES = {"documents": "doc_id"}
+
+# Fan out only when the table is genuinely tiny relative to the cluster:
+# under ~4 MB per core the extra exchange is microseconds of I/O and the
+# alternative is an almost-idle cluster. At production scale (multi-GB
+# shards, many row groups) the condition is never true and the plan is
+# untouched — the rule adapts to scale instead of tuning for local[32].
+_FANOUT_BYTES_PER_CORE = 4 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    key = _FANOUT_TABLES.get(name)
+    if fan_out and key is not None:
+        cores = spark.sparkContext.defaultParallelism
+        if _dir_bytes(path) < cores * _FANOUT_BYTES_PER_CORE:
+            df = df.repartition(cores, key)
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

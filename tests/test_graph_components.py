@@ -74,7 +74,7 @@ def test_disjoint_components_and_singletons(spark, algo):
 def test_unconverged_raises(spark, algo):
     with pytest.raises(RuntimeError, match="not converged"):
         _cc(spark, list(range(6)), [(i, i + 1) for i in range(5)],
-            max_iters=1, algorithm=algo)
+            max_iters=1, algorithm=algo, small_graph_max_edges=0)
 
 
 def test_star_equals_label_on_random_graphs(spark):
@@ -90,10 +90,16 @@ def test_star_equals_label_on_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         expect = _reference_cc(nodes, edges)
-        star = _cc(spark, nodes, edges, algorithm="star")
+        # force the distributed star iteration (the default would take
+        # the small-graph driver cutover at this size)
+        star = _cc(
+            spark, nodes, edges, algorithm="star", small_graph_max_edges=0
+        )
         label = _cc(spark, nodes, edges, algorithm="label")
+        driver = _cc(spark, nodes, edges, algorithm="star")
         assert star == expect, f"star diverged on trial {trial}"
         assert label == expect, f"label diverged on trial {trial}"
+        assert driver == expect, f"driver cutover diverged on trial {trial}"
 
 
 def test_star_round_count_logarithmic_on_chain(spark):
@@ -105,7 +111,7 @@ def test_star_round_count_logarithmic_on_chain(spark):
     stats: dict = {}
     labels = _cc(
         spark, list(range(n)), [(i, i + 1) for i in range(n - 1)],
-        algorithm="star", stats=stats,
+        algorithm="star", stats=stats, small_graph_max_edges=0,
     )
     assert set(labels.values()) == {0}
     assert stats["rounds"] <= int(math.log2(n)) + 4, stats
@@ -113,6 +119,26 @@ def test_star_round_count_logarithmic_on_chain(spark):
 
 def test_star_stats_and_empty_edges(spark):
     stats: dict = {}
-    labels = _cc(spark, [7, 8], [], algorithm="star", stats=stats)
+    labels = _cc(
+        spark, [7, 8], [], algorithm="star", stats=stats,
+        small_graph_max_edges=0,
+    )
     assert labels == {7: 7, 8: 8}
     assert stats == {"rounds": 1, "algorithm": "star"}
+
+
+def test_small_graph_cutover_stats_and_labels(spark):
+    """The default path below CC_SMALL_GRAPH_MAX_EDGES is the driver
+    union-find: same labels as the star fixpoint, observable via stats
+    (the no-silent-iteration rule), singletons never collected."""
+    stats: dict = {}
+    labels = _cc(
+        spark, [1, 2, 3, 9], [(1, 2), (2, 3)], algorithm="star",
+        stats=stats,
+    )
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 9}
+    assert stats == {
+        "rounds": 0,
+        "algorithm": "star+driver-small-graph",
+        "n_edges": 2,
+    }
