@@ -4581,6 +4581,11 @@ def _materialized_pf_index(
     t_pfx, t_tg = materialize_prefix_index(spark, sf_dir)
     pfx = spark.table(t_pfx)
     tgs = spark.table(t_tg)
+    # NOT persisted even though the downstream plan reads pfx three
+    # times and tg twice: an A/B (round 12) measured the persisted form
+    # SLOWER (q263 read-side 4.5 -> 6.3 s) because the in-memory
+    # relation loses the bucketed scan's exchange-free sort-merge
+    # layout — the whole point of the checkpoint's bucketBy.
     return pfx, tgs, tgs.count()
 
 
