@@ -6,9 +6,11 @@ seconds, and a pointer to the detail file; its per-query map is
 INTENTIONALLY empty ("queries": {}) so the line stays registry-size-
 independent and can never outgrow the driver's ~2,000-char tail-capture
 window (rounds 3/5/7 each lost or truncated their record that way).
-The line before it carries all short-key per-query timings; the full-name
-map goes to a detail JSON file next to this script. Human-readable lines
-→ stderr.
+The lines before it carry the short-key per-query timings in bounded
+chunks (<= ~1.5 KB per line, part i/n — one single line outgrew the
+window at 268 queries and blanked PERF per_query for two rounds); the
+full-name map goes to a detail JSON file next to this script.
+Human-readable lines → stderr.
 
 Two runners share this script, and round 8's driver run silently
 overwrote the builder's committed per-query record — so the detail file
@@ -223,34 +225,77 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
-    # Short keys (q01, q02, ...) keep the summary line ~1 KB so it survives
-    # the driver's tail-capture window intact; full names are in the file.
+    # Short keys (q01, q02, ...) halve the per-entry cost of the per-query
+    # map on stdout; full names are in the detail file.
     short = {name.split("_", 1)[0]: sec for name, sec in timings.items()}
     assert len(short) == len(timings), "short query keys collided"
+    # Round-13 measurement-visibility fix (round-12 verdict item 2): the
+    # single short-key line outgrew the driver's ~2,000-char tail-capture
+    # window at 268 queries (PERF_r11/r12 per_query came up EMPTY — the
+    # line's head was clipped), so the map is now emitted as SELF-
+    # DESCRIBING CHUNK LINES, each bounded well under the window. The
+    # chunk metric name is deliberately NOT the headline metric and the
+    # chunks carry no "value"/"queries"-of-the-total shape, so a consumer
+    # that parses "the last line that looks like the record" can never
+    # mistake a partial map for a complete one; a full-stdout consumer
+    # reassembles the map from part=i/parts=n. Timing methodology is
+    # untouched — this changes only how already-measured numbers print.
+    for line in per_query_chunk_lines(short):
+        print(line)
+    # The LAST stdout line stays a ~300-byte self-contained summary with
+    # the per-query map INTENTIONALLY absent ("queries": {}) — totals +
+    # error count only, never clipped however large the registry grows
+    # (rounds 3/5/7 each lost or truncated their record the other way).
+    # The complete per-query map is in the role-specific detail file
+    # (written above, same run) and in the chunk lines just printed.
     print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": short,
-                "errors": len(errors),
-                "sf": sf,
-                "detail": DETAIL_FILE,
-            },
-            separators=(",", ":"),
+        final_summary_line(
+            total, len(timings), len(errors), sf, cal_start, cal_end,
+            parts=len(per_query_chunk_lines(short)),
         )
     )
-    # The registry outgrew the driver's ~2,000-char tail-capture window: with
-    # 196 queries even the short-key line is >2 KB, so its head (the "value"
-    # field) fell outside the window and round 5's record shows parsed:null;
-    # round 7's record then kept only the 16-query headline subset of the
-    # final line, which the judge read as a truncated map. The LAST stdout
-    # line is therefore a ~200-byte self-contained summary with the per-query
-    # map INTENTIONALLY absent ("queries": {}) — totals + error count only,
-    # never clipped however large the registry grows. The complete per-query
-    # map is in the role-specific detail file (written above, same run).
-    print(final_summary_line(total, len(timings), len(errors), sf, cal_start, cal_end))
+
+
+# Per-chunk byte budget for the stdout per-query map. The driver's
+# tail-capture window is ~2,000 chars; the final summary line is <400
+# bytes, so a <=1,500-byte chunk guarantees the captured tail always
+# contains the summary PLUS at least one complete, parseable chunk —
+# and every chunk is complete on some line of full stdout.
+PER_QUERY_CHUNK_BYTES = 1_500
+
+
+def per_query_chunk_lines(short: dict[str, float]) -> list[str]:
+    """The per-query map as chunked JSON lines (sorted keys, each line
+    <= PER_QUERY_CHUNK_BYTES). Metric name differs from the headline
+    record's and there is no "value" field, so a tail parser can never
+    mistake one chunk for the whole record; part/parts let a
+    full-stdout consumer verify it reassembled everything."""
+    budget = PER_QUERY_CHUNK_BYTES - 120  # minus the envelope fields
+    chunks: list[dict[str, float]] = [{}]
+    size = 0
+    for k in sorted(short):
+        entry = len(json.dumps({k: short[k]})) + 1
+        if chunks[-1] and size + entry > budget:
+            chunks.append({})
+            size = 0
+        chunks[-1][k] = short[k]
+        size += entry
+    lines = []
+    for i, c in enumerate(chunks, 1):
+        lines.append(
+            json.dumps(
+                {
+                    "metric": "registry_queries_per_query_part",
+                    "part": i,
+                    "parts": len(chunks),
+                    "n_in_part": len(c),
+                    "queries": c,
+                    "detail": DETAIL_FILE,
+                },
+                separators=(",", ":"),
+            )
+        )
+    return lines
 
 
 def final_summary_line(
@@ -260,12 +305,14 @@ def final_summary_line(
     sf: float | None,
     cal_start: float | None = None,
     cal_end: float | None = None,
+    parts: int | None = None,
 ) -> str:
     """The LAST stdout line: registry-size-independent by construction
     (tests pin its length under 400 bytes — the failure mode it exists
     to prevent is the summary outgrowing the driver's capture window).
     Carries the in-run calibration seconds so cross-record comparisons
-    can normalize away host-window speed."""
+    can normalize away host-window speed, and the chunk count of the
+    per-query part lines printed just above it."""
     return json.dumps(
         {
             "metric": "registry_queries_total_wall",
@@ -276,6 +323,7 @@ def final_summary_line(
             "errors": n_errors,
             "sf": sf,
             "cal_s": [cal_start, cal_end],
+            "per_query_parts": parts,
             "detail": DETAIL_FILE,
         },
         separators=(",", ":"),

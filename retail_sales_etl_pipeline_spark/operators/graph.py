@@ -157,7 +157,21 @@ def _cc_driver_small(
         stats["algorithm"] = "star+driver-small-graph"
         stats["n_edges"] = n_edges
     spark = nodes.sparkSession
-    lab = spark.createDataFrame(labels, "id long, component_id long")
+    # schema derived from the caller's node frame, not hardcoded long —
+    # the generic contract admits any orderable id type (string ids
+    # crashed here before, and only below the cutover: size-dependent)
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = nodes.schema[id_col].dataType
+    lab = spark.createDataFrame(
+        labels,
+        StructType(
+            [
+                StructField("id", id_type),
+                StructField("component_id", id_type),
+            ]
+        ),
+    )
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(F.broadcast(lab), "id", "left")

@@ -1540,6 +1540,8 @@ def jpeg_decode_features(with_payload: DataFrame) -> DataFrame:
         import math
         import struct
 
+        import numpy as np
+
         ZZ = [
             0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -1668,15 +1670,24 @@ def jpeg_decode_features(with_payload: DataFrame) -> DataFrame:
 
             nc = len(comps)
             bw, bh = (width + 7) // 8, (height + 7) // 8
-            planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+            # Entropy decode stays sequential Python (a Huffman bitstream
+            # has no batch form), but it now only COLLECTS the zigzag
+            # coefficient vectors; dequant + inverse zigzag + IDCT +
+            # level shift run vectorized over ALL blocks of a component
+            # below (round-12 verdict item 3: the per-pixel Python
+            # quadruple loop was 4096 truthiness checks per block and
+            # the dominant decode cost). Bit-exactness: every numpy step
+            # mirrors the scalar code's operation order — see the IDCT
+            # comment below.
+            comp_zz: list[list[list[int]]] = [[] for _ in range(nc)]
             pred = [0] * nc
-            for by in range(bh):
-                for bx in range(bw):
+            for _by in range(bh):
+                for _bx in range(bw):
                     for ci, dc_id, ac_id in scan_comps:
                         dct = htabs.get((0, dc_id))
                         act = htabs.get((1, ac_id))
-                        qt = qtabs.get(comps[ci][2])
-                        if dct is None or act is None or qt is None:
+                        if dct is None or act is None \
+                                or qtabs.get(comps[ci][2]) is None:
                             raise ValueError("missing Huffman/quant table")
                         zz = [0] * 64
                         s = huff_decode(dct)
@@ -1696,53 +1707,67 @@ def jpeg_decode_features(with_payload: DataFrame) -> DataFrame:
                                 raise ValueError("AC index overflow")
                             zz[i] = receive_extend(size)
                             i += 1
-                        coefs = [0] * 64
-                        for i in range(64):
-                            coefs[ZZ[i]] = zz[i] * qt[ZZ[i]]
-                        plane = planes[ci]
-                        stride = bw * 8
-                        for y in range(8):
-                            for x in range(8):
-                                s2 = 0.0
-                                for v in range(8):
-                                    for u in range(8):
-                                        cuv = coefs[v * 8 + u]
-                                        if cuv:
-                                            s2 += cu[u] * cu[v] * cuv \
-                                                * cos[u][x] * cos[v][y]
-                                valp = int(
-                                    (0.25 * s2) + 0.5 + 1024
-                                ) - 1024 + 128
-                                plane[
-                                    (by * 8 + y) * stride + bx * 8 + x
-                                ] = (
-                                    0 if valp < 0
-                                    else 255 if valp > 255 else valp
-                                )
-            stride = bw * 8
+                        comp_zz[ci].append(zz)
+
+            zz_nat = np.array(ZZ, dtype=np.int64)  # zigzag -> natural
+            cu_np = np.array(cu)
+            cos_np = np.array(cos)  # cos_np[u, x], doubles identical
+            planes = []
+            for ci in range(nc):
+                qt = qtabs[comps[ci][2]]
+                zz_arr = np.array(comp_zz[ci], dtype=np.int64).reshape(-1, 64)
+                n_blk = zz_arr.shape[0]
+                # coefs[ZZ[i]] = zz[i] * qt[ZZ[i]] — integer, exact
+                qt_nat = np.array(qt, dtype=np.int64)
+                coefs = np.zeros((n_blk, 64), dtype=np.float64)
+                coefs[:, zz_nat] = (zz_arr * qt_nat[zz_nat][None, :]).astype(
+                    np.float64
+                )
+                # IDCT, bit-identical to the scalar loop: accumulate over
+                # the 64 (v, u) positions IN THE SAME ORDER with
+                # element-wise ops only (each partial product keeps the
+                # scalar code's left association; element-wise IEEE adds
+                # in a fixed order are exactly the scalar sums; an
+                # all-zero position contributes exactly +-0.0 and is
+                # skipped, which cannot change any partial sum — no
+                # matmul/einsum, whose reassociation could flip a
+                # floor(x + 0.5) boundary pixel).
+                acc = np.zeros((n_blk, 8, 8), dtype=np.float64)
+                for idx in np.flatnonzero(coefs.any(axis=0)):
+                    v, u = divmod(int(idx), 8)
+                    t = (cu_np[u] * cu_np[v]) * coefs[:, idx]
+                    t = t[:, None, None] * cos_np[u][None, None, :]
+                    t = t * cos_np[v][None, :, None]
+                    acc += t
+                valp = np.floor((0.25 * acc) + 0.5 + 1024.0).astype(
+                    np.int64
+                ) - 1024 + 128
+                # (scalar int() truncates toward zero where floor rounds
+                # down, but they differ only for negative arguments,
+                # which clamp to 0 under both conventions)
+                blocks = np.clip(valp, 0, 255).astype(np.uint8)
+                planes.append(
+                    blocks.reshape(bh, bw, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw * 8)
+                )
             if nc == 1:
-                outb = bytearray(width * height)
-                for y in range(height):
-                    outb[y * width : (y + 1) * width] = (
-                        planes[0][y * stride : y * stride + width]
-                    )
-                return width, height, 1, bytes(outb)
-            outb = bytearray(width * height * 3)
-            for y in range(height):
-                for x in range(width):
-                    yy = planes[0][y * stride + x]
-                    cb = planes[1][y * stride + x] - 128
-                    cr = planes[2][y * stride + x] - 128
-                    r = int(yy + 1.402 * cr + 0.5 + 1024) - 1024
-                    g = int(
-                        yy - 0.344136 * cb - 0.714136 * cr + 0.5 + 1024
-                    ) - 1024
-                    b = int(yy + 1.772 * cb + 0.5 + 1024) - 1024
-                    o = (y * width + x) * 3
-                    outb[o] = 0 if r < 0 else 255 if r > 255 else r
-                    outb[o + 1] = 0 if g < 0 else 255 if g > 255 else g
-                    outb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
-            return width, height, 3, bytes(outb)
+                px = planes[0][:height, :width]
+                return width, height, 1, px.tobytes()
+            # YCbCr -> RGB with the scalar code's exact association:
+            # ((yy + (k * c)) + 0.5) + 1024, floor, clamp — element-wise
+            yy = planes[0][:height, :width].astype(np.float64)
+            cb = planes[1][:height, :width].astype(np.float64) - 128.0
+            cr = planes[2][:height, :width].astype(np.float64) - 128.0
+            r = np.floor((yy + (1.402 * cr)) + 0.5 + 1024.0) - 1024.0
+            g = np.floor(
+                ((yy - (0.344136 * cb)) - (0.714136 * cr)) + 0.5 + 1024.0
+            ) - 1024.0
+            b = np.floor((yy + (1.772 * cb)) + 0.5 + 1024.0) - 1024.0
+            rgb = np.clip(
+                np.stack((r, g, b), axis=-1), 0.0, 255.0
+            ).astype(np.uint8)
+            return width, height, 3, rgb.tobytes()
 
         for pdf in batches:
             if pdf.empty:

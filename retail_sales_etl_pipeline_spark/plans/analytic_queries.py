@@ -503,7 +503,12 @@ _PROFILE_COLS = [
     tags=("governance", "profiling", "aggregate"),
 )
 def q124_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # fan_out: the 24-expression profile aggregate (with its 7x
+    # countDistinct Expand) is compute-bound on the single-row-group
+    # scan — the one relational site the round-12 A/B measured winning
+    # from the size-gated repartition (2.45 -> 1.20 isolated) without
+    # taxing anything else (opt-in, this site only)
+    orders = load_table(spark, sf_dir, "orders", fan_out=True)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -1401,7 +1406,11 @@ def q169_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the single-task lineitem scan feeds the fact join +
+    # (custkey, shipdate) rollup — the serial segment of this plan;
+    # the orders side stays raw (one broadcast build + one window whose
+    # exchange already provides downstream parallelism)
+    lineitem = load_table(spark, sf_dir, "lineitem", fan_out=True)
 
     seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seg = orders.select(

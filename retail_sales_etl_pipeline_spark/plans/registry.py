@@ -78,6 +78,18 @@ def load_all() -> dict[str, Query]:
     registry and let the correctness gate 'pass' on reduced coverage with no
     signal. All failures are collected so one broken module doesn't mask
     another, then raised together.
+
+    CACHE CONTRACT (round-12 ADVICE): several queries persist()
+    multi-consumer frames INSIDE their own DAG (q29/q140 survivors,
+    q165 items/supp, q86 cand, q157 ver, q204 fp, the prefix-index
+    frames) and deliberately do not unpersist them — the DataFrame is
+    still lazy when the query function returns, so the query cannot
+    know when its consumer is done. A long-lived session running many
+    registry queries should call ``spark.catalog.clearCache()`` between
+    queries (bench.py and the test fixtures do exactly this, outside
+    any timed window); a one-job-per-application deployment needs
+    nothing. Every such persist is single-query-scoped: nothing is
+    keyed to survive into another query's plan.
     """
     failures: list[tuple[str, Exception]] = []
     for mod in QUERY_MODULES:

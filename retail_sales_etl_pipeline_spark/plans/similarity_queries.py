@@ -1380,18 +1380,40 @@ def q174_label_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket_n") <= RP_MAX_BUCKET)
         .drop("bucket_n")
     )
-    a, b = ok.alias("ba"), ok.alias("bb")
+    # In-bucket pair expansion (the q22/q32 shape, round-13): the
+    # bucket-keyed SELF-JOIN form executed the Arrow bucket subtree
+    # (scan -> rp_buckets_pandas -> cap window) once PER SIDE — the
+    # round-12 before-plan shows two scans, two ArrowEvalPython nodes
+    # and two window Exchanges. Collecting the capped bucket members is
+    # co-partitioned with the cap window (no new exchange, arrays
+    # bounded by the cap), and each a<b pair is oriented BOTH ways
+    # because the audit ranks neighbors per query — exactly the pair
+    # set the a.vec_id != b.vec_id join produced.
+    # (both orientations come from a second inline explode, not a
+    # self-union — a union's two branches would re-execute the whole
+    # bucket subtree, the very duplication this removes)
     cand = (
-        a.join(
-            b,
-            (F.col("ba.tbl") == F.col("bb.tbl"))
-            & (F.col("ba.bucket") == F.col("bb.bucket"))
-            & (F.col("ba.vec_id") != F.col("bb.vec_id")),
+        ok.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), "
+                    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                    "y -> struct(element_at(ids, i) AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col("ba.vec_id").alias("query_id"),
-            F.col("bb.vec_id").alias("neighbor_id"),
+            F.explode(
+                F.expr(
+                    "array(struct(p.vec_a AS query_id, p.vec_b AS neighbor_id), "
+                    "struct(p.vec_b AS query_id, p.vec_a AS neighbor_id))"
+                )
+            ).alias("q")
         )
+        .select("q.query_id", "q.neighbor_id")
         .distinct()
     )
     cos = F.expr(_DOT_S) / (F.col("a.nrm") * F.col("b.nrm"))

@@ -66,7 +66,19 @@ SMALL_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 # 6.2→1.3, q268 1.65→0.82 isolated A/B). Callers that do real
 # per-row compute over the corpus ask for the fan-out; everyone else
 # keeps the raw scan.
-_FANOUT_TABLES = {"documents": "doc_id"}
+#
+# orders/lineitem entries exist ONLY for the handful of opt-in sites
+# whose aggregate is measurably compute-bound on the single-row-group
+# scan (q124's 24-expression profile with its 7x countDistinct Expand:
+# 2.45→1.20 isolated in the round-12 A/B; q175's lineitem join+rollup).
+# Every other relational consumer keeps the raw scan — the round-12
+# full-bench A/B showed a blanket relational fan-out taxing ~200 cheap
+# queries more than these few win back.
+_FANOUT_TABLES = {
+    "documents": "doc_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+}
 
 # Fan out only when the table is genuinely tiny relative to the cluster:
 # under ~4 MB per core the extra exchange is microseconds of I/O and the
@@ -76,7 +88,17 @@ _FANOUT_TABLES = {"documents": "doc_id"}
 _FANOUT_BYTES_PER_CORE = 4 * 1024 * 1024
 
 
-def _dir_bytes(path: str) -> int:
+def _dir_bytes(path: str) -> int | None:
+    """On-disk bytes of a LOCAL path, or None when the size cannot be
+    known this way (URI scheme like hdfs://s3a://, or a path this
+    process cannot see). The round-12 form returned 0 for those — which
+    INVERTED the fan-out gate at exactly the scale it protects against:
+    an arbitrarily large remote table would read as 'tiny' and get the
+    repartition (round-12 ADVICE, medium). Unknown size now means NO
+    fan-out: the safe default is the untouched scan, and a genuinely
+    tiny remote table merely misses a local-mode optimization."""
+    if "://" in path or not os.path.exists(path):
+        return None
     if os.path.isfile(path):
         return os.path.getsize(path)
     total = 0
@@ -94,7 +116,8 @@ def load_table(
     key = _FANOUT_TABLES.get(name)
     if fan_out and key is not None:
         cores = spark.sparkContext.defaultParallelism
-        if _dir_bytes(path) < cores * _FANOUT_BYTES_PER_CORE:
+        nbytes = _dir_bytes(path)
+        if nbytes is not None and nbytes < cores * _FANOUT_BYTES_PER_CORE:
             df = df.repartition(cores, key)
     return df
 

@@ -91,6 +91,38 @@ def test_final_summary_line_is_capture_window_safe():
     assert bench.DETAIL_FILE in ("BENCH_LOCAL.json", "BENCH_DRIVER_LATEST.json")
 
 
+def test_per_query_chunk_lines_bounded_and_complete():
+    """Round-12 verdict item 2: the per-query stdout map must reach the
+    driver in lines that can never outgrow its ~2,000-char tail window.
+    Each chunk line is bounded, the union of chunks is the complete map,
+    and no chunk can be mistaken for the headline record."""
+    import json
+
+    short = {f"q{i:03d}": round(i * 0.123, 3) for i in range(300)}
+    lines = bench.per_query_chunk_lines(short)
+    assert len(lines) >= 2  # 300 entries cannot fit one bounded line
+    merged: dict[str, float] = {}
+    for i, line in enumerate(lines, 1):
+        assert len(line) <= bench.PER_QUERY_CHUNK_BYTES
+        parsed = json.loads(line)
+        # not the headline metric, no "value": a last-line parser cannot
+        # mistake a partial map for the complete record
+        assert parsed["metric"] == "registry_queries_per_query_part"
+        assert "value" not in parsed
+        assert parsed["part"] == i and parsed["parts"] == len(lines)
+        assert parsed["n_in_part"] == len(parsed["queries"])
+        merged.update(parsed["queries"])
+    assert merged == short
+
+    # tiny registries still produce exactly one complete chunk
+    one = bench.per_query_chunk_lines({"q01": 0.5})
+    assert len(one) == 1 and json.loads(one[0])["queries"] == {"q01": 0.5}
+    # the final summary line advertises the chunk count and stays bounded
+    line = bench.final_summary_line(1.0, 300, 0, 0.1, 0.1, 0.1, parts=len(lines))
+    assert len(line) < 400
+    assert json.loads(line)["per_query_parts"] == len(lines)
+
+
 def test_detail_file_role_separation(monkeypatch):
     """Driver-role (default) and builder-role runs write DIFFERENT files."""
     import importlib

@@ -31,7 +31,10 @@ def test_signature_stages_execute_once_when_materialized(spark, tmp_path):
     curation must run each exactly once: 2n rows total. The lazy plan's
     multi-consumer ``survivors`` subtree re-executes the fingerprint pass
     per consumer (the MinHash self-join is saved by ReusedExchange), so it
-    counts strictly more — the cost materialization removes."""
+    counts strictly more — the cost materialization removes. (An in-DAG
+    persist of survivors was A/B-REJECTED in round 13: the barrier +
+    cache write measured slower than the re-execution at every probed
+    scale — see curate()'s comment.)"""
     n = _n_docs(spark)
 
     acc = spark.sparkContext.accumulator(0)

@@ -13,6 +13,8 @@ from retail_sales_etl_pipeline_spark.plans.dedup_queries import (
     q157_incremental_components,
 )
 
+SF_SMALL = "/root/testdata/sf0.001"
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -41,3 +43,28 @@ def test_batch_actually_merges_components(spark):
         )
     mixed = [c for c, kinds in by_comp.items() if kinds == {True, False}]
     assert mixed, "no component spans the old/new boundary at sf0.001"
+
+
+def test_driver_cutover_equals_distributed_path(spark, monkeypatch):
+    """Round-13: below the small-graph bound the contract-and-merge
+    algebra runs once on the driver (one docs scan + broadcast label
+    join). Forcing the distributed path (bound = 0 disables BOTH the
+    incremental cutover and the CC operator's own one) must yield
+    row-identical output — the two paths implement one semantics."""
+    from retail_sales_etl_pipeline_spark.operators import graph
+    from retail_sales_etl_pipeline_spark.plans import dedup_queries as dq
+
+    fast = {
+        (r.doc_id, r.component_id)
+        for r in q157_incremental_components(spark, SF_SMALL).collect()
+    }
+    monkeypatch.setattr(graph, "CC_SMALL_GRAPH_MAX_EDGES", 0)
+    slow = {
+        (r.doc_id, r.component_id)
+        for r in q157_incremental_components(spark, SF_SMALL).collect()
+    }
+    assert fast == slow
+    assert fast
+
+    # the Spark-remainder helper matches SQL % for negative ids too
+    assert dq._py_rem(-10, 7) == -3 and dq._py_rem(10, 7) == 3

@@ -15,12 +15,11 @@ from pyspark.sql import functions as F
 from retail_sales_etl_pipeline_spark.plans.registry import load_all
 from retail_sales_etl_pipeline_spark.sources import load_table
 
+import pytest
+
 from .conftest import SMOKE_SF_DIR
 
 REGISTRY = load_all()
-
-
-import pytest
 
 
 @pytest.fixture(autouse=True)
@@ -29,10 +28,12 @@ def _clear_cached_frames(spark):
     persisted by an earlier test (the intra-query persists are
     unpersisted by the bench harness, not by tests) rewrites unrelated
     plans as InMemoryTableScan subtrees — measured as order-dependent
-    flakiness in the full suite (q162's window count vs q22's)."""
+    flakiness in the full suite (q162's window count vs q22's).
+    clearCache() alone suffices: every intra-query persist in the
+    engine is a DataFrame persist (the former private-API RDD sweep —
+    round-12 ADVICE — was fragile against PySpark internals and
+    covered nothing these tests create)."""
     spark.catalog.clearCache()
-    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        rdd.unpersist()
     yield
 
 

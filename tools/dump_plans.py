@@ -1,12 +1,12 @@
-"""Dump ``explain('formatted')`` for registry queries to plans/r12/.
+"""Dump ``explain('formatted')`` for registry queries to plans/r13/.
 
 Usage:
     python tools/dump_plans.py before q259_prefix_pairs_capped q66_... [...]
     python tools/dump_plans.py after  q259_prefix_pairs_capped [...]
 
-Writes plans/r12/<query>_<tag>.txt. Driver-side only (no job execution),
+Writes plans/r13/<query>_<tag>.txt. Driver-side only (no job execution),
 so it is safe to run alongside other work. The optimization judge checks
-plan claims in OPTIMIZATION_r12.md against these files.
+plan claims in OPTIMIZATION_r13.md against these files.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(ROOT, "plans", "r12")
+OUT_DIR = os.path.join(ROOT, "plans", "r13")
 
 
 def main() -> None:
