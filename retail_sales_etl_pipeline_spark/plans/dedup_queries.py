@@ -4596,12 +4596,46 @@ def _pf_report_from(pfx: DataFrame) -> DataFrame:
 _PF_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
-# Bucket count for the materialized index layout. 64 keeps buckets
-# ~80K docs at 1000x (sort-merge-readable) while staying >= the local
-# core count; the bucketed write repartitions on the bucket column
-# first so each table lands as one file per bucket, not
-# n_partitions x n_buckets splinters.
-PF_INDEX_BUCKETS = 64
+# Bucket count for the materialized index layout: ADAPTIVE to corpus
+# size (round-12 verdict item 1 — a fixed 64 made five bucketed scans
+# of 64 near-empty files the dominant q263/q264 cost at small scale).
+# Measured anchors (round 13, build / q263-read / q264 seconds):
+#   sf0.1 (0.6 MB docs):  64 -> 3.1/4.9/0.59   8 -> 1.9/4.4/0.27
+#   100x  (60 MB docs):   64 -> 73/11.0/1.4   16 -> 64/7.5/2.2
+# Rule: one bucket per PF_BUCKET_TARGET_BYTES of raw documents,
+# power-of-two, floored at 8 (read parallelism never collapses to a
+# handful of tasks) and CAPPED AT 64 — the cap is itself measured: a
+# 256-bucket build at 100x costs 180 s vs 64 s at 64 buckets (the
+# bucketed write's tok-keyed repartition pays per-bucket overhead on a
+# skewed key), and the first 1000x attempt at 256 buckets spent ~35
+# min in that one stage. Unknown corpus size (remote URI — _dir_bytes
+# returns None) falls back to the conservative production default
+# below, and SPARK_GRAFT_PF_BUCKETS overrides everything for cluster
+# deployments where the operator knows better (at real cluster core
+# counts a larger bucket count is justified — the cap encodes this
+# sandbox's measured optimum, the env knob the production one). The
+# bucketed write repartitions on the bucket column first so each table
+# lands as one file per bucket.
+PF_INDEX_BUCKETS = 64  # unknown-size fallback / env-overridable default
+PF_BUCKET_TARGET_BYTES = 4 * 1024 * 1024
+PF_BUCKET_MAX = 64
+
+
+def _pf_index_buckets(sf_dir: str) -> int:
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_PF_BUCKETS")
+    if env:
+        return max(1, int(env))
+    from ..sources.testdata import _dir_bytes
+
+    nbytes = _dir_bytes(_os.path.join(sf_dir, "documents.parquet"))
+    if nbytes is None:
+        return PF_INDEX_BUCKETS
+    b = 8
+    while b < PF_BUCKET_MAX and nbytes > b * PF_BUCKET_TARGET_BYTES:
+        b *= 2
+    return b
 
 
 def _drop_stale_table_locations(spark: SparkSession, tables: tuple[str, ...]) -> None:
@@ -4700,19 +4734,20 @@ def materialize_prefix_index(spark: SparkSession, sf_dir: str) -> tuple[str, str
     _drop_stale_table_locations(spark, (t_pfx, t_tg))
     _sweep_aged_index_dirs(spark, ctag, ptag)
     pfx, tgs, docs = _pf_index_frames(spark, sf_dir)
+    n_buckets = _pf_index_buckets(sf_dir)
     (
-        pfx.repartition(PF_INDEX_BUCKETS, "tok")
+        pfx.repartition(n_buckets, "tok")
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(PF_INDEX_BUCKETS, "tok")
+        .bucketBy(n_buckets, "tok")
         .sortBy("tok")
         .saveAsTable(t_pfx)
     )
     (
-        tgs.repartition(PF_INDEX_BUCKETS, "doc_id")
+        tgs.repartition(n_buckets, "doc_id")
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(PF_INDEX_BUCKETS, "doc_id")
+        .bucketBy(n_buckets, "doc_id")
         .sortBy("doc_id")
         .saveAsTable(t_tg)
     )

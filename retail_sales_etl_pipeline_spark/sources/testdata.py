@@ -80,12 +80,44 @@ _FANOUT_TABLES = {
     "lineitem": "l_orderkey",
 }
 
-# Fan out only when the table is genuinely tiny relative to the cluster:
-# under ~4 MB per core the extra exchange is microseconds of I/O and the
-# alternative is an almost-idle cluster. At production scale (multi-GB
-# shards, many row groups) the condition is never true and the plan is
-# untouched — the rule adapts to scale instead of tuning for local[32].
-_FANOUT_BYTES_PER_CORE = 4 * 1024 * 1024
+# Fan out only when the scan CANNOT fill the cluster on its own: a
+# parquet scan produces at most ceil(bytes / maxPartitionBytes) tasks
+# (fewer still when files have few row groups), so below
+# cores x maxPartitionBytes the natural parallelism is provably under
+# the core count and the one extra exchange buys a fully-parallel
+# pipeline. Measured motivation for the round-13 widening (was a fixed
+# 4 MB/core): the 1000x corpus is a single 605 MB file of ~6 row
+# groups — above the old gate, so the opt-in sites never fanned out
+# and the index build's interpreted trigram stage ran ~35 min on 5
+# straggler tasks with 27 cores idle (thread-dump evidence in
+# OPTIMIZATION_r13.md). At production scale (multi-TB directories of
+# many files) bytes >> cores x split size and the plan is untouched —
+# the rule adapts to scale instead of tuning for local[32].
+_FANOUT_FALLBACK_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_bytes(v: str) -> int | None:
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        mult, s = _SIZE_SUFFIX[s[-1]], s[:-1]
+    else:
+        mult = 1
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return None
+
+
+def _fanout_gate_bytes(spark: SparkSession) -> int:
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(_FANOUT_FALLBACK_SPLIT_BYTES)
+    )
+    split = _parse_bytes(raw) or _FANOUT_FALLBACK_SPLIT_BYTES
+    return cores * split
 
 
 def _dir_bytes(path: str) -> int | None:
@@ -115,10 +147,9 @@ def load_table(
     df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
     key = _FANOUT_TABLES.get(name)
     if fan_out and key is not None:
-        cores = spark.sparkContext.defaultParallelism
         nbytes = _dir_bytes(path)
-        if nbytes is not None and nbytes < cores * _FANOUT_BYTES_PER_CORE:
-            df = df.repartition(cores, key)
+        if nbytes is not None and nbytes < _fanout_gate_bytes(spark):
+            df = df.repartition(spark.sparkContext.defaultParallelism, key)
     return df
 
 

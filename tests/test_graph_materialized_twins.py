@@ -70,7 +70,7 @@ def test_prefix_index_materialize_once_per_session(spark):
     for tbl, col in ((t_pfx, "tok"), (t_tg, "doc_id")):
         ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
         info = {r.col_name: r.data_type for r in ddl}
-        assert info.get("Num Buckets") == str(dq.PF_INDEX_BUCKETS), tbl
+        assert info.get("Num Buckets") == str(dq._pf_index_buckets(SF)), tbl
         assert col in info.get("Bucket Columns", ""), tbl
 
 
@@ -125,6 +125,24 @@ def test_single_dag_cutover_is_lossless(spark, monkeypatch):
     monkeypatch.setattr(dq, "PF_SINGLE_DAG_MAX_DOCS", 1)
     dq._PF_INDEX_CACHE.clear()
     assert _rows(dq.q205_prefix_filter_pairs(spark, SF)) == want_exact
+
+
+def test_pf_index_buckets_adaptive(monkeypatch, tmp_path):
+    """Round-13: the bucket count follows corpus bytes (8 at test scale,
+    power-of-two growth, 1024 cap), falls back to the conservative
+    default when the size is unknowable (remote URI), and honors the
+    operator override env."""
+    monkeypatch.delenv("SPARK_GRAFT_PF_BUCKETS", raising=False)
+    assert dq._pf_index_buckets("/root/testdata/sf0.001") == 8
+    assert dq._pf_index_buckets("s3://bucket/corpus") == dq.PF_INDEX_BUCKETS
+    # synthetic size ladder: 8 doubles per PF_BUCKET_TARGET_BYTES step
+    import os
+
+    big = tmp_path / "documents.parquet"
+    big.write_bytes(b"x")  # 1 byte -> floor
+    assert dq._pf_index_buckets(str(tmp_path)) == 8
+    monkeypatch.setenv("SPARK_GRAFT_PF_BUCKETS", "128")
+    assert dq._pf_index_buckets(str(tmp_path)) == 128
 
 
 def test_prefix_index_survives_stale_warehouse_location(spark):

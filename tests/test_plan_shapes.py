@@ -848,10 +848,19 @@ def test_scan_fanout_is_gated_and_keyed(spark, monkeypatch):
     plan_default = _formatted_plan(load_table(spark, SMOKE_SF_DIR, "documents"))
     assert _op_count(plan_default, "Exchange") == 0
 
-    # opted in but above the size gate: raw scan
-    monkeypatch.setattr(testdata, "_FANOUT_BYTES_PER_CORE", 0)
+    # opted in but above the size gate: raw scan (gate = what the scan
+    # can parallelize on its own — cores x maxPartitionBytes)
+    monkeypatch.setattr(testdata, "_fanout_gate_bytes", lambda _s: 0)
     plan_big = _formatted_plan(
         load_table(spark, SMOKE_SF_DIR, "documents", fan_out=True)
     )
     assert "hashpartitioning" not in plan_big
     assert _op_count(plan_big, "Exchange") == 0
+
+    # unknown size (remote URI / unseen path) must read as "no fan-out"
+    monkeypatch.undo()
+    monkeypatch.setattr(testdata, "_dir_bytes", lambda _p: None)
+    plan_unknown = _formatted_plan(
+        load_table(spark, SMOKE_SF_DIR, "documents", fan_out=True)
+    )
+    assert _op_count(plan_unknown, "Exchange") == 0
